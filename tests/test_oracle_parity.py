@@ -1,0 +1,62 @@
+"""Differential tests: every hash-checked query's PySpark implementation
+vs its DuckDB oracle at sf0.01 — mirrors the driver's CORRECTNESS gate
+(row count + column set + order-insensitive value comparison).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+import zebra_spark
+from tests.conftest import SF_ORACLE
+
+zebra_spark.load_all_queries()
+
+NAMES = sorted(zebra_spark.ORACLES)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return f"{int(v)}"
+            return f"{v:.6g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_parity(name, spark, duck):
+    sdf = zebra_spark.QUERIES[name](spark, SF_ORACLE)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = duck.execute(zebra_spark.ORACLES[name]).fetchdf()
+
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != {len(duck_pdf)}"
+    )
+    assert len(spark_pdf) > 0, f"{name}: empty result"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    if not a.equals(b):
+        diff = (a != b).any(axis=1)
+        raise AssertionError(
+            f"{name}: value mismatch, first diffs:\n"
+            f"spark:\n{a[diff].head(5)}\nduck:\n{b[diff].head(5)}"
+        )

@@ -1,0 +1,195 @@
+"""Distance metrics and vector helpers as native Spark Column builders.
+
+Parity surface for the reference's metric library (reference
+src/distance.rs:15-190, 12 metrics).  Every metric is a composition of
+`zip_with` / `aggregate` / `array_max` higher-order functions — JVM-side,
+Catalyst-optimizable, whole-stage-codegen friendly.  No UDFs in the hot
+path; the only Python-side metric is `hamming_bits` (needs f32 bit
+reinterpretation, reference src/distance.rs:140-158) which is vectorized
+via pandas_udf.
+
+The reference totally-orders distances through the u64 bit pattern of the
+float (src/distance.rs:13); in Spark we order by the double directly and
+break ties by id (SURVEY §1.3) — same order for non-negative distances.
+
+All builders expect `array<double>` columns (cast at load,
+io.embeddings_d); accumulation is float64 left-to-right, matching the
+DuckDB oracle's `list_sum(list_transform(...))` on `DOUBLE[]`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def rnd(c: Column, nd: int = 4) -> Column:
+    """Round after aggregation (SURVEY §2.C rule 1) and collapse -0.0 to
+    0.0 so both engines value-hash identically."""
+    r = F.round(c.cast("double"), nd)
+    return F.when(r == 0.0, F.lit(0.0)).otherwise(r)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _agg_sum(pair_col: Column) -> Column:
+    return F.aggregate(pair_col, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2sq(a, b) -> Column:
+    """Squared Euclidean — the reference's default text metric
+    (src/distance.rs:34-49, src/database/default/text.rs:8)."""
+    return _agg_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def l2(a, b) -> Column:
+    """Euclidean (src/distance.rs:99-114)."""
+    return F.sqrt(l2sq(a, b))
+
+
+def l1(a, b) -> Column:
+    """Manhattan (src/distance.rs:87-97)."""
+    return _agg_sum(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def chebyshev(a, b) -> Column:
+    """max |a_i - b_i| (src/distance.rs:51-61)."""
+    return F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def canberra(a, b) -> Column:
+    """sum |a_i-b_i| / (|a_i|+|b_i|), 0/0 -> 0 (src/distance.rs:63-73)."""
+    return _agg_sum(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.when(F.abs(x) + F.abs(y) == 0.0, F.lit(0.0)).otherwise(
+                F.abs(x - y) / (F.abs(x) + F.abs(y))
+            ),
+        )
+    )
+
+
+def braycurtis(a, b) -> Column:
+    """sum|a-b| / sum|a+b|, zero denominator -> 0 (src/distance.rs:75-85)."""
+    num = _agg_sum(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+    den = _agg_sum(F.zip_with(a, b, lambda x, y: F.abs(x + y)))
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+
+
+def cosine(a, b) -> Column:
+    """1 - cos(a,b); zero-norm input -> 1.0 (src/distance.rs:15-32)."""
+    num = dot(a, b)
+    na = F.sqrt(dot(a, a))
+    nb = F.sqrt(dot(b, b))
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(
+        F.lit(1.0) - num / (na * nb)
+    )
+
+
+def pnorm(a, b, p: float) -> Column:
+    """sum |a_i-b_i|^p, no root (src/distance.rs:176-190)."""
+    return _agg_sum(F.zip_with(a, b, lambda x, y: F.pow(F.abs(x - y), F.lit(p))))
+
+
+def minkowski(a, b, p: float) -> Column:
+    """(sum |a_i-b_i|^p)^(1/p), runtime p (src/distance.rs:160-174)."""
+    return F.pow(pnorm(a, b, p), F.lit(1.0 / p))
+
+
+def l3(a, b) -> Column:
+    """Minkowski p=3 (src/distance.rs:116-126)."""
+    return minkowski(a, b, 3.0)
+
+
+def l4(a, b) -> Column:
+    """Minkowski p=4 (src/distance.rs:128-138)."""
+    return minkowski(a, b, 4.0)
+
+
+METRICS = {
+    "cosine": cosine,
+    "l2sq": l2sq,
+    "l2": l2,
+    "l1": l1,
+    "chebyshev": chebyshev,
+    "canberra": canberra,
+    "braycurtis": braycurtis,
+    "l3": l3,
+    "l4": l4,
+}
+
+
+def hamming_bits_udf():
+    """Reference Hamming: popcount of XOR over the low byte of each f32's
+    bit pattern (src/distance.rs:140-158, `x.to_bits() as u8`).  Needs
+    float->bits reinterpretation, so this is the one pandas_udf metric
+    (Arrow-vectorized; not on any hot path — parity/testing only)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _hamming(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.int64)
+        for i, (va, vb) in enumerate(zip(a, b)):
+            ba = np.asarray(va, dtype=np.float32).view(np.uint32).astype(np.uint8)
+            bb = np.asarray(vb, dtype=np.float32).view(np.uint32).astype(np.uint8)
+            n = min(len(ba), len(bb))
+            out[i] = int(np.unpackbits(ba[:n] ^ bb[:n]).sum())
+        return pd.Series(out)
+
+    return _hamming
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-oracle SQL fragments for the same metrics, over a.emb/b.emb
+# DOUBLE[] columns of dimension `dim`.  Kept beside the Spark builders so
+# the two definitions are reviewed together.
+# ---------------------------------------------------------------------------
+
+
+def sql_metric(name: str, a: str = "a.emb", b: str = "b.emb", dim: int = 64) -> str:
+    r = f"range(1, {dim + 1})"
+    diffs = f"list_transform({r}, i -> abs({a}[i] - {b}[i]))"
+    if name == "l2sq":
+        # multiplication, not ^2: DuckDB ^ is pow() and may differ from
+        # Spark's (x-y)*(x-y) in the last ulp
+        return f"list_sum(list_transform({r}, i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    if name == "l2":
+        return f"sqrt({sql_metric('l2sq', a, b, dim)})"
+    if name == "l1":
+        return f"list_sum({diffs})"
+    if name == "chebyshev":
+        return f"list_max({diffs})"
+    if name == "canberra":
+        return (
+            f"list_sum(list_transform({r}, i -> CASE WHEN abs({a}[i]) + abs({b}[i]) = 0"
+            f" THEN 0.0 ELSE abs({a}[i] - {b}[i]) / (abs({a}[i]) + abs({b}[i])) END))"
+        )
+    if name == "braycurtis":
+        den = f"list_sum(list_transform({r}, i -> abs({a}[i] + {b}[i])))"
+        return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE list_sum({diffs}) / {den} END)"
+    if name == "cosine":
+        d = f"list_sum(list_transform({r}, i -> {a}[i] * {b}[i]))"
+        na = f"sqrt(list_sum(list_transform({r}, i -> {a}[i] * {a}[i])))"
+        nb = f"sqrt(list_sum(list_transform({r}, i -> {b}[i] * {b}[i])))"
+        return (
+            f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN 1.0"
+            f" ELSE 1.0 - {d} / ({na} * {nb}) END)"
+        )
+    if name.startswith("pnorm:"):
+        p = float(name.split(":")[1])
+        return f"list_sum(list_transform({r}, i -> abs({a}[i] - {b}[i])^{p}))"
+    if name.startswith("minkowski:"):
+        p = float(name.split(":")[1])
+        return f"(list_sum(list_transform({r}, i -> abs({a}[i] - {b}[i])^{p})))^{1.0 / p}"
+    if name == "l3":
+        return sql_metric("minkowski:3.0", a, b, dim)
+    if name == "l4":
+        return sql_metric("minkowski:4.0", a, b, dim)
+    raise KeyError(name)

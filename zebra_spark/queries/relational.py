@@ -1,0 +1,576 @@
+"""Relational extension surface (SURVEY §2.B): scan/filter/agg/join/
+window/set/string/date/math/array/json operators over the TPC-H-ish star
+schema.  All stock DataFrame ops — Catalyst handles pushdown, pruning,
+join selection; AQE handles skew and partition coalescing.
+
+Float determinism: money aggregates are summed as DECIMAL(18,6) (exact,
+order-insensitive — verified identical Spark vs DuckDB at sf0.1) and cast
+to double + round(4) only at output.  Per-row double arithmetic is
+bitwise identical across engines, so row-level computed columns are safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zebra_spark.functions import rnd
+from zebra_spark.io import load
+from zebra_spark.registry import query, sql_rnd
+
+DEC = "decimal(18,6)"
+
+
+def _dsum(c) -> F.Column:
+    """Exact decimal sum of a double expression: per-row double result is
+    cast to DECIMAL(18,6) then summed (order-insensitive, exact)."""
+    return F.sum(c.cast(DEC))
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"sum(CAST({expr} AS DECIMAL(18,6)))"
+
+
+# --- scan / filter ----------------------------------------------------------
+
+
+@query(
+    "q_project_expr",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_rnd("l_extendedprice * (1 - l_discount)")} AS revenue,
+           {sql_rnd("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS charge
+    FROM lineitem
+    """,
+)
+def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(rev).alias("revenue"),
+        rnd(rev * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'F%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & (F.col("l_shipdate") >= "1996-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# --- aggregation ------------------------------------------------------------
+
+
+@query(
+    "q_agg_hash",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_rnd(_sql_dsum("l_quantity"))} AS sum_qty,
+           {sql_rnd(_sql_dsum("l_extendedprice"))} AS sum_base_price,
+           {sql_rnd(_sql_dsum("l_extendedprice * (1 - l_discount)"))} AS sum_disc_price,
+           {sql_rnd(_sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))} AS sum_charge,
+           {sql_rnd("avg(l_quantity)")} AS avg_qty,
+           {sql_rnd("avg(l_extendedprice)")} AS avg_price,
+           {sql_rnd("avg(l_discount)")} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial (map-side) aggregation then one shuffle on
+    the tiny group key — the canonical scale-safe agg."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        rnd(_dsum(F.col("l_quantity"))).alias("sum_qty"),
+        rnd(_dsum(F.col("l_extendedprice"))).alias("sum_base_price"),
+        rnd(_dsum(disc_price)).alias("sum_disc_price"),
+        rnd(_dsum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+        rnd(F.avg("l_quantity")).alias("avg_qty"),
+        rnd(F.avg("l_extendedprice")).alias("avg_price"),
+        rnd(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ROLLUP_SELECT = f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           {sql_rnd(_sql_dsum("l_quantity"))} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+"""
+
+
+@query("q_agg_rollup", oracle=_ROLLUP_SELECT + "GROUP BY ROLLUP (l_returnflag, l_linestatus)")
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        rnd(_dsum(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_qty",
+        "n",
+    )
+
+
+@query("q_agg_cube", oracle=_ROLLUP_SELECT + "GROUP BY CUBE (l_returnflag, l_linestatus)")
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        rnd(_dsum(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_qty",
+        "n",
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+    SELECT n_name,
+           {sql_rnd(_sql_dsum("o_totalprice"))} AS total,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi join + agg.  customer and nation are dimension-sized:
+    Catalyst broadcasts them (verified in plan), so the only shuffle is
+    the final tiny groupBy."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            rnd(_dsum(F.col("o_totalprice"))).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT r_name,
+           count(*) AS n_customers,
+           {sql_rnd("avg(c_acctbal)")} AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension chain nation->region — zero
+    shuffle for the joins regardless of fact-side size."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.avg("c_acctbal")).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no high-value order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: same-user event pairs within one hour.  The
+    equi part (user_id) keys the shuffle; the range predicate filters
+    within partitions — scale-safe as long as per-user event counts are
+    bounded (for unbounded keys, bucketize ts and equi-join on bucket)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"), "user_id", F.col("us").alias("us_a")
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("us").alias("us_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") - F.col("us_a") <= 3_600_000_000),
+        )
+        .select("id_a", "id_b", (F.col("us_b") - F.col("us_a")).alias("gap_us"))
+    )
+
+
+# --- sort / window ----------------------------------------------------------
+
+
+@query(
+    "q_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject (per-partition partial top-k,
+    no full sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER) AS rnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer.  Spark 3.5+ pushes the rank<=3 limit
+    into the shuffle (WindowGroupLimit)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "rnk")
+    )
+
+
+@query(
+    "q_window_running",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_rnd("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.sum("o_totalprice").over(w)).alias("running_total"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS gap_us
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+_SET_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SET_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000"
+
+
+def _set_sides(spark: SparkSession, sf_dir: str):
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a, b
+
+
+@query("q_set_union", oracle=f"({_SET_A}) UNION ALL ({_SET_B})")
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.unionAll(b)
+
+
+@query("q_set_intersect", oracle=f"({_SET_A}) INTERSECT ({_SET_B})")
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("q_set_except", oracle=f"({_SET_A}) EXCEPT ({_SET_B})")
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.subtract(b)
+
+
+# --- scalar function families ----------------------------------------------
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS lname,
+           substr(c_name, 1, 8) AS prefix,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           count(*) AS n,
+           {sql_rnd(_sql_dsum("o_totalprice"))} AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(_dsum(F.col("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle=f"""
+    SELECT o_orderkey,
+           round(abs(o_totalprice), 2) AS p2,
+           {sql_rnd("sqrt(o_totalprice)")} AS sq,
+           {sql_rnd("ln(o_totalprice)")} AS lnp,
+           {sql_rnd("power(o_totalprice, 0.3)")} AS pw
+    FROM orders
+    WHERE o_totalprice > 0
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(F.col("o_totalprice")), 2).alias("p2"),
+        rnd(F.sqrt("o_totalprice")).alias("sq"),
+        rnd(F.log("o_totalprice")).alias("lnp"),
+        rnd(F.pow("o_totalprice", F.lit(0.3))).alias("pw"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT vec_id,
+           CAST(len(emb) AS INTEGER) AS n_dim,
+           {sql_rnd("list_max(emb)")} AS mx,
+           {sql_rnd("list_min(emb)")} AS mn,
+           {sql_rnd("list_sort(emb)[3]")} AS third_smallest,
+           {sql_rnd("list_sum(emb[1:5])")} AS head_sum
+    FROM e
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zebra_spark.io import embeddings_d
+
+    e = embeddings_d(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("emb").alias("n_dim"),
+        rnd(F.array_max("emb")).alias("mx"),
+        rnd(F.array_min("emb")).alias("mn"),
+        rnd(F.element_at(F.array_sort("emb"), 3)).alias("third_smallest"),
+        rnd(
+            F.aggregate(
+                F.slice("emb", 1, 5), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("head_sum"),
+    )
+
+
+@query(
+    "q_json_get",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+)
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+    )

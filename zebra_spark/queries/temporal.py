@@ -1,0 +1,95 @@
+"""Temporal / windowed aggregation surface (SURVEY §2.B).
+
+Batch formulations here are the hash-checked contract; the same window
+semantics run as Structured Streaming in zebra_spark.streaming (rows-only
+tests, §5).  Timestamps are emitted as formatted strings (UTC both
+engines) so value-hashes are engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zebra_spark.functions import rnd
+from zebra_spark.io import load
+from zebra_spark.registry import query, sql_rnd
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "q_window_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           {sql_rnd("sum(CAST(value AS DECIMAL(18,6)))")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per hour per type.  Batch ≙ streaming
+    `groupBy(F.window('ts','1 hour'), 'event_type')` — zebra_spark.streaming
+    asserts stream==batch on this exact shape."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum(F.col("value").cast("decimal(18,6)"))).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_window_session",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+           {sql_rnd("sum(CAST(value AS DECIMAL(18,6)))")} AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize by 30-min inactivity gap: lag -> new-session flag ->
+    running sum = session id -> per-session agg.  One shuffle on user_id;
+    both windows and the final groupBy reuse that partitioning.  Streaming
+    twin: `F.session_window(ts, '30 minutes')`."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        rnd(F.sum(F.col("value").cast("decimal(18,6)"))).alias("total_value"),
+    )

@@ -1,0 +1,352 @@
+"""Vector-database query surface (SURVEY §2.A): document scan/fetch,
+CRUD-shaped queries, exact dedup, distance metrics, exact kNN, per-label
+centroid similarity.
+
+Scale posture: the exact-kNN path broadcasts the (small) query side over
+the corpus — one scan, no shuffle for the join; the per-query top-k window
+shuffles only (query_id, candidate) pairs.  At 100 TB the exact path is
+the oracle/re-rank primitive; bulk ANN goes through the LSH index
+(zebra_spark.index) whose candidate sets are partition-pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zebra_spark import functions as zf
+from zebra_spark.functions import rnd
+from zebra_spark.io import embeddings_d, load
+from zebra_spark.registry import query, sql_rnd
+
+DIM = 64
+
+# --- document store ops (reference src/database/core.rs) -------------------
+
+FETCH_IDS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377]
+
+
+@query(
+    "q_doc_scan",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def q_doc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open + scan the document store (≙ Database::open + doc dir read,
+    reference src/database/core.rs:92-102)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
+@query(
+    "q_doc_fetch_by_ids",
+    oracle=f"""
+    SELECT doc_id, text, lang
+    FROM documents
+    WHERE doc_id IN ({", ".join(str(i) for i in FETCH_IDS)})
+    """,
+)
+def q_doc_fetch_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch documents by id set (≙ read_documents_from_disk, reference
+    src/database/core.rs:358-380) as a broadcast semi-join."""
+    ids = spark.createDataFrame([(i,) for i in FETCH_IDS], "doc_id bigint")
+    return (
+        load(spark, sf_dir, "documents")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", "text", "lang")
+    )
+
+
+@query(
+    "q_count_star",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT label) AS n_labels
+    FROM embeddings
+    """,
+)
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emptiness/cardinality probes (≙ is_empty/no_vectors, reference
+    src/database/index/lsh.rs:389-409)."""
+    return load(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@query(
+    "q_delete_anti_join",
+    oracle="""
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)
+    """,
+)
+def q_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed delete = anti-join against the id set (≙
+    Database::remove, reference src/database/core.rs:205-213; completes the
+    reference's partial tree cleanup noted at lsh.rs:473-503)."""
+    e = load(spark, sf_dir, "embeddings")
+    doomed = e.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    return e.join(doomed, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT vec_id, label FROM (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY embedding ORDER BY vec_id) AS rn
+      FROM embeddings
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bitwise dedup: keep first id per identical embedding (≙
+    Database::deduplicate, reference src/database/core.rs:216-224, bitwise
+    compare at lsh.rs:279).  Spark hashes the raw float array natively —
+    group-by the array column, no UDF; fixtures contain no NaN/-0.0 so the
+    grouping is portable (FIXTURES.md)."""
+    e = load(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("embedding").orderBy("vec_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label")
+    )
+
+
+# --- distance metric queries (reference src/distance.rs) --------------------
+
+
+def _metric_query(metric_name: str, spark_fn):
+    """Distance between consecutive-id vector pairs — one row per pair."""
+
+    def impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = embeddings_d(spark, sf_dir)
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+        return (
+            a.join(b, F.col("id_b") == F.col("id_a") + 1)
+            .select(
+                "id_a",
+                "id_b",
+                rnd(spark_fn(F.col("ea"), F.col("eb"))).alias("dist"),
+            )
+        )
+
+    impl.__name__ = f"q_distance_{metric_name}"
+    return impl
+
+
+def _metric_oracle(sql_name: str) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_rnd(zf.sql_metric(sql_name, dim=DIM))} AS dist
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """
+
+
+for _m, _sql in [
+    ("cosine", "cosine"),
+    ("l2sq", "l2sq"),
+    ("l2", "l2"),
+    ("l1", "l1"),
+    ("chebyshev", "chebyshev"),
+    ("canberra", "canberra"),
+    ("braycurtis", "braycurtis"),
+    ("l3", "l3"),
+    ("l4", "l4"),
+]:
+    query(f"q_distance_{_m}", oracle=_metric_oracle(_sql))(
+        _metric_query(_m, zf.METRICS[_m])
+    )
+
+query("q_distance_minkowski_p3", oracle=_metric_oracle("minkowski:3.0"))(
+    _metric_query("minkowski_p3", lambda a, b: zf.minkowski(a, b, 3.0))
+)
+query("q_distance_pnorm_p3", oracle=_metric_oracle("pnorm:3.0"))(
+    _metric_query("pnorm_p3", lambda a, b: zf.pnorm(a, b, 3.0))
+)
+
+
+# --- kNN (reference src/database/core.rs:267-313, lsh.rs:544-565) ----------
+
+
+def knn_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    metric=zf.l2sq,
+    n_queries: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force exact kNN: the semantic oracle for the ANN path.
+
+    Plan shape: broadcast the query side (small by construction — queries
+    are a user-supplied batch) against one scan of the corpus; per-query
+    top-k via window with (dist, neighbor_id) tie-break.  ≙ query_vectors'
+    re-rank (reference src/database/core.rs:290-313) minus the candidate
+    pruning, which q_knn_lsh adds back.
+    """
+    e = embeddings_d(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            metric(F.col("qe"), F.col("emb")).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist"))
+    )
+
+
+@query(
+    "q_knn_exact",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+    d AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {zf.sql_metric("l2sq", a="q.qe", b="e.emb", dim=DIM)} AS dist
+      FROM q CROSS JOIN e
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, rank, {sql_rnd("dist")} AS dist
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_exact(spark, sf_dir)
+
+
+@query(
+    "q_knn_topk_per_query",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (
+      SELECT label AS query_label, vec_id AS query_id, emb AS qe FROM (
+        SELECT label, vec_id, emb,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    d AS (
+      SELECT q.query_label, q.query_id, e.vec_id AS neighbor_id,
+             {zf.sql_metric("cosine", a="q.qe", b="e.emb", dim=DIM)} AS dist
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_label, query_id, neighbor_id, dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT query_label, query_id, neighbor_id, rank, {sql_rnd("dist")} AS dist
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ranked top-k with cosine, one query per label, self
+    excluded — keeps the ranked order the reference computes then discards
+    (src/database/core.rs:304-305 note in SURVEY §2.A.3)."""
+    e = embeddings_d(spark, sf_dir)
+    wq = Window.partitionBy("label").orderBy("vec_id")
+    q = (
+        e.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("label").alias("query_label"),
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_label",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            zf.cosine(F.col("qe"), F.col("emb")).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_label",
+            "query_id",
+            "neighbor_id",
+            "rank",
+            rnd(F.col("dist")).alias("dist"),
+        )
+    )
+
+
+@query(
+    "q_centroid_per_label",
+    oracle=f"""
+    WITH x AS (
+      SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIM + 1}) t(i)
+    ),
+    c AS (SELECT label, pos, avg(val) AS cval FROM x GROUP BY label, pos),
+    d AS (
+      SELECT x.label, x.vec_id, sum((x.val - c.cval) * (x.val - c.cval)) AS dist
+      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      GROUP BY x.label, x.vec_id
+    ),
+    r AS (
+      SELECT label, vec_id, dist,
+             CAST(row_number() OVER (
+               PARTITION BY label ORDER BY dist, vec_id) AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT label, vec_id, rank, {sql_rnd("dist")} AS dist
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search against per-group centroids: element-wise mean
+    per label via posexplode, then L2^2 of each member to its centroid,
+    top-3 nearest per label.
+
+    Scale: posexplode multiplies rows by dim — at 100 TB you'd compute
+    centroids with a single `aggregate`-based vector-sum agg instead; the
+    join back is on (label,pos) which co-partitions with the groupBy, so
+    AQE keeps it one shuffle round.
+    """
+    e = embeddings_d(spark, sf_dir)
+    x = e.select(
+        "label", "vec_id", F.posexplode("emb").alias("pos0", "val")
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    c = x.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    d = (
+        x.join(c, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("dist"))
+    )
+    w = Window.partitionBy("label").orderBy("dist", "vec_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("label", "vec_id", "rank", rnd(F.col("dist")).alias("dist"))
+    )

@@ -1,0 +1,36 @@
+"""Declared-query registry (SURVEY.md §2.C contract).
+
+Every hash-checked operator registers a PySpark implementation and a
+DuckDB-dialect oracle SQL string under the same name.  Rows-only ops
+register with oracle=None.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+from typing import Any
+
+QUERIES: dict[str, Callable[..., Any]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register fn(spark, sf_dir) -> DataFrame under `name`; optionally
+    attach the equivalent DuckDB oracle SQL (hash-checked by the driver)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        fn.query_name = name
+        return fn
+
+    return deco
+
+
+def sql_rnd(expr: str, nd: int = 4) -> str:
+    """Oracle-side float normalizer: round after aggregation (SURVEY §2.C
+    determinism rule 1) and collapse -0.0 to 0.0 so value-hashes agree."""
+    r = f"round(CAST({expr} AS DOUBLE), {nd})"
+    return f"(CASE WHEN {r} = 0 THEN 0.0 ELSE {r} END)"
