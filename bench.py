@@ -1,0 +1,118 @@
+"""Benchmark harness — the BASELINE.md headline numbers.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm
+SparkSession, and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timings map to BASELINE.md rows:
+  q_agg_hash -> B1, q_join_inner -> B2, knn_exact_100 -> B3,
+  lsh_build -> B4, lsh_query_100 -> B5, q_dedup_exact -> B6,
+  ingest -> B7; value = full-suite wall-clock (B8-style total).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _consume(df) -> int:
+    """Run the plan without collecting results to the driver."""
+    return df.count()
+
+
+def bench_ingest(spark, sf_dir: str, out_dir: str) -> int:
+    """B7: read parquet -> assign ids -> write documents+embeddings tables.
+    Ids via monotonically_increasing_id (no shuffle, ≙ UUIDv7 time-order
+    uniqueness, reference src/database/index/lsh.rs:415)."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+
+    n = 0
+    for t in ("documents", "embeddings"):
+        df = load(spark, sf_dir, t).withColumn("row_uid", F.monotonically_increasing_id())
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}")
+        n += 1
+    return n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import zebra_spark
+    from zebra_spark.queries.vector import knn_exact
+    from zebra_spark.session import get_spark
+
+    zebra_spark.load_all_queries()
+    spark = get_spark("zebra-bench", cpus=cpus)
+
+    headline = [
+        "q_agg_hash",
+        "q_join_inner",
+        "q_dedup_exact",
+        "q_window_session",
+        "q_text_jaccard_pairs",
+        "q_sort_limit",
+    ]
+
+    # warm-up: JVM/codegen/parquet footer caches
+    _consume(zebra_spark.QUERIES["q_agg_hash"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        _consume(zebra_spark.QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _consume(knn_exact(spark, sf_dir, n_queries=100, k=10))
+    times["knn_exact_100"] = round(time.perf_counter() - t0, 3)
+
+    try:
+        from zebra_spark.index.lsh import LSHIndex
+
+        t0 = time.perf_counter()
+        idx = LSHIndex.build(spark, sf_dir, num_trees=15, seed=42)
+        times["lsh_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _consume(idx.search_ids(range(100), k=10))
+        times["lsh_query_100"] = round(time.perf_counter() - t0, 3)
+    except ImportError:
+        pass
+
+    out_dir = tempfile.mkdtemp(prefix="zebra_bench_")
+    try:
+        t0 = time.perf_counter()
+        bench_ingest(spark, sf_dir, out_dir)
+        times["ingest"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
