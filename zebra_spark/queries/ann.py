@@ -41,3 +41,124 @@ def q_lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed seed; golden-checked in tests/test_lsh.py."""
     idx = get_index(spark, sf_dir)
     return idx.bucket_counts()
+
+
+# --- IVF-flat (hash-checked: deterministic coarse quantizer) ---------------
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from zebra_spark import functions as zf
+from zebra_spark.functions import rnd
+from zebra_spark.io import embeddings_d
+from zebra_spark.registry import sql_rnd
+
+N_CELLS = 10
+N_PROBE = 2
+IVF_K = 5
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
+              WHERE vec_id < {N_CELLS}),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {zf.sql_metric("l2sq", a="e.emb", b="s.ce", dim=64)}, s.cell_id)
+                 AS rk
+        FROM e CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+          WHERE vec_id >= 490 AND vec_id < 500),
+    qprobe AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, s.cell_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {zf.sql_metric("l2sq", a="q.qe", b="s.ce", dim=64)}, s.cell_id)
+                 AS rk
+        FROM q CROSS JOIN seeds s
+      ) WHERE rk <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id
+      FROM qprobe qp JOIN assign a ON a.cell_id = qp.cell_id
+    ),
+    d AS (
+      SELECT c.query_id, c.neighbor_id,
+             {zf.sql_metric("l2sq", a="q.qe", b="e.emb", dim=64)} AS dist
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN e ON e.vec_id = c.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, rank, {sql_rnd("dist")} AS dist
+    FROM r WHERE rank <= {IVF_K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse quantizer (cells seeded by the
+    first {N_CELLS} vectors, one Lloyd assignment step), queries probe
+    their {N_PROBE} nearest cells, exact re-rank inside probed cells.
+
+    Scale posture: `assign` is a broadcast join of the corpus against the
+    (tiny) centroid set — one scan, no shuffle for assignment; in
+    production the cell table is written partitioned by cell_id so probes
+    partition-prune exactly like the LSH index.
+    """
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    seeds = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d_seed", "cell_id")
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "cell_id",
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
+        )
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell_id")
+    )
+    q = e.filter((F.col("vec_id") >= 490) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy("d_seed", "cell_id")
+    qprobe = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "cell_id",
+            zf.l2sq(F.col("qe"), F.col("ce")).alias("d_seed"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("query_id", "cell_id")
+    )
+    cand = qprobe.join(assign, "cell_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        cand.join(e.select(F.col("vec_id").alias("neighbor_id"), "emb"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            zf.l2sq(F.col("qe"), F.col("emb")).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist"))
+    )

@@ -1,8 +1,315 @@
-"""Deduplication suite (north-star training-data ops): exact dedup lives
-in queries.vector (q_dedup_exact); this module adds MinHash+LSH,
-SimHash, character-n-gram Jaccard, and embedding-cosine near-dup.
+"""Deduplication suite (north-star training-data ops): MinHash+LSH,
+SimHash, character-n-gram Jaccard, embedding-cosine closest pairs.
+Exact dedup lives in queries.vector (q_dedup_exact).
 
-Wave 2 — implementations land after the core manifest is green.
+Every op here is deterministic and hash-checked against DuckDB: hash
+permutations are explicit polynomials ((a_j*tid + b_j) mod p) over dense
+token ids, not engine hash functions, so both engines compute identical
+signatures.
+
+Scale posture: MinHash is the scale path for near-dedup — candidate
+pairs come from band-bucket equi-joins (shuffle on the band key), never
+from a quadratic self-join; the quadratic token-join variant
+(q_text_jaccard_pairs) is bounded by its blocking key.  Token-id
+assignment uses a global row_number here for oracle parity; at 100 TB
+swap the vocab window for xxhash64(word) — the only change needed.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zebra_spark import functions as zf
+from zebra_spark.functions import rnd
+from zebra_spark.io import embeddings_d
+from zebra_spark.queries.text import tokens
+from zebra_spark.registry import query, sql_rnd
+
+P = 2_147_483_647  # 2^31 - 1
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+MINHASH_THRESHOLD = 0.5
+
+_SQL_TOK = """
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT word FROM tok)
+    ),
+    t2 AS (SELECT doc_id, tid FROM tok JOIN vocab USING (word)),
+    params AS (
+      SELECT CAST(j AS INTEGER) AS j, 2*j + 1 AS a, 17*j + 29 AS b
+      FROM range(0, {nh}) t(j)
+    )
+"""
+
+
+def _token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
+    vocab = (
+        tok.select("word")
+        .distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy("word")).cast("bigint")
+        )
+    )
+    return tok.join(vocab, "word").select("doc_id", "tid")
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, key): banded MinHash signatures."""
+    t2 = _token_ids(spark, sf_dir)
+    params = spark.createDataFrame(
+        [(j, 2 * j + 1, 17 * j + 29) for j in range(N_HASHES)],
+        "j int, a bigint, b bigint",
+    )
+    mh = (
+        t2.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("a") * F.col("tid") + F.col("b")) % P).alias("mh"))
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    return (
+        mh.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                    lambda x: x.mh.cast("string"),
+                ),
+            ).alias("key")
+        )
+    )
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    mh AS (
+      SELECT doc_id, j, min((a * tid + b) % {P}) AS mh
+      FROM t2 CROSS JOIN params
+      GROUP BY doc_id, j
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(floor(j / {N_HASHES // N_BANDS}) AS INTEGER) AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY j) AS key
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.word = ta.word
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           {sql_rnd("i.n_common * 1.0 / (sa.n + sb.n - i.n_common)")} AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {MINHASH_THRESHOLD}
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dedup: shingle(word)->minhash->band->
+    bucket-join candidates->true-Jaccard verify.  16 explicit polynomial
+    permutations, 4 bands x 4 rows."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "word")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "word")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", rnd(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    bits AS (
+      SELECT t2.doc_id, params.j,
+             CASE WHEN sum(CASE WHEN ((a * tid + b) % {P}) % 2 = 1
+                               THEN 1 ELSE -1 END) > 0
+                  THEN CAST(power(2, params.j) AS BIGINT) ELSE 0 END AS w
+      FROM t2 CROSS JOIN params
+      GROUP BY t2.doc_id, params.j
+    )
+    SELECT doc_id, CAST(sum(w) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (unweighted tokens):
+    bit_j = sign of the token-majority of hash-bit j."""
+    t2 = _token_ids(spark, sf_dir)
+    params = spark.createDataFrame(
+        [(j, 2 * j + 1, 17 * j + 29, 1 << j) for j in range(N_HASHES)],
+        "j int, a bigint, b bigint, w bigint",
+    )
+    bit = ((F.col("a") * F.col("tid") + F.col("b")) % P) % 2
+    contrib = F.when(bit == 1, 1).otherwise(-1)
+    bits = (
+        t2.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "j", "w")
+        .agg(F.sum(contrib).alias("s"))
+        .select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.col("w")).otherwise(F.lit(0)).alias("wbit"),
+        )
+    )
+    return bits.groupBy("doc_id").agg(F.sum("wbit").cast("bigint").alias("simhash"))
+
+
+NGRAM = 3
+NGRAM_THRESHOLD = 0.55
+
+_SQL_SHINGLES = f"""
+    sub AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(
+               range(1, greatest(length(text) - {NGRAM - 1}, 0) + 1),
+               i -> substr(text, i, {NGRAM}))) AS gram
+      FROM sub
+    )
+"""
+
+
+@query(
+    "q_text_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.source, a.doc_id, b.doc_id
+    )
+    SELECT i.source, i.doc_a, i.doc_b, i.n_common,
+           {sql_rnd("i.n_common * 1.0 / (sa.n + sb.n - i.n_common)")} AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {NGRAM_THRESHOLD}
+    """,
+)
+def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup within source (subset doc_id%5=0
+    keeps the demo pair space small; the MinHash path is the scale
+    formulation)."""
+    from zebra_spark.io import load
+
+    sub = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = (
+        sub.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {NGRAM - 1}, 0)),"
+                    f" i -> substring(text, i, {NGRAM}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select("source", F.col("doc_id").alias("doc_a"), "gram")
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("source", "doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= NGRAM_THRESHOLD)
+        .select("source", "doc_a", "doc_b", "n_common", rnd(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "q_neardup_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    d AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {zf.sql_metric("cosine", dim=64)} AS dist
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {sql_rnd("dist")} AS dist
+    FROM d ORDER BY d.dist, id_a, id_b LIMIT 100
+    """,
+)
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the 100 closest pairs in the corpus
+    (all-pairs closest-pair primitive; fixtures have no sub-threshold
+    dups, measured min pairwise cosine dist 0.487).  orderBy+limit ->
+    TakeOrderedAndProject, per-partition partial top-k."""
+    e = embeddings_d(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            zf.cosine(F.col("ea"), F.col("eb")).alias("dist"),
+        )
+        .orderBy("dist", "id_a", "id_b")
+        .limit(100)
+        .select("id_a", "id_b", rnd(F.col("dist")).alias("dist"))
+    )

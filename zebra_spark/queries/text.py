@@ -109,3 +109,199 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(jac).alias("jaccard"),
         )
     )
+
+
+# --- training-data text analysis (north-star ops) ---------------------------
+
+FP_P = 1_000_000_007
+FP_POWS = [pow(31, k, FP_P) for k in range(8)]
+
+
+@query(
+    "q_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_ish
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate
+    (ceil(len/4) subword pieces per word) via a native array fold."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bpe = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / 4.0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).alias("ws_tokens"),
+        bpe.alias("bpe_ish"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    stop AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+        FROM tok GROUP BY word
+      ) WHERE rk <= 10
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(DISTINCT word) AS n_distinct,
+           {sql_rnd("count(DISTINCT word) * 1.0 / count(*)")} AS ttr,
+           {sql_rnd("avg(length(word))")} AS avg_wlen,
+           {sql_rnd("sum(CASE WHEN word IN (SELECT word FROM stop) THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS stop_ratio
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, type-token ratio, mean word length,
+    stopword ratio (stoplist = data-derived global top-10 words,
+    deterministic count-desc/word-asc tie-break)."""
+    tok = tokens(spark, sf_dir, distinct=False).select("doc_id", "word")
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    stop = (
+        wc.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "word")),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("word", F.lit(1).alias("is_stop"))
+    )
+    t = tok.join(F.broadcast(stop), "word", "left")
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        rnd(F.countDistinct("word") / F.count(F.lit(1))).alias("ttr"),
+        rnd(F.avg(F.length("word"))).alias("avg_wlen"),
+        rnd(F.sum(F.coalesce("is_stop", F.lit(0))) / F.count(F.lit(1))).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    lv AS (
+      SELECT lang, word FROM (
+        SELECT lang, word, row_number() OVER (
+          PARTITION BY lang ORDER BY count(*) DESC, word) AS rk
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY lang, word
+      ) WHERE rk <= 20
+    ),
+    score AS (
+      SELECT t.doc_id, lv.lang AS cand_lang, count(*) AS overlap
+      FROM (SELECT DISTINCT doc_id, word FROM tok) t
+      JOIN lv ON t.word = lv.word
+      GROUP BY t.doc_id, lv.lang
+    ),
+    pick AS (
+      SELECT doc_id, cand_lang AS pred_lang FROM (
+        SELECT doc_id, cand_lang, row_number() OVER (
+          PARTITION BY doc_id ORDER BY overlap DESC, cand_lang) AS rk
+        FROM score
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id, d.lang, p.pred_lang,
+           CAST(CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END AS INTEGER)
+             AS correct
+    FROM documents d JOIN pick p ON d.doc_id = p.doc_id
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language top-20 vocabulary (derived
+    from the corpus itself), predict the language with max distinct-word
+    overlap.  n-gram-profile langid reduced to vocab-profile — same
+    argmax-over-profiles shape, fully portable."""
+    d = load(spark, sf_dir, "documents")
+    tok_all = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    lv = (
+        tok_all.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+            ),
+        )
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "word")
+    )
+    dtok = tok_all.select("doc_id", "word").distinct()
+    score = (
+        dtok.join(F.broadcast(lv), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    pick = (
+        score.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("overlap").desc(), "cand_lang"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pick, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            F.when(F.col("lang") == F.col("pred_lang"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) *
+                     ([{", ".join(str(p) for p in FP_POWS)}])[(i - 1) % 8 + 1]))
+                AS BIGINT) % {FP_P} AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: positional polynomial hash
+    sum_i ascii(c_i) * 31^(i mod 8) mod p — a rolling-hash-family
+    fingerprint expressible as one native array fold (no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    pows = ", ".join(str(p) for p in FP_POWS)
+    fp = F.expr(
+        f"aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),"
+        f" (h, i) -> h + CAST(ascii(substring(text, i, 1)) AS BIGINT)"
+        f" * element_at(array({pows}), ((i - 1) % 8) + 1))"
+        f" % {FP_P}"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
