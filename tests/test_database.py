@@ -1,0 +1,88 @@
+"""ZebraDatabase facade round-trips (SURVEY §5.2.4): create/open/clear,
+insert -> query, remove, dedup, empty-index short-circuit."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    from zebra_spark.database import ZebraDatabase
+
+    return ZebraDatabase.create(spark, str(tmp_path / "db"), dim=32)
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow",
+    "how vexingly quick daft zebras jump",
+]
+
+
+def test_create_open_roundtrip(spark, db):
+    from zebra_spark.database import ZebraDatabase
+
+    again = ZebraDatabase.open(spark, db.path)
+    assert again.meta == db.meta
+    assert again.is_empty()
+
+
+def test_open_or_create(spark, tmp_path):
+    from zebra_spark.database import ZebraDatabase
+
+    p = str(tmp_path / "oc")
+    a = ZebraDatabase.open_or_create(spark, p, dim=16)
+    b = ZebraDatabase.open_or_create(spark, p)
+    assert a.meta["uuid"] == b.meta["uuid"]
+    assert b.meta["dim"] == 16
+
+
+def test_insert_and_query(spark, db):
+    db.insert_texts(TEXTS)
+    assert db.count() == len(TEXTS)
+    res = db.query_texts(["quick brown fox dog"], k=3, exact=True).toPandas()
+    assert len(res) == 3
+    assert res.sort_values("rank").iloc[0]["doc"] == TEXTS[0]
+
+
+def test_query_empty_short_circuit(spark, db):
+    res = db.query_texts(["anything"], k=5)
+    assert res.count() == 0  # ≙ core.rs:272-274
+
+
+def test_remove(spark, db):
+    db.insert_texts(TEXTS)
+    ids = [r.vec_id for r in db.embeddings().select("vec_id").collect()]
+    db.remove(ids[:2])
+    assert db.count() == len(TEXTS) - 2
+
+
+def test_deduplicate(spark, db):
+    db.insert_texts(TEXTS + TEXTS[:2])
+    removed = db.deduplicate()
+    assert removed == 2
+    assert db.count() == len(TEXTS)
+    # idempotent
+    assert db.deduplicate() == 0
+
+
+def test_multibatch_ids_unique(spark, db):
+    db.insert_texts(TEXTS[:2])
+    db.insert_texts(TEXTS[2:])
+    ids = [r.vec_id for r in db.embeddings().select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == len(TEXTS)
+
+
+def test_lsh_query_path(spark, db):
+    db.insert_texts(TEXTS * 4)  # 20 rows
+    res = db.query_texts(["quick brown fox dog"], k=3).toPandas()
+    assert len(res) == 3
+
+
+def test_clear(spark, db):
+    db.insert_texts(TEXTS)
+    db.clear()
+    assert db.is_empty()

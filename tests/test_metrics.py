@@ -1,0 +1,121 @@
+"""Metric-library properties (SURVEY §5.2.3): axioms via hypothesis on
+driver-side numpy mirrors + Spark expression spot-parity, Hamming
+bit-semantics (reference src/distance.rs:140-158), pandas_udf parity
+with native expressions."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# numpy mirrors of the Spark expressions (same formulas)
+MIRRORS = {
+    "l2sq": lambda a, b: float(((a - b) ** 2).sum()),
+    "l2": lambda a, b: float(np.sqrt(((a - b) ** 2).sum())),
+    "l1": lambda a, b: float(np.abs(a - b).sum()),
+    "chebyshev": lambda a, b: float(np.abs(a - b).max()),
+    "canberra": lambda a, b: float(
+        np.divide(
+            np.abs(a - b),
+            np.abs(a) + np.abs(b),
+            out=np.zeros_like(a, dtype=np.float64),
+            where=(np.abs(a) + np.abs(b)) != 0,
+        ).sum()
+    ),
+    "braycurtis": lambda a, b: (
+        0.0
+        if np.abs(a + b).sum() == 0
+        else float(np.abs(a - b).sum() / np.abs(a + b).sum())
+    ),
+    "cosine": lambda a, b: (
+        1.0
+        if np.linalg.norm(a) == 0 or np.linalg.norm(b) == 0
+        else 1.0 - float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    ),
+}
+
+vec = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=vec, b=vec)
+def test_axioms(a, b):
+    a, b = np.array(a, dtype=np.float64), np.array(b, dtype=np.float64)
+    for name, fn in MIRRORS.items():
+        dab, dba = fn(a, b), fn(b, a)
+        assert dab >= -1e-9, f"{name} negative"
+        assert math.isclose(dab, dba, rel_tol=1e-9, abs_tol=1e-9), f"{name} asym"
+        # identity (cosine: only when norm > 0)
+        if name != "cosine" or np.linalg.norm(a) > 1e-9:
+            assert abs(fn(a, a)) < 1e-6, f"{name} d(x,x)!=0"
+    # triangle inequality for true metrics
+    c = (a + b) / 3.0
+    for name in ("l2", "l1", "chebyshev"):
+        f = MIRRORS[name]
+        assert f(a, b) <= f(a, c) + f(c, b) + 1e-6, f"{name} triangle"
+
+
+def test_spark_matches_numpy(spark):
+    """The Spark expressions compute the same values as the mirrors."""
+    from zebra_spark import functions as zf
+
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.normal(size=8).tolist(), rng.normal(size=8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "i int, a array<double>, b array<double>")
+    exprs = [zf.METRICS[m](F.col("a"), F.col("b")).alias(m) for m in MIRRORS]
+    got = df.select("i", *exprs).toPandas().set_index("i")
+    for i, a, b in rows:
+        a, b = np.array(a), np.array(b)
+        for m, fn in MIRRORS.items():
+            assert math.isclose(got.loc[i, m], fn(a, b), rel_tol=1e-9), (m, i)
+
+
+def test_hamming_bits(spark):
+    """Reference semantics: popcount(xor) over the LOW BYTE of each f32's
+    bit pattern (src/distance.rs:147-148)."""
+    from zebra_spark.functions import hamming_bits_udf
+
+    a = [1.0, 2.0, 3.0]
+    b = [1.0, 2.0, 4.0]
+    expected = int(
+        np.unpackbits(
+            (np.float32(a).view(np.uint32).astype(np.uint8))
+            ^ (np.float32(b).view(np.uint32).astype(np.uint8))
+        ).sum()
+    )
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(hamming_bits_udf()("a", "b").alias("h")).collect()[0].h
+    assert got == expected
+    same = df.select(hamming_bits_udf()("a", "a").alias("h")).collect()[0].h
+    assert same == 0
+
+
+def test_pandas_udf_parity_with_native(spark):
+    """UDF-parity (SURVEY §5.2.6): an Arrow pandas_udf l2sq equals the
+    native zip_with/aggregate expression."""
+    from pyspark.sql.types import DoubleType
+
+    from zebra_spark import functions as zf
+
+    @F.pandas_udf(DoubleType())
+    def l2sq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(((np.array(x) - np.array(y)) ** 2).sum()) for x, y in zip(a, b)]
+        )
+
+    rng = np.random.default_rng(1)
+    rows = [(rng.normal(size=16).tolist(), rng.normal(size=16).tolist()) for _ in range(50)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        zf.l2sq(F.col("a"), F.col("b")).alias("native"),
+        l2sq_udf("a", "b").alias("udf"),
+    ).toPandas()
+    assert np.allclose(out["native"], out["udf"], rtol=1e-12)

@@ -1,0 +1,99 @@
+"""Structured Streaming tests (SURVEY §5.2.5): stream == batch for
+tumbling windows, sliding/session windows run, streaming dedup drops
+duplicate event_ids, late data beyond watermark handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, tmp_path_factory):
+    """Split sf0.001 events into 4 parquet chunk files (micro-batches)."""
+    from zebra_spark.io import load
+
+    out = str(tmp_path_factory.mktemp("events_chunks"))
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.withColumn("chunk", F.pmod("event_id", F.lit(4))).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _batch_events(spark):
+    from zebra_spark.io import load
+
+    return load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def _canon(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def test_stream_tumbling_equals_batch(spark, chunked_events):
+    from zebra_spark.streaming import (
+        read_events_stream,
+        run_to_completion,
+        tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, chunked_events)
+    got = _canon(
+        run_to_completion(tumbling_counts(stream), "t_tumbling").toPandas()
+    )
+    want = _canon(tumbling_counts(_batch_events(spark)).toPandas())
+    assert got.equals(want), f"stream:\n{got.head()}\nbatch:\n{want.head()}"
+
+
+def test_stream_sliding_runs(spark, chunked_events):
+    from zebra_spark.streaming import (
+        read_events_stream,
+        run_to_completion,
+        sliding_counts,
+    )
+
+    stream = read_events_stream(spark, chunked_events)
+    got = run_to_completion(sliding_counts(stream), "t_sliding").toPandas()
+    want = sliding_counts(_batch_events(spark)).toPandas()
+    assert len(got) == len(want) > 0
+
+
+def test_stream_session_runs(spark, chunked_events):
+    from zebra_spark.streaming import (
+        read_events_stream,
+        run_to_completion,
+        session_counts,
+    )
+
+    stream = read_events_stream(spark, chunked_events)
+    got = run_to_completion(session_counts(stream), "t_session").toPandas()
+    assert len(got) > 0
+    assert (got["n_events"] >= 1).all()
+
+
+def test_stream_dedup(spark, tmp_path, chunked_events):
+    from zebra_spark.streaming import (
+        read_events_stream,
+        run_to_completion,
+        stream_dedup,
+    )
+
+    # duplicate every event across two files -> dedup must halve it
+    dup_dir = str(tmp_path / "dup")
+    ev = _batch_events(spark)
+    ev.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    ev.coalesce(1).write.mode("append").parquet(dup_dir)
+    n = ev.count()
+    stream = read_events_stream(spark, dup_dir)
+    got = run_to_completion(
+        stream_dedup(stream), "t_dedup", output_mode="append"
+    )
+    assert got.count() == n

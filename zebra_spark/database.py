@@ -1,0 +1,295 @@
+"""ZebraDatabase — the CRUD/session facade (reference Database API,
+src/database/core.rs:55-380).
+
+Layout on disk (≙ the reference's .zebra metadata + fjall partitions +
+.lz4 doc files, src/database/core.rs:19-29, lsh.rs:70-85, core.rs:322):
+
+    {path}/zebra.json            metadata: uuid, dim, metric, model,
+                                 index options, batch counter
+    {path}/documents/            parquet (vec_id, doc, modality)
+    {path}/embeddings/           parquet (vec_id, embedding)
+    {path}/index/                LSH index (built lazily; partitioned by
+                                 tree_id)
+
+Parquet page compression plays the reference's LZ4-per-doc role; the
+atomic-overwrite write mode plays its fsync/SyncAll durability stance.
+
+Scale posture: inserts are append-only parquet writes; ids are assigned
+with monotonically_increasing_id offset by a per-batch base (no global
+sort, no driver collect) — uniqueness without density, like UUIDv7
+(lsh.rs:415).  Delete/dedup are anti-join/window rewrites.  Search goes
+through the LSH index when built, exact brute force otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zebra_spark import functions as zf
+from zebra_spark.embed import DEFAULT_DIM, hash_tf_embedding
+from zebra_spark.functions import rnd
+
+_BATCH_SHIFT = 40  # ids: (batch_no << 40) | monotonic_id
+
+
+class ZebraDatabase:
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self._index = None
+
+    # -- lifecycle (≙ new/open/open_or_create/save, core.rs:92-190) -------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        dim: int = DEFAULT_DIM,
+        metric: str = "l2sq",
+        model: str = "hash_tf",
+        num_trees: int = 15,
+        max_node_size: int = 5,
+        seed: int = 42,
+    ) -> "ZebraDatabase":
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "uuid": str(uuid.uuid4()),
+            "dim": dim,
+            "metric": metric,
+            "model": model,
+            "index_options": {
+                "num_trees": num_trees,
+                "max_node_size": max_node_size,
+                "seed": seed,
+            },
+            "n_batches": 0,
+        }
+        db = cls(spark, path, meta)
+        db._write_meta()
+        return db
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "ZebraDatabase":
+        with open(f"{path}/zebra.json") as f:
+            return cls(spark, path, json.load(f))
+
+    @classmethod
+    def open_or_create(cls, spark: SparkSession, path: str, **kw) -> "ZebraDatabase":
+        if os.path.exists(f"{path}/zebra.json"):
+            return cls.open(spark, path)
+        return cls.create(spark, path, **kw)
+
+    def _write_meta(self) -> None:
+        with open(f"{self.path}/zebra.json", "w") as f:
+            json.dump(self.meta, f, indent=2)
+
+    def clear(self) -> None:
+        """≙ clear_database (core.rs:194-198)."""
+        for sub in ("documents", "embeddings", "index"):
+            shutil.rmtree(f"{self.path}/{sub}", ignore_errors=True)
+        self.meta["n_batches"] = 0
+        self._index = None
+        self._write_meta()
+
+    # -- tables -----------------------------------------------------------
+
+    def _read(self, table: str) -> DataFrame | None:
+        p = f"{self.path}/{table}"
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def documents(self) -> DataFrame:
+        df = self._read("documents")
+        return df if df is not None else self.spark.createDataFrame(
+            [], "vec_id bigint, doc string, modality string"
+        )
+
+    def embeddings(self) -> DataFrame:
+        df = self._read("embeddings")
+        return df if df is not None else self.spark.createDataFrame(
+            [], "vec_id bigint, embedding array<double>"
+        )
+
+    def count(self) -> int:
+        return self.embeddings().count()
+
+    def is_empty(self) -> bool:
+        """≙ is_empty/no_vectors (lsh.rs:389-409)."""
+        return self.embeddings().isEmpty()
+
+    # -- ingest (≙ insert_documents/insert_records, core.rs:232-254) ------
+
+    def insert_texts(self, texts: list[str]) -> DataFrame:
+        df = self.spark.createDataFrame([(t,) for t in texts], "doc string")
+        return self.insert_documents(df, text_col="doc")
+
+    def insert_documents(self, df: DataFrame, text_col: str = "doc") -> DataFrame:
+        """Embed with the configured model, then append records."""
+        if self.meta["model"] != "hash_tf":
+            from zebra_spark.embed import embed_column
+
+            embed_column(self.meta["model"])  # raises: model not available
+        tagged = df.withColumn("_tmp_id", F.monotonically_increasing_id())
+        emb = hash_tf_embedding(tagged, text_col, "_tmp_id", self.meta["dim"])
+        return self.insert_records(
+            emb.select(
+                F.col(text_col).alias("doc"),
+                F.col("embedding"),
+                F.lit("text").alias("modality"),
+            )
+        )
+
+    def insert_records(self, df: DataFrame) -> DataFrame:
+        """df: (doc, embedding array<double>[, modality]).  Assigns batch-
+        scoped unique ids and appends both tables."""
+        batch = self.meta["n_batches"]
+        base = (batch + 1) << _BATCH_SHIFT
+        if "modality" not in df.columns:
+            df = df.withColumn("modality", F.lit("text"))
+        with_ids = df.withColumn(
+            "vec_id", (F.monotonically_increasing_id() + F.lit(base))
+        )
+        # materialize once: the two table writes below are separate
+        # actions, and monotonically_increasing_id is only stable within
+        # one execution — without this the doc/embedding ids could diverge
+        with_ids = with_ids.localCheckpoint()
+        with_ids.select("vec_id", "embedding").write.mode("append").parquet(
+            f"{self.path}/embeddings"
+        )
+        with_ids.select("vec_id", "doc", "modality").write.mode("append").parquet(
+            f"{self.path}/documents"
+        )
+        self.meta["n_batches"] = batch + 1
+        self._index = None  # stale: rebuilt lazily (or .index().add for incr)
+        self._write_meta()
+        return self.spark.read.parquet(f"{self.path}/embeddings").filter(
+            F.col("vec_id") >= base
+        )
+
+    # -- mutation (≙ remove/deduplicate, core.rs:205-224) -----------------
+
+    def remove(self, ids: list[int]) -> None:
+        ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "vec_id bigint")
+        for table in ("embeddings", "documents"):
+            df = self._read(table)
+            if df is None:
+                continue
+            kept = df.join(F.broadcast(ids_df), "vec_id", "left_anti")
+            kept.write.mode("overwrite").parquet(f"{self.path}/{table}_tmp")
+            shutil.rmtree(f"{self.path}/{table}")
+            os.rename(f"{self.path}/{table}_tmp", f"{self.path}/{table}")
+        self._index = None
+
+    def deduplicate(self) -> int:
+        """Exact dedup, first id wins (≙ core.rs:216-224, bitwise compare
+        lsh.rs:279).  Returns number of removed rows."""
+        emb = self._read("embeddings")
+        if emb is None:
+            return 0
+        w = Window.partitionBy("embedding").orderBy("vec_id")
+        dupes = (
+            emb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 1)
+            .select("vec_id")
+        )
+        doomed = [r.vec_id for r in dupes.collect()]
+        if doomed:
+            self.remove(doomed)
+        return len(doomed)
+
+    # -- index / search (≙ query_documents/query_vectors, core.rs:267-313)
+
+    def index(self, rebuild: bool = False):
+        from zebra_spark.index.lsh import LSHIndex
+
+        if self._index is None or rebuild:
+            opts = self.meta["index_options"]
+            corpus = self.embeddings().select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+            )
+            self._index = LSHIndex.build(
+                self.spark,
+                sf_dir="",
+                num_trees=opts["num_trees"],
+                max_node_size=opts["max_node_size"],
+                seed=opts["seed"],
+                corpus=corpus,
+            )
+        return self._index
+
+    def query_texts(self, texts: list[str], k: int = 10, exact: bool = False) -> DataFrame:
+        """Embed query docs then search (≙ query_documents, core.rs:267).
+        Returns ranked (query_id, vec_id, rank, dist, doc) — rank is KEPT
+        (the reference computes then discards it, core.rs:304-305)."""
+        if self.is_empty():  # ≙ empty-index short-circuit core.rs:272-274
+            return self.spark.createDataFrame(
+                [], "query_id bigint, vec_id bigint, rank int, dist double, doc string"
+            )
+        qdf = self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "query_id bigint, doc string"
+        )
+        emb = hash_tf_embedding(qdf, "doc", "query_id", self.meta["dim"])
+        vecs = {r.query_id: r.embedding for r in emb.select("query_id", "embedding").collect()}
+        qids = sorted(vecs)
+        return self.query_vectors(
+            np.array([vecs[q] for q in qids], dtype=np.float64), k=k, exact=exact,
+            query_ids=qids,
+        )
+
+    def query_vectors(
+        self,
+        vectors: np.ndarray,
+        k: int = 10,
+        exact: bool = False,
+        query_ids=None,
+    ) -> DataFrame:
+        """ANN via the LSH index (exact=False) or brute force; always
+        exact re-rank; joins documents back (≙ read_documents, core.rs:358)."""
+        if exact:
+            res = self._brute_force(vectors, k, query_ids)
+        else:
+            res = self.index().search_vectors(
+                np.asarray(vectors, dtype=np.float64), k=k,
+                metric=self.meta["metric"], query_ids=query_ids,
+            )
+        docs = self.documents().select(
+            F.col("vec_id"), F.col("doc")
+        )
+        return res.withColumnRenamed("neighbor_id", "vec_id").join(docs, "vec_id", "left")
+
+    def _brute_force(self, vectors, k, query_ids=None):
+        import pandas as pd
+
+        vectors = np.asarray(vectors, dtype=np.float64)
+        if query_ids is None:
+            query_ids = list(range(len(vectors)))
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame({"query_id": [int(q) for q in query_ids], "qe": list(map(list, vectors))}),
+            "query_id bigint, qe array<double>",
+        )
+        corpus = self.embeddings().select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        metric = zf.METRICS[self.meta["metric"]]
+        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        return (
+            corpus.crossJoin(F.broadcast(qdf))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                metric(F.col("qe"), F.col("emb")).alias("dist"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist"))
+        )

@@ -19,6 +19,8 @@ DuckDB oracle's `list_sum(list_transform(...))` on `DOUBLE[]`.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -129,8 +131,6 @@ def hamming_bits_udf():
     bit pattern (src/distance.rs:140-158, `x.to_bits() as u8`).  Needs
     float->bits reinterpretation, so this is the one pandas_udf metric
     (Arrow-vectorized; not on any hot path — parity/testing only)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())

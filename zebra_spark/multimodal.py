@@ -1,0 +1,144 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
+
+Mirrors the reference's multimodal design: one vector space per database,
+modality handled at embed time (audio is reduced to a spectrogram IMAGE
+and embedded by the image model — src/model/audio.rs:86-99,106-142;
+images are resized/normalized to 224x224 CHW — src/model/image.rs:24-43).
+
+The actual decoders (PIL / symphonia-equivalent) are NOT in this
+container, so the decode step is STUBBED: `_HAVE_PIL` gates the real
+path, and the deterministic fake derives pseudo-pixels from the byte
+content (stable, testable).  Everything Spark-side is real and tested:
+schemas, Arrow batch shapes, mapInPandas iteration, partitioning.
+
+Scale posture: mapInPandas streams Arrow record batches — constant
+memory per task regardless of partition size; binary payloads never
+transit the driver; repartition by id range upstream if blob sizes are
+skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # real decoder gate — not available in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+IMAGE_SIZE = 224
+EMBED_DIM = 64
+
+MULTIMODAL_SCHEMA = (
+    "id bigint, modality string, content binary, "
+    "meta map<string,string>"
+)
+
+FEATURE_SCHEMA = (
+    "id bigint, modality string, n_bytes bigint, "
+    "height int, width int, embedding array<float>"
+)
+
+
+def _fake_pixels(content: bytes, size: int = IMAGE_SIZE) -> np.ndarray:
+    """Deterministic stand-in for image decode: expand the byte content's
+    SHA-256 stream into a (size, size) uint8 array.  STUB for
+    PIL.Image.open(...).resize((224, 224)) — see module docstring."""
+    n = size * size
+    out = np.empty(n, dtype=np.uint8)
+    h = hashlib.sha256(content).digest()
+    reps = (n + len(h) - 1) // len(h)
+    stream = (hashlib.sha256(content + i.to_bytes(4, "little")).digest() for i in range(reps))
+    buf = b"".join(stream)[:n]
+    out[:] = np.frombuffer(buf, dtype=np.uint8)
+    return out.reshape(size, size)
+
+
+def _embed_pixels(pixels: np.ndarray, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic feature extraction: mean-pool the pixel grid into
+    `dim` blocks and L2-normalize (plays the ViT forward's role,
+    src/model/image.rs:59-69)."""
+    flat = pixels.astype(np.float64).ravel()
+    blocks = np.array_split(flat, dim)
+    v = np.array([b.mean() for b in blocks])
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
+def decode_and_embed(df: DataFrame) -> DataFrame:
+    """mapInPandas: (id, modality, content, meta) -> decoded features +
+    embedding.  Audio reduces to a spectrogram image first (the
+    reference's audio≙image reduction), video would frame-sample — both
+    collapse to the image path in the stub."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                if _HAVE_PIL and r.modality == "image":
+                    raise NotImplementedError(
+                        "real decode path: PIL present but intentionally "
+                        "unwired in v1 — swap _fake_pixels for "
+                        "PIL.Image.open + resize((224,224))"
+                    )
+                pixels = _fake_pixels(content)
+                rows.append(
+                    {
+                        "id": r.id,
+                        "modality": r.modality,
+                        "n_bytes": len(content),
+                        "height": pixels.shape[0],
+                        "width": pixels.shape[1],
+                        "embedding": _embed_pixels(pixels),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling (stub): emit every_n pseudo-frames per blob.
+    Real path: pyav/ffmpeg demux inside the same mapInPandas shape."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                n_frames = max(1, len(content) // 1024)
+                for f in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "id": r.id,
+                            "frame_no": f,
+                            "frame": hashlib.sha256(
+                                content + f.to_bytes(4, "little")
+                            ).digest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_no", "frame"])
+
+    return df.mapInPandas(op, schema="id bigint, frame_no int, frame binary")
+
+
+def to_multimodal(df: DataFrame, id_col: str, content_col: str, modality: str) -> DataFrame:
+    """Normalize any (id, binary) frame into the multimodal schema."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.lit(modality).alias("modality"),
+        F.col(content_col).cast("binary").alias("content"),
+        F.create_map(
+            F.lit("n_bytes"), F.length(content_col).cast("string")
+        ).alias("meta"),
+    )

@@ -1,0 +1,101 @@
+"""Structured Streaming surface (SURVEY §2.B streaming rows): tumbling /
+sliding / session windows with watermarks, streaming dedup.
+
+The transformations are plain functions over DataFrames so the SAME
+logic runs in batch (hash-checked queries in queries/temporal.py) and as
+a stream; tests split events.parquet into micro-batch files, drive a
+file-source stream to completion, and assert stream == batch.
+
+Scale posture: event-time windows + watermarks bound state; session
+windows use the native session_window (merging state per user);
+streaming dedup keys on event_id with a watermark so state is GC'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of events parquet chunks."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Events per hour per type — streaming twin of q_window_tumbling."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+    ).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        F.round(F.col("total_value").cast("double"), 4).alias("total_value"),
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour window sliding every 15 minutes."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (streaming analogue of the lag+cumsum batch
+    sessionization in q_window_session)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.session_window("ts", gap).alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id",
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id — ≙ the online insert path's id-based
+    upsert semantics; watermark bounds the dedup state."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (finite file-source) streaming query until all available
+    input is processed; return the memory-sink contents.  output_mode:
+    'complete' for aggregations, 'append' for row-level ops (dedup)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
