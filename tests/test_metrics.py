@@ -119,3 +119,40 @@ def test_pandas_udf_parity_with_native(spark):
         l2sq_udf("a", "b").alias("udf"),
     ).toPandas()
     assert np.allclose(out["native"], out["udf"], rtol=1e-12)
+
+
+def test_apply_in_pandas_matches_native_zscore(spark):
+    """Grouped-map UDF surface (SURVEY §2.B): applyInPandas z-score ==
+    the native window-function z-score."""
+    from tests.conftest import SF_ORACLE
+
+    import zebra_spark
+
+    zebra_spark.load_all_queries()
+    native = (
+        zebra_spark.QUERIES["q_group_zscore"](spark, SF_ORACLE)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    from zebra_spark.io import embeddings_d
+
+    e = embeddings_d(spark, SF_ORACLE).select(
+        "label", "vec_id", F.element_at("emb", 1).alias("head")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["head"].std(ddof=1)
+        z = (pdf["head"] - pdf["head"].mean()) / sd if sd else 0.0
+        out = pdf.assign(zscore=(z if sd else 0.0).round(4) if sd else 0.0)
+        return out[["label", "vec_id", "zscore"]]
+
+    udf_out = (
+        e.groupBy("label")
+        .applyInPandas(zscore, schema="label int, vec_id bigint, zscore double")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(native["zscore"], udf_out["zscore"], atol=1e-4)

@@ -574,3 +574,35 @@ def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_str"),
         k.cast("int").alias("k_int"),
     )
+
+
+@query(
+    "q_group_zscore",
+    oracle=f"""
+    SELECT label, vec_id,
+           {sql_rnd("CASE WHEN stddev_samp(head) OVER w = 0 OR stddev_samp(head) OVER w IS NULL THEN 0.0 ELSE (head - avg(head) OVER w) / stddev_samp(head) OVER w END")} AS zscore
+    FROM (
+      SELECT label, vec_id, CAST(embedding[1] AS DOUBLE) AS head
+      FROM embeddings
+    )
+    WINDOW w AS (PARTITION BY label)
+    """,
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization (grouped-map shape) in native window
+    functions: z-score of the embedding head within each label.  The
+    applyInPandas twin is asserted equal in tests/test_metrics.py —
+    native wins at scale (no Python boundary), grouped-map is the
+    fallback for logic SQL can't express."""
+    from zebra_spark.io import embeddings_d
+
+    e = embeddings_d(spark, sf_dir).select(
+        "label", "vec_id", F.element_at("emb", 1).alias("head")
+    )
+    w = Window.partitionBy("label")
+    mu = F.avg("head").over(w)
+    sd = F.stddev_samp("head").over(w)
+    z = F.when(sd.isNull() | (sd == 0.0), F.lit(0.0)).otherwise(
+        (F.col("head") - mu) / sd
+    )
+    return e.select("label", "vec_id", rnd(z).alias("zscore"))

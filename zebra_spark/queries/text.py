@@ -80,17 +80,27 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tok = tokens(spark, sf_dir, distinct=True)
     sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.select("source", F.col("doc_id").alias("doc_a"), "word")
-    b = tok.select(
-        F.col("source").alias("source_b"), F.col("doc_id").alias("doc_b"), F.col("word").alias("word_b")
+    # pair generation via per-(source,word) sorted posting lists instead
+    # of a token self-join: one groupBy shuffle, each unordered pair
+    # emitted exactly once (docs sorted, inner slice starts past i).
+    # Scale note: a posting list is bounded by docs-per-(source,word);
+    # for web-scale corpora cap or drop stopword-grade terms first —
+    # their pairs are exactly the ones Jaccard filters out anyway.
+    grp = tok.groupBy("source", "word").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pairs = grp.select(
+        "source",
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p"),
     )
     inter = (
-        a.join(
-            b,
-            (F.col("word") == F.col("word_b"))
-            & (F.col("source") == F.col("source_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        pairs.select("source", "p.doc_a", "p.doc_b")
         .groupBy("source", "doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
