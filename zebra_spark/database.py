@@ -268,13 +268,11 @@ class ZebraDatabase:
         return res.withColumnRenamed("neighbor_id", "vec_id").join(docs, "vec_id", "left")
 
     def _brute_force(self, vectors, k, query_ids=None):
-        import pandas as pd
-
         vectors = np.asarray(vectors, dtype=np.float64)
         if query_ids is None:
             query_ids = list(range(len(vectors)))
         qdf = self.spark.createDataFrame(
-            pd.DataFrame({"query_id": [int(q) for q in query_ids], "qe": list(map(list, vectors))}),
+            [(int(q), [float(x) for x in v]) for q, v in zip(query_ids, vectors)],
             "query_id bigint, qe array<double>",
         )
         corpus = self.embeddings().select(

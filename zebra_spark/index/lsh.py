@@ -288,12 +288,14 @@ class LSHIndex:
         else:
             query_ids = list(range(len(vectors)))
         keys_df = self.spark.createDataFrame(
-            keys.drop_duplicates(), "query_id bigint, tree_id int, bucket_id bigint"
+            [tuple(int(v) for v in row)
+             for row in keys.drop_duplicates().itertuples(index=False)],
+            "query_id bigint, tree_id int, bucket_id bigint",
         )
         qdf = self.spark.createDataFrame(
-            pd.DataFrame(
-                {"query_id": [int(q) for q in query_ids], "qe": list(map(list, vectors))}
-            ),
+            # plain-Python floats: the non-Arrow createDataFrame path
+            # (caller-provided sessions) rejects numpy scalars
+            [(int(q), [float(x) for x in v]) for q, v in zip(query_ids, vectors)],
             "query_id bigint, qe array<double>",
         )
         candidates = (

@@ -25,7 +25,18 @@ TABLES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Engine-required runtime confs, applied defensively so queries are
+    correct even on a caller-provided SparkSession (e.g. the driver's):
+    UTC session time (oracle parity) and nanos-as-long parquet reads
+    (events.ts is TIMESTAMP(NANOS), which Spark otherwise rejects)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is TIMESTAMP(NANOS) on disk, surfaced as epoch-nanos long via
