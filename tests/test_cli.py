@@ -1,0 +1,84 @@
+"""CLI surface (reference src/main.rs parity): insert / insert-from-files
+/ query / clear driven through the argparse entry point, plus binary
+ingestion through the binaryFile source, plus approx-agg sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _run(argv):
+    from zebra_spark.cli import main
+
+    return main(argv)
+
+
+@pytest.fixture()
+def db_path(tmp_path):
+    return str(tmp_path / "clidb")
+
+
+def test_text_insert_query_clear(spark, db_path, capsys):
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "insert", "red fox jumps", "blue whale sings"]) == 0
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "query", "red fox", "--k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "red fox jumps" in out
+    assert _run(["--database-path", db_path, "--cpus", "8", "text", "clear"]) == 0
+
+
+def test_insert_from_text_files(spark, db_path, tmp_path):
+    files = []
+    for i, body in enumerate(["alpha beta gamma", "delta epsilon zeta"]):
+        f = tmp_path / f"doc{i}.txt"
+        f.write_text(body)
+        files.append(str(f))
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "insert-from-files", *files]) == 0
+    from zebra_spark.database import ZebraDatabase
+
+    db = ZebraDatabase.open(spark, db_path)
+    docs = {r.doc.strip() for r in db.documents().collect()}
+    assert docs == {"alpha beta gamma", "delta epsilon zeta"}
+
+
+def test_insert_from_binary_files(spark, db_path, tmp_path):
+    files = []
+    for i in range(3):
+        f = tmp_path / f"img{i}.bin"
+        f.write_bytes(bytes([i]) * 2048)
+        files.append(str(f))
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "image", "insert-from-files", *files]) == 0
+    from zebra_spark.database import ZebraDatabase
+
+    db = ZebraDatabase.open(spark, db_path)
+    assert db.count() == 3
+    assert {r.modality for r in db.documents().collect()} == {"image"}
+
+
+def test_binary_query_unsupported(spark, db_path):
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "image", "query", "x.png"]) == 2
+
+
+def test_approx_agg_sane(spark):
+    import zebra_spark
+
+    zebra_spark.load_all_queries()
+    from tests.conftest import SF_ORACLE
+
+    approx = (
+        zebra_spark.QUERIES["q_agg_approx"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    exact = (
+        zebra_spark.QUERIES["q_agg_distinct"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for flag in exact.index:
+        a, e = approx.loc[flag, "approx_orders"], exact.loc[flag, "n_orders"]
+        assert abs(a - e) / e < 0.1, (flag, a, e)

@@ -606,3 +606,15 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("head") - mu) / sd
     )
     return e.select("label", "vec_id", rnd(z).alias("zscore"))
+
+
+@query("q_agg_approx")
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per returnflag — rows-only entry
+    (approximation is engine-specific, so no DuckDB hash check); the
+    sanity bound vs exact count is asserted in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("p50_price"),
+    )
