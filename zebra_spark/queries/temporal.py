@@ -93,3 +93,56 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
         rnd(F.sum(F.col("value").cast("decimal(18,6)"))).alias("total_value"),
     )
+
+
+SLIDE_US = 900_000_000  # 15 minutes
+WIN_SLOTS = 4  # 1h window / 15m slide -> each event lands in 4 windows
+
+
+@query(
+    "q_window_sliding",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+             (epoch_us(ts) - epoch_us(ts) % {SLIDE_US})
+               - CAST(k AS BIGINT) * {SLIDE_US} AS start_us
+      FROM events, unnest([0, 1, 2, 3]) t(k)
+    )
+    SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           event_type,
+           count(*) AS n,
+           {sql_rnd("sum(v)")} AS total_value
+    FROM x GROUP BY start_us, event_type
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h / 15m) in batch: explode each event into its 4
+    covering windows (epoch-us arithmetic, engine-neutral), then a plain
+    hash agg.  Streaming twin: F.window(ts, '1 hour', '15 minutes') —
+    asserted row-count-equal in tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    t15 = us - (us % SLIDE_US)
+    x = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.explode(F.array(*[F.lit(k) for k in range(WIN_SLOTS)])).alias("k"),
+        t15.alias("t15"),
+    ).select(
+        "event_type",
+        "v",
+        (F.col("t15") - F.col("k").cast("bigint") * SLIDE_US).alias("start_us"),
+    )
+    return (
+        x.groupBy("start_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("v")).alias("total_value"))
+        .select(
+            F.date_format(
+                F.timestamp_micros("start_us"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
