@@ -1,0 +1,66 @@
+"""Plan-shape regression tests: the physical-plan properties the engine
+relies on at scale (SURVEY §4, ARCHITECTURE.md) must not silently rot.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import zebra_spark
+from tests.conftest import SF_ORACLE
+
+zebra_spark.load_all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = zebra_spark.QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(spark, "q_filter_pred")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    for frag in ("GreaterThanOrEqual(l_quantity", "In(l_returnflag",
+                 "StringStartsWith(l_linestatus", "l_shipdate"):
+        assert frag in pushed, pushed
+
+
+def test_column_pruning(spark):
+    p = plan_of(spark, "q_doc_scan")
+    rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "embedding" not in rs  # documents scan reads only its columns
+    p = plan_of(spark, "q_count_star")
+    rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "embedding" not in rs, rs  # count+distinct needs no vector bytes
+
+
+def test_dimension_joins_broadcast(spark):
+    p = plan_of(spark, "q_join_inner")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_global_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q_sort_limit")
+
+
+def test_rank_limit_pushed_into_shuffle(spark):
+    assert "WindowGroupLimit" in plan_of(spark, "q_window_rank")
+
+
+def test_knn_broadcasts_queries_no_cartesian(spark):
+    p = plan_of(spark, "q_knn_exact")
+    assert "CartesianProduct" not in p
+    assert "Broadcast" in p
+
+
+def test_partial_aggregation(spark):
+    # map-side partial agg before the exchange (two HashAggregate levels)
+    p = plan_of(spark, "q_agg_hash")
+    assert p.count("HashAggregate") >= 2, p[:1500]
