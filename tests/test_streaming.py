@@ -97,3 +97,37 @@ def test_stream_dedup(spark, tmp_path, chunked_events):
         stream_dedup(stream), "t_dedup", output_mode="append"
     )
     assert got.count() == n
+
+
+def test_stateful_user_counts(spark, chunked_events):
+    """applyInPandasWithState: final running counts equal batch counts."""
+    from zebra_spark.streaming import read_events_stream, stateful_user_counts
+
+    stream = read_events_stream(spark, chunked_events)
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per user is the running total
+    got = (
+        spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM t_stateful GROUP BY user_id"
+        )
+        .toPandas()
+        .set_index("user_id")["n"]
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    assert got.sort_index().equals(want.sort_index().astype(got.dtype))

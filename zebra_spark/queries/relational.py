@@ -668,3 +668,63 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O"])
     )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT pid, user_id,
+           coalesce(cid, -1) AS last_click_id,
+           coalesce(gap_us, -1) AS gap_us
+    FROM (
+      SELECT p.pid, p.user_id, c.cid,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             row_number() OVER (PARTITION BY p.pid
+               ORDER BY c.ts DESC, c.cid DESC) AS rk
+      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) WHERE rk = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for each purchase,
+    the most recent prior click by the same user.  Composed as
+    range-join + per-key rank-1 window; ties broken by click id.
+
+    Scale: the join shuffles on user_id (the equi key); per-user event
+    counts bound the range fan-out.  The applyInPandas/merge_asof
+    formulation (tested equal in tests/test_asof.py) is the fallback
+    when per-key history is too long for the join fan-out.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("c_ts").desc(), F.col("cid").desc()
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user")) & (F.col("c_ts") <= F.col("ts")),
+            "left",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "pid",
+            "user_id",
+            F.coalesce("cid", F.lit(-1)).alias("last_click_id"),
+            F.coalesce(
+                F.unix_micros("ts") - F.unix_micros("c_ts"), F.lit(-1)
+            ).alias("gap_us"),
+        )
+    )
