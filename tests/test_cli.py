@@ -58,9 +58,19 @@ def test_insert_from_binary_files(spark, db_path, tmp_path):
     assert {r.modality for r in db.documents().collect()} == {"image"}
 
 
-def test_binary_query_unsupported(spark, db_path):
+def test_binary_insert_then_query(spark, db_path, tmp_path, capsys):
+    files = []
+    for i in range(4):
+        f = tmp_path / f"img{i}.bin"
+        f.write_bytes(bytes([65 + i]) * 4096)
+        files.append(str(f))
     assert _run(["--database-path", db_path, "--cpus", "8",
-                 "image", "query", "x.png"]) == 2
+                 "image", "insert-from-files", *files]) == 0
+    # query with the exact bytes of img2 -> it must be the top hit (dist 0)
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "image", "query", files[2], "--k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "#1 dist=0.0000" in out
 
 
 def test_approx_agg_sane(spark):

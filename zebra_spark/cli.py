@@ -59,12 +59,12 @@ def main(argv: list[str] | None = None) -> int:
         n = insert_from_files(db, args.modality, args.paths)
         print(f"inserted {n} documents from {len(args.paths)} paths")
     elif args.command == "query":
-        if args.modality != "text":
-            print("binary query-by-file requires a model-backed embedder "
-                  "(stubbed offline); see zebra_spark.embed", file=sys.stderr)
-            return 2
-        res = db.query_texts(args.items, k=args.k).orderBy("query_id", "rank")
-        for r in res.collect():
+        if args.modality == "text":
+            res = db.query_texts(args.items, k=args.k)
+        else:
+            blobs = [open(p, "rb").read() for p in args.items]
+            res = db.query_blobs(blobs, modality=args.modality, k=args.k)
+        for r in res.orderBy("query_id", "rank").collect():
             print(f"q{r.query_id} #{r.rank} dist={r.dist:.4f} id={r.vec_id} doc={r.doc!r}")
     else:
         print(f"unsupported: {args.modality} {args.command}", file=sys.stderr)

@@ -246,6 +246,28 @@ class ZebraDatabase:
             query_ids=qids,
         )
 
+    def query_blobs(
+        self, blobs: list[bytes], modality: str = "image", k: int = 10,
+        exact: bool = False,
+    ) -> DataFrame:
+        """Query by raw binary documents (≙ CLI image/audio query,
+        src/main.rs:209-294): decode+embed via the multimodal path
+        (deterministic fake offline — real models plug into the same
+        mapInPandas shape), then vector search."""
+        from zebra_spark.multimodal import decode_and_embed, to_multimodal
+
+        raw = self.spark.createDataFrame(
+            [(i, b) for i, b in enumerate(blobs)], "id bigint, content binary"
+        )
+        feats = decode_and_embed(to_multimodal(raw, "id", "content", modality))
+        rows = feats.select("id", "embedding").collect()
+        got = {r.id: [float(x) for x in r.embedding] for r in rows}
+        qids = sorted(got)
+        return self.query_vectors(
+            np.array([got[q] for q in qids], dtype=np.float64),
+            k=k, exact=exact, query_ids=qids,
+        )
+
     def query_vectors(
         self,
         vectors: np.ndarray,
