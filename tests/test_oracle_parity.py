@@ -39,11 +39,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+SPARK_TO_DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "double": {"DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+}
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_parity(name, spark, duck):
     sdf = zebra_spark.QUERIES[name](spark, SF_ORACLE)
     spark_pdf = sdf.toPandas()
     duck_pdf = duck.execute(zebra_spark.ORACLES[name]).fetchdf()
+
+    # schema: same columns AND equivalent types on both engines
+    duck_types = {
+        r[0]: r[1] for r in duck.execute(f"DESCRIBE {zebra_spark.ORACLES[name]}").fetchall()
+    }
+    for f in sdf.schema.fields:
+        st = f.dataType.simpleString()
+        dt = duck_types.get(f.name)
+        assert dt is not None, f"{name}: column {f.name} missing in oracle"
+        assert dt in SPARK_TO_DUCK.get(st, {st.upper()}), (
+            f"{name}: {f.name} spark={st} duck={dt}"
+        )
 
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} != {len(duck_pdf)}"
