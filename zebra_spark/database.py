@@ -170,11 +170,21 @@ class ZebraDatabase:
             f"{self.path}/documents"
         )
         self.meta["n_batches"] = batch + 1
-        self._index = None  # stale: rebuilt lazily (or .index().add for incr)
         self._write_meta()
-        return self.spark.read.parquet(f"{self.path}/embeddings").filter(
+        inserted = self.spark.read.parquet(f"{self.path}/embeddings").filter(
             F.col("vec_id") >= base
         )
+        if self._index is not None:
+            # incremental maintenance (≙ LSHIndex::add, lsh.rs:440-466):
+            # hyperplanes are fixed, so only the new rows get signatures —
+            # no rebuild.  A fresh build still happens lazily if no index
+            # existed yet.
+            self._index = self._index.add(
+                inserted.select(
+                    "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+                )
+            )
+        return inserted
 
     # -- mutation (≙ remove/deduplicate, core.rs:205-224) -----------------
 
@@ -189,6 +199,8 @@ class ZebraDatabase:
             shutil.rmtree(f"{self.path}/{table}")
             os.rename(f"{self.path}/{table}_tmp", f"{self.path}/{table}")
         self._index = None
+        self.meta["indexed_batches"] = -1  # persisted index (if any) is stale
+        self._write_meta()
 
     def deduplicate(self) -> int:
         """Exact dedup, first id wins (≙ core.rs:216-224, bitwise compare
@@ -212,6 +224,12 @@ class ZebraDatabase:
     def index(self, rebuild: bool = False):
         from zebra_spark.index.lsh import LSHIndex
 
+        persisted_fresh = (
+            os.path.exists(f"{self.path}/index/metadata.json")
+            and self.meta.get("indexed_batches") == self.meta["n_batches"]
+        )
+        if self._index is None and not rebuild and persisted_fresh:
+            self._index = LSHIndex.load(self.spark, f"{self.path}/index")
         if self._index is None or rebuild:
             opts = self.meta["index_options"]
             corpus = self.embeddings().select(
@@ -226,6 +244,14 @@ class ZebraDatabase:
                 corpus=corpus,
             )
         return self._index
+
+    def save_index(self) -> None:
+        """Persist the LSH index under {path}/index (≙ the reference's
+        tree keyspace fsync, lsh.rs:87-89,170-172) so a later open()
+        skips the rebuild."""
+        self.index().save(f"{self.path}/index")
+        self.meta["indexed_batches"] = self.meta["n_batches"]
+        self._write_meta()
 
     def query_texts(self, texts: list[str], k: int = 10, exact: bool = False) -> DataFrame:
         """Embed query docs then search (≙ query_documents, core.rs:267).
