@@ -64,6 +64,9 @@ def main() -> None:
         "q_window_session",
         "q_text_jaccard_pairs",
         "q_sort_limit",
+        "q_ann_ivf",
+        "q_window_sliding",
+        "q_text_fingerprint",
     ]
 
     # warm-up: JVM/codegen/parquet footer caches

@@ -131,3 +131,36 @@ def test_stateful_user_counts(spark, chunked_events):
         .set_index("user_id")["count"]
     )
     assert got.sort_index().equals(want.sort_index().astype(got.dtype))
+
+
+def test_stream_ingest_texts(spark, tmp_path):
+    """files arriving -> streaming embed+insert -> queryable database."""
+    from zebra_spark.database import ZebraDatabase
+    from zebra_spark.streaming import stream_ingest_texts
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i, body in enumerate(
+        ["red fox jumps", "blue whale sings", "green turtle swims"]
+    ):
+        (src / f"d{i}.txt").write_text(body)
+    db = ZebraDatabase.create(spark, str(tmp_path / "sdb"), dim=32)
+    q = stream_ingest_texts(spark, str(src), db, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert db.count() == 3
+    res = db.query_texts(["red fox"], k=1, exact=True).toPandas()
+    assert res.iloc[0]["doc"].strip() == "red fox jumps"
+
+
+def test_insert_rejects_wrong_dimension(spark, tmp_path):
+    from zebra_spark.database import ZebraDatabase
+
+    db = ZebraDatabase.create(spark, str(tmp_path / "dimdb"), dim=8)
+    bad = spark.createDataFrame(
+        [("doc", [1.0, 2.0, 3.0])], "doc string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        db.insert_records(bad)

@@ -156,6 +156,15 @@ class ZebraDatabase:
         base = (batch + 1) << _BATCH_SHIFT
         if "modality" not in df.columns:
             df = df.withColumn("modality", F.lit("text"))
+        # dimension check ≙ Embedding<N>::try_from length validation
+        # (reference src/lib.rs:31-46): schemas are runtime-validated here
+        # instead of const generics (SURVEY §1.3)
+        dim = self.meta["dim"]
+        n_bad = df.filter(F.size("embedding") != dim).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} record(s) have embedding dimension != {dim}"
+            )
         with_ids = df.withColumn(
             "vec_id", (F.monotonically_increasing_id() + F.lit(base))
         )

@@ -127,3 +127,29 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ingest_texts(
+    spark: SparkSession, src_dir: str, db, checkpoint_dir: str
+):
+    """Streaming ingest: text documents arriving as files -> embed ->
+    append to a ZebraDatabase, via foreachBatch (the exactly-once sink
+    pattern; each micro-batch goes through the same insert_documents
+    path as batch ingest — embedding + id assignment + both table
+    writes)."""
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .withColumnRenamed("value", "doc")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            db.insert_documents(batch_df, text_col="doc")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
