@@ -89,3 +89,45 @@ def test_save_load_roundtrip(spark, index, tmp_path):
     r1 = index.search_ids([3], k=5).toPandas()
     r2 = loaded.search_ids([3], k=5).toPandas()
     assert r1.equals(r2)
+
+
+def test_adaptive_build_deepens_on_skew(spark):
+    """A tightly clustered corpus overflows buckets at the default
+    depth; adaptive build must deepen until <=10% of rows sit in
+    oversized buckets (≙ the reference's split-until-leaves-fit)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zebra_spark.index.lsh import LSHIndex
+
+    rng = np.random.default_rng(3)
+    # 3 tight clusters -> default depth leaves huge buckets
+    centers = rng.standard_normal((3, 16)) * 10
+    data = centers[rng.integers(0, 3, 2000)] + rng.standard_normal((2000, 16)) * 0.5
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(2000)],
+        "vec_id bigint, emb array<double>",
+    )
+    plain = LSHIndex.build(spark, "", corpus=corpus, num_trees=5, seed=1)
+    adaptive = LSHIndex.build(
+        spark, "", corpus=corpus, num_trees=5, seed=1, adaptive=True,
+        oversize_factor=8,
+    )
+    assert adaptive.options.depth > plain.normals.shape[1]
+
+    limit = 8 * adaptive.options.max_node_size
+
+    def oversized_rows(idx):
+        return (
+            idx.index_df.groupBy("tree_id", "bucket_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > limit)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("r"))
+            .collect()[0]
+            .r
+        )
+
+    # deepening strictly reduces oversized mass (full convergence is
+    # impossible for arbitrarily tight clusters under ANY splitting
+    # scheme, the reference's recursion included)
+    assert oversized_rows(adaptive) < oversized_rows(plain)

@@ -154,7 +154,17 @@ class LSHIndex:
         seed: int = 42,
         depth: int | None = None,
         corpus: DataFrame | None = None,
+        adaptive: bool = False,
+        oversize_factor: int = 16,
+        max_depth: int = 24,
     ) -> "LSHIndex":
+        """Bulk build.  adaptive=True re-splits by deepening: if more
+        than 10% of index rows sit in buckets larger than
+        oversize_factor * max_node_size, rebuild one level deeper — the
+        hash-space analogue of the reference's recursive splitting until
+        leaves fit (build_a_tree, lsh.rs:250-267).  Each iteration is one
+        cheap matmul pass; depth is global per build (per-bucket local
+        splits would need split metadata on the probe path)."""
         opts = LSHIndexOptions(num_trees, max_node_size, seed, depth)
         corpus = corpus if corpus is not None else embeddings_d(spark, sf_dir).select(
             "vec_id", "emb"
@@ -162,15 +172,37 @@ class LSHIndex:
         n = corpus.count()
         dim = len(corpus.select("emb").first().emb)
         d = opts.resolve_depth(n)
-        normals, constants = _sample_hyperplanes(corpus, num_trees, d, dim, seed)
-        sig = _signature_udf(normals, constants)
-        index_df = (
-            corpus.withColumn("sig", sig("emb"))
-            .select("vec_id", F.posexplode("sig").alias("tree_id", "bucket_id"))
-            .select("tree_id", "bucket_id", "vec_id")
-        )
-        index_df = index_df.repartition("tree_id").cache()
-        index_df.count()  # materialize
+
+        def build_at(d: int):
+            normals, constants = _sample_hyperplanes(corpus, num_trees, d, dim, seed)
+            sig = _signature_udf(normals, constants)
+            index_df = (
+                corpus.withColumn("sig", sig("emb"))
+                .select("vec_id", F.posexplode("sig").alias("tree_id", "bucket_id"))
+                .select("tree_id", "bucket_id", "vec_id")
+                .repartition("tree_id")
+                .cache()
+            )
+            index_df.count()  # materialize
+            return normals, constants, index_df
+
+        normals, constants, index_df = build_at(d)
+        while adaptive and d < max_depth:
+            limit = oversize_factor * max_node_size
+            oversized = (
+                index_df.groupBy("tree_id", "bucket_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > limit)
+                .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("rows"))
+                .collect()[0]
+                .rows
+            )
+            if oversized <= 0.1 * n * num_trees:
+                break
+            index_df.unpersist()
+            d += 1
+            normals, constants, index_df = build_at(d)
+        opts.depth = d
         return cls(spark, corpus, opts, normals, constants, index_df)
 
     # -- incremental add (≙ LSHIndex::add, lsh.rs:440-466) ----------------
