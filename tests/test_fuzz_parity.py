@@ -1,0 +1,115 @@
+"""Seeded differential fuzzing: random filter/aggregate/join shapes over
+lineitem/orders executed on Spark AND DuckDB, results compared exactly.
+Catches expression-semantics drift the fixed declared queries miss.
+All randomness is seeded — failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+COLS_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+COLS_STR = ["l_returnflag", "l_linestatus"]
+
+
+def _mk_predicates(rng: random.Random):
+    """Random conjunctive predicate: (spark_col_expr, sql_text)."""
+    preds = []
+    n = rng.randint(1, 3)
+    for _ in range(n):
+        kind = rng.choice(["range", "in", "cmp"])
+        if kind == "range":
+            c = rng.choice(COLS_NUM)
+            lo = round(rng.uniform(0, 25), 2)
+            hi = round(lo + rng.uniform(1, 30), 2)
+            preds.append((F.col(c).between(lo, hi), f"{c} BETWEEN {lo} AND {hi}"))
+        elif kind == "in":
+            c = rng.choice(COLS_STR)
+            vals = rng.sample(["A", "N", "R", "O", "F"], rng.randint(1, 3))
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            preds.append((F.col(c).isin(vals), f"{c} IN ({quoted})"))
+        else:
+            c = rng.choice(COLS_NUM)
+            thr = round(rng.uniform(0, 40000), 2)
+            op = rng.choice(["<", ">", "<=", ">="])
+            ops = {"<": "__lt__", ">": "__gt__", "<=": "__le__", ">=": "__ge__"}
+            preds.append((getattr(F.col(c), ops[op])(thr), f"{c} {op} {thr}"))
+    spark_pred = preds[0][0]
+    for p, _ in preds[1:]:
+        spark_pred = spark_pred & p
+    sql_pred = " AND ".join(s for _, s in preds)
+    return spark_pred, sql_pred
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_filter_agg(seed, spark, duck):
+    rng = random.Random(1000 + seed)
+    spark_pred, sql_pred = _mk_predicates(rng)
+    group = rng.choice(COLS_STR)
+    agg_col = rng.choice(COLS_NUM)
+
+    from zebra_spark.io import load
+
+    got = (
+        load(spark, SF_ORACLE, "lineitem")
+        .filter(spark_pred)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col(agg_col).cast("decimal(18,6)")).cast("double"), 4
+            ).alias("s"),
+        )
+        .toPandas()
+        .sort_values(group)
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(
+            f"SELECT {group}, count(*) AS n,"
+            f" round(CAST(sum(CAST({agg_col} AS DECIMAL(18,6))) AS DOUBLE), 4) AS s"
+            f" FROM lineitem WHERE {sql_pred} GROUP BY {group} ORDER BY {group}"
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want), (sql_pred, len(got), len(want))
+    for i in range(len(got)):
+        assert got.loc[i, group] == want.loc[i, group], sql_pred
+        assert int(got.loc[i, "n"]) == int(want.loc[i, "n"]), sql_pred
+        assert float(got.loc[i, "s"]) == float(want.loc[i, "s"]), (
+            sql_pred, got.loc[i, "s"], want.loc[i, "s"],
+        )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_join_agg(seed, spark, duck):
+    rng = random.Random(2000 + seed)
+    thr = round(rng.uniform(50000, 400000), 2)
+    how, sql_how = rng.choice(
+        [("inner", "JOIN"), ("left_semi", "SEMI JOIN"), ("left_anti", "ANTI JOIN")]
+    )
+
+    from zebra_spark.io import load
+
+    c = load(spark, SF_ORACLE, "customer")
+    o = load(spark, SF_ORACLE, "orders").filter(F.col("o_totalprice") > thr)
+    if how == "inner":
+        got = c.join(o, c.c_custkey == o.o_custkey).count()
+        want = duck.execute(
+            f"SELECT count(*) FROM customer JOIN orders ON c_custkey = o_custkey"
+            f" AND o_totalprice > {thr}"
+        ).fetchone()[0]
+    else:
+        got = c.join(o, c.c_custkey == o.o_custkey, how).count()
+        verb = "EXISTS" if how == "left_semi" else "NOT EXISTS"
+        want = duck.execute(
+            f"SELECT count(*) FROM customer WHERE {verb} (SELECT 1 FROM orders"
+            f" WHERE o_custkey = c_custkey AND o_totalprice > {thr})"
+        ).fetchone()[0]
+    assert got == want, (how, thr, got, want)
