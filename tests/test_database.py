@@ -124,3 +124,43 @@ def test_persisted_index_invalidated_by_insert(spark, db):
     # stale persisted index must NOT be loaded (indexed_batches mismatch)
     idx = again.index()
     assert idx.corpus.count() == again.count()
+
+
+def test_ids_unique_with_many_partitions(spark, db):
+    """Regression: with >=128 input partitions a raw
+    monotonically_increasing_id would overflow the 2^40 batch stride and
+    collide with the next batch; dense per-batch ids must not."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"doc {i}",) for i in range(300)]
+    wide = spark.createDataFrame(rows, "doc string").repartition(150)
+    db.insert_documents(wide, text_col="doc")
+    db.insert_texts(["one more"])
+    ids = [r.vec_id for r in db.embeddings().select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == 301
+    # dense within each batch: batch 1 ids are exactly base..base+299
+    base = 1 << 40
+    batch1 = sorted(i for i in ids if i < (2 << 40))
+    assert batch1 == list(range(base, base + 300))
+    # docs and embeddings agree 1:1 on ids
+    joined = db.documents().join(db.embeddings(), "vec_id").count()
+    assert joined == 301
+
+
+def test_index_load_then_save(spark, db):
+    """Regression: save() over the same paths a loaded index lazily
+    reads from must not corrupt the persisted index."""
+    from zebra_spark.database import ZebraDatabase
+
+    db.insert_texts(TEXTS * 4)
+    db.index()
+    db.save_index()
+    again = ZebraDatabase.open(spark, db.path)
+    again.index()  # loads lazily from {path}/index
+    again.insert_texts(["another doc entirely"])  # incremental add
+    again.save_index()  # overwrite the paths being read — must be safe
+    third = ZebraDatabase.open(spark, db.path)
+    idx = third.index()
+    assert idx.corpus.count() == len(TEXTS) * 4 + 1
+    res = third.query_texts(["quick brown fox dog"], k=2).toPandas()
+    assert len(res) == 2

@@ -52,8 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "clear":
         db.clear()
         print("cleared")
-    elif args.command == "insert" and args.modality == "text":
-        db.insert_texts(args.items)
+    elif args.command == "insert":
+        if args.modality == "text":
+            db.insert_texts(args.items)
+        else:
+            # binary modalities: inline items are file paths
+            insert_from_files(db, args.modality, args.items)
         print(f"inserted {len(args.items)} documents")
     elif args.command == "insert-from-files":
         n = insert_from_files(db, args.modality, args.paths)

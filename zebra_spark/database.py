@@ -105,7 +105,12 @@ class ZebraDatabase:
     def _read(self, table: str) -> DataFrame | None:
         p = f"{self.path}/{table}"
         if not os.path.exists(p):
-            return None
+            # crash recovery: a remove() interrupted between its two
+            # renames leaves the data in {table}_old — promote it back
+            if os.path.exists(f"{p}_old"):
+                os.rename(f"{p}_old", p)
+            else:
+                return None
         return self.spark.read.parquet(p)
 
     def documents(self) -> DataFrame:
@@ -139,7 +144,13 @@ class ZebraDatabase:
             from zebra_spark.embed import embed_column
 
             embed_column(self.meta["model"])  # raises: model not available
-        tagged = df.withColumn("_tmp_id", F.monotonically_increasing_id())
+        # checkpoint BEFORE embedding: hash_tf_embedding joins the tagged
+        # frame back to itself on _tmp_id, and monotonically_increasing_id
+        # is only stable across the two join branches if the lineage is
+        # materialized first
+        tagged = df.withColumn(
+            "_tmp_id", F.monotonically_increasing_id()
+        ).localCheckpoint()
         emb = hash_tf_embedding(tagged, text_col, "_tmp_id", self.meta["dim"])
         return self.insert_records(
             emb.select(
@@ -151,11 +162,22 @@ class ZebraDatabase:
 
     def insert_records(self, df: DataFrame) -> DataFrame:
         """df: (doc, embedding array<double>[, modality]).  Assigns batch-
-        scoped unique ids and appends both tables."""
+        scoped DENSE unique ids (base + 0..n-1) and appends both tables.
+
+        Id assignment is zipWithIndex-style without RDDs: materialize the
+        batch once (localCheckpoint — also makes the two table writes see
+        identical rows), count rows per physical partition (tiny driver
+        list), broadcast the cumulative offsets back, and number rows
+        within each partition.  Dense ids can never spill into another
+        batch's id range (a raw monotonically_increasing_id would exceed
+        the 2^40 batch stride whenever partition_id >= 128)."""
         batch = self.meta["n_batches"]
         base = (batch + 1) << _BATCH_SHIFT
         if "modality" not in df.columns:
             df = df.withColumn("modality", F.lit("text"))
+        # materialize once: stabilizes rows/partitions for the dimension
+        # check, the id assignment, and both table writes below
+        df = df.localCheckpoint()
         # dimension check ≙ Embedding<N>::try_from length validation
         # (reference src/lib.rs:31-46): schemas are runtime-validated here
         # instead of const generics (SURVEY §1.3)
@@ -165,12 +187,34 @@ class ZebraDatabase:
             raise ValueError(
                 f"{n_bad} record(s) have embedding dimension != {dim}"
             )
-        with_ids = df.withColumn(
-            "vec_id", (F.monotonically_increasing_id() + F.lit(base))
+        counts = (
+            df.groupBy(F.spark_partition_id().alias("_pid"))
+            .count()
+            .collect()
+        )  # one row per partition — small at any data scale
+        offsets, acc = {}, 0
+        for r in sorted(counts, key=lambda r: r._pid):
+            offsets[r._pid] = acc
+            acc += r["count"]
+        if acc >= (1 << _BATCH_SHIFT):
+            raise ValueError(f"batch of {acc} rows exceeds the id stride")
+        off_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()],
+                "_pid int, _off bigint",
+            )
         )
-        # materialize once: the two table writes below are separate
-        # actions, and monotonically_increasing_id is only stable within
-        # one execution — without this the doc/embedding ids could diverge
+        wp = Window.partitionBy("_pid").orderBy("_mid")
+        with_ids = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_rn", F.row_number().over(wp))
+            .join(off_df, "_pid")
+            .withColumn(
+                "vec_id", F.lit(base) + F.col("_off") + F.col("_rn") - 1
+            )
+            .drop("_pid", "_mid", "_rn", "_off")
+        )
         with_ids = with_ids.localCheckpoint()
         with_ids.select("vec_id", "embedding").write.mode("append").parquet(
             f"{self.path}/embeddings"
@@ -199,21 +243,33 @@ class ZebraDatabase:
 
     def remove(self, ids: list[int]) -> None:
         ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "vec_id bigint")
+        self.remove_df(F.broadcast(ids_df))
+
+    def remove_df(self, ids_df: DataFrame) -> None:
+        """Distributed delete: anti-join each table against an id
+        DataFrame (never collected to the driver).  The swap keeps a
+        crash-recoverable copy: write kept rows to _tmp, move the live
+        dir to _old, promote _tmp, drop _old — `_read` falls back to
+        _old if a crash strikes between the two renames."""
         for table in ("embeddings", "documents"):
             df = self._read(table)
             if df is None:
                 continue
-            kept = df.join(F.broadcast(ids_df), "vec_id", "left_anti")
+            kept = df.join(ids_df.select("vec_id"), "vec_id", "left_anti")
             kept.write.mode("overwrite").parquet(f"{self.path}/{table}_tmp")
-            shutil.rmtree(f"{self.path}/{table}")
+            shutil.rmtree(f"{self.path}/{table}_old", ignore_errors=True)
+            os.rename(f"{self.path}/{table}", f"{self.path}/{table}_old")
             os.rename(f"{self.path}/{table}_tmp", f"{self.path}/{table}")
+            shutil.rmtree(f"{self.path}/{table}_old", ignore_errors=True)
         self._index = None
         self.meta["indexed_batches"] = -1  # persisted index (if any) is stale
         self._write_meta()
 
     def deduplicate(self) -> int:
         """Exact dedup, first id wins (≙ core.rs:216-224, bitwise compare
-        lsh.rs:279).  Returns number of removed rows."""
+        lsh.rs:279).  Returns number of removed rows.  The duplicate id
+        set stays a DataFrame end-to-end (no driver collect) — only the
+        scalar count comes back."""
         emb = self._read("embeddings")
         if emb is None:
             return 0
@@ -222,11 +278,12 @@ class ZebraDatabase:
             emb.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") > 1)
             .select("vec_id")
+            .localCheckpoint()  # don't recompute per anti-join
         )
-        doomed = [r.vec_id for r in dupes.collect()]
-        if doomed:
-            self.remove(doomed)
-        return len(doomed)
+        n = dupes.count()
+        if n:
+            self.remove_df(dupes)
+        return n
 
     # -- index / search (≙ query_documents/query_vectors, core.rs:267-313)
 

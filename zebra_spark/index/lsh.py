@@ -170,6 +170,8 @@ class LSHIndex:
             "vec_id", "emb"
         )
         n = corpus.count()
+        if n == 0:
+            raise ValueError("cannot build an LSH index over an empty corpus")
         dim = len(corpus.select("emb").first().emb)
         d = opts.resolve_depth(n)
 
@@ -243,10 +245,15 @@ class LSHIndex:
     # -- persistence (≙ KeyValue partitions + .zebra metadata) ------------
 
     def save(self, path: str) -> None:
-        self.index_df.write.mode("overwrite").partitionBy("tree_id").parquet(
+        # a loaded index reads lazily from these very paths: materialize
+        # first so overwrite can't delete files still in the read lineage
+        index_df = self.index_df.localCheckpoint()
+        corpus = self.corpus.localCheckpoint()
+        self.index_df, self.corpus = index_df, corpus
+        index_df.write.mode("overwrite").partitionBy("tree_id").parquet(
             f"{path}/index"
         )
-        self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
+        corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
         meta = {
             "num_trees": self.options.num_trees,
             "max_node_size": self.options.max_node_size,

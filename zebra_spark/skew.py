@@ -26,7 +26,14 @@ def salted_join(
     The salt is derived from xxhash64 of the big side's whole row (any
     per-row value works — it only needs to spread rows, not be stable),
     so no column requirements beyond the join key.
+
+    Only join types where the replicated small side cannot leak
+    duplicates are allowed: inner/left/left_semi/left_anti.  A right or
+    full join would emit each unmatched small-side row n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, not {how!r}")
     salt = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
     big_s = big.withColumn("_salt", salt)
     salts = F.explode(

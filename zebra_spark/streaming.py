@@ -133,10 +133,12 @@ def stream_ingest_texts(
     spark: SparkSession, src_dir: str, db, checkpoint_dir: str
 ):
     """Streaming ingest: text documents arriving as files -> embed ->
-    append to a ZebraDatabase, via foreachBatch (the exactly-once sink
-    pattern; each micro-batch goes through the same insert_documents
-    path as batch ingest — embedding + id assignment + both table
-    writes)."""
+    append to a ZebraDatabase via foreachBatch.
+
+    foreachBatch is at-least-once on restart; the sink is made
+    idempotent by recording the last applied epoch in the database
+    metadata and skipping replayed epochs, so a crash between the
+    insert commit and the streaming checkpoint cannot double-insert."""
     stream = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", 1)
@@ -145,8 +147,12 @@ def stream_ingest_texts(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= db.meta.get("last_stream_epoch", -1):
+            return  # replayed epoch after restart — already applied
         if not batch_df.isEmpty():
             db.insert_documents(batch_df, text_col="doc")
+        db.meta["last_stream_epoch"] = epoch_id
+        db._write_meta()
 
     return (
         stream.writeStream.foreachBatch(sink)
