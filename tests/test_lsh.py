@@ -131,3 +131,25 @@ def test_adaptive_build_deepens_on_skew(spark):
     # impossible for arbitrarily tight clusters under ANY splitting
     # scheme, the reference's recursion included)
     assert oversized_rows(adaptive) < oversized_rows(plain)
+
+
+def test_compact_preserves_results(spark, index):
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+
+    extra = (
+        embeddings_d(spark, SF_ORACLE)
+        .select("vec_id", "emb")
+        .filter("vec_id < 5")
+        .withColumn("vec_id", (F.lit(1 << 50) + F.col("vec_id")))
+    )
+
+    grown = index.add(extra)
+    compacted = grown.compact()
+    a = grown.bucket_counts().toPandas()
+    b = compacted.bucket_counts().toPandas()
+    assert a.equals(b)
+    r1 = grown.search_ids([3], k=5).toPandas()
+    r2 = compacted.search_ids([3], k=5).toPandas()
+    assert r1.equals(r2)

@@ -373,6 +373,17 @@ class LSHIndex:
         vecs = np.array([got[i] for i in present], dtype=np.float64)
         return self.search_vectors(vecs, k=k, metric=metric, probes=probes, query_ids=present)
 
+    def compact(self) -> "LSHIndex":
+        """Maintenance: re-cluster the index by tree after a run of
+        incremental add()s (which append unions without re-partitioning),
+        restoring the partition-pruned probe layout.  ≙ the LSM
+        compaction the reference delegates to fjall."""
+        compacted = self.index_df.repartition("tree_id").localCheckpoint()
+        return LSHIndex(
+            self.spark, self.corpus, self.options,
+            self.normals, self.constants, compacted,
+        )
+
     # -- diagnostics ------------------------------------------------------
 
     def bucket_counts(self) -> DataFrame:
