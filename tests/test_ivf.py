@@ -1,0 +1,93 @@
+"""IVF index: seeded training determinism, full coverage of the corpus,
+recall vs exact on clustered data, save/load round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 5
+    data = centers[rng.integers(0, 8, 1000)] + rng.standard_normal((1000, 16)) * 0.3
+    return spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(1000)],
+        "vec_id bigint, emb array<double>",
+    ).cache(), data
+
+
+def test_train_deterministic(spark, clustered):
+    from zebra_spark.index.ivf import IVFIndex
+
+    corpus, _ = clustered
+    a = IVFIndex.train(spark, "", k=8, iters=3, seed=5, corpus=corpus)
+    b = IVFIndex.train(spark, "", k=8, iters=3, seed=5, corpus=corpus)
+    assert np.array_equal(a.centroids, b.centroids)
+    assert a.cell_sizes().toPandas().equals(b.cell_sizes().toPandas())
+
+
+def test_assignments_cover_corpus(spark, clustered):
+    from zebra_spark.index.ivf import IVFIndex
+
+    corpus, _ = clustered
+    idx = IVFIndex.train(spark, "", k=8, iters=3, seed=5, corpus=corpus)
+    assert idx.assignments.count() == 1000
+    assert idx.assignments.select("vec_id").distinct().count() == 1000
+
+
+def test_recall_on_clustered(spark, clustered):
+    from zebra_spark import functions as zf
+    from zebra_spark.index.ivf import IVFIndex
+
+    corpus, data = clustered
+    idx = IVFIndex.train(spark, "", k=8, iters=5, seed=5, corpus=corpus)
+    nq = 20
+    ann = idx.search_vectors(data[:nq], k=10, nprobe=2).toPandas()
+    # exact truth
+    from pyspark.sql import Window
+
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(nq)],
+        "query_id bigint, qe array<double>",
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            zf.l2sq(F.col("qe"), F.col("emb")).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 10")
+        .toPandas()
+    )
+    es = exact.groupby("query_id")["neighbor_id"].apply(set)
+    as_ = ann.groupby("query_id")["neighbor_id"].apply(set)
+    recall = float(np.mean([len(es[i] & as_.get(i, set())) / 10 for i in es.index]))
+    assert recall >= 0.9, recall
+
+
+def test_save_load_roundtrip(spark, clustered, tmp_path):
+    from zebra_spark.index.ivf import IVFIndex
+
+    corpus, data = clustered
+    idx = IVFIndex.train(spark, "", k=8, iters=2, seed=5, corpus=corpus)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    assert np.allclose(idx.centroids, loaded.centroids)
+    a = idx.search_vectors(data[:3], k=5).toPandas()
+    b = loaded.search_vectors(data[:3], k=5).toPandas()
+    assert a.equals(b)
+
+
+def test_fixture_corpus_trains(spark):
+    from zebra_spark.index.ivf import IVFIndex
+
+    idx = IVFIndex.train(spark, SF_ORACLE, k=10, iters=2, seed=42)
+    assert idx.assignments.count() == 500

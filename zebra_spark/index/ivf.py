@@ -1,0 +1,191 @@
+"""IVF-flat index with a k-means-trained coarse quantizer.
+
+Complements the LSH forest (lsh.py): LSH mirrors the reference's index
+family; IVF is the standard alternative for clustered embedding spaces
+(FAISS IVF-flat layout re-expressed in DataFrames).  q_ann_ivf in
+queries/ann.py is the deterministic-seed variant used for the DuckDB
+oracle; this module adds real Lloyd training.
+
+Scale posture:
+- training: each Lloyd iteration is one broadcast join (corpus x k
+  centroids — centroids are tiny) + one groupBy(cluster, pos) mean over
+  posexploded values.  No driver-side data beyond the k x dim centroid
+  matrix.
+- index layout: (cell_id, vec_id) — persisted partitioned by cell_id,
+  probes are partition-pruned scans exactly like the LSH bucket table.
+- search: nprobe nearest cells per query (driver-side numpy on the
+  small centroid matrix), candidates = probed cells only, exact re-rank
+  with native distance expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zebra_spark import functions as zf
+from zebra_spark.functions import rnd
+from zebra_spark.io import embeddings_d
+
+
+def _assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell_id): nearest centroid per vector via one broadcast
+    join; ties broken by cell_id."""
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell_id int, ce array<double>",
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell_id")
+    return (
+        corpus.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "cell_id",
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell_id")
+    )
+
+
+class IVFIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        centroids: np.ndarray,
+        assignments: DataFrame,
+    ):
+        self.spark = spark
+        self.corpus = corpus  # (vec_id, emb double[])
+        self.centroids = centroids  # (k, dim) driver-side
+        self.assignments = assignments  # (vec_id, cell_id)
+
+    @classmethod
+    def train(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        k: int = 16,
+        iters: int = 5,
+        seed: int = 42,
+        corpus: DataFrame | None = None,
+    ) -> "IVFIndex":
+        """Seeded Lloyd: init = k seeded-sample vectors; iterate
+        assign (broadcast join) -> update (posexplode + groupBy mean).
+        Empty clusters keep their previous centroid."""
+        corpus = corpus if corpus is not None else embeddings_d(spark, sf_dir).select(
+            "vec_id", "emb"
+        )
+        n = corpus.count()
+        if n == 0:
+            raise ValueError("cannot train IVF over an empty corpus")
+        init = (
+            corpus.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+            .limit(k)
+            .collect()
+        )
+        centroids = np.array([r.emb for r in init], dtype=np.float64)
+        k = len(centroids)
+        dim = centroids.shape[1]
+        for _ in range(iters):
+            assign = _assign(corpus, centroids)
+            means = (
+                corpus.join(assign, "vec_id")
+                .select("cell_id", F.posexplode("emb").alias("pos", "val"))
+                .groupBy("cell_id", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )  # k * dim rows — driver-small at any corpus size
+            new = centroids.copy()
+            for r in means:
+                new[r.cell_id, r.pos] = r.m
+            if np.allclose(new, centroids, atol=1e-12):
+                centroids = new
+                break
+            centroids = new
+        assignments = _assign(corpus, centroids).localCheckpoint()
+        return cls(spark, corpus, centroids, assignments)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/cells"
+        )
+        self.corpus.localCheckpoint().write.mode("overwrite").parquet(
+            f"{path}/embeddings"
+        )
+        with open(f"{path}/metadata.json", "w") as f:
+            json.dump({"centroids": self.centroids.tolist()}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        import json
+
+        with open(f"{path}/metadata.json") as f:
+            centroids = np.array(json.load(f)["centroids"])
+        return cls(
+            spark,
+            spark.read.parquet(f"{path}/embeddings"),
+            centroids,
+            spark.read.parquet(f"{path}/cells"),
+        )
+
+    def search_vectors(
+        self,
+        vectors: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        metric: str = "l2sq",
+        query_ids: Sequence[int] | None = None,
+    ) -> DataFrame:
+        vectors = np.asarray(vectors, dtype=np.float64)
+        if query_ids is None:
+            query_ids = list(range(len(vectors)))
+        # nprobe nearest cells per query: numpy on the small centroid set
+        d2 = ((vectors[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        probe_cells = np.argsort(d2, axis=1)[:, :nprobe]
+        keys = [
+            (int(q), int(c))
+            for q, cells in zip(query_ids, probe_cells)
+            for c in cells
+        ]
+        keys_df = self.spark.createDataFrame(keys, "query_id bigint, cell_id int")
+        qdf = self.spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in zip(query_ids, vectors)],
+            "query_id bigint, qe array<double>",
+        )
+        metric_fn = zf.METRICS[metric]
+        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        return (
+            self.assignments.join(F.broadcast(keys_df), "cell_id")
+            .select("query_id", "vec_id")
+            .join(self.corpus, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                metric_fn(F.col("qe"), F.col("emb")).alias("dist"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
+            )
+        )
+
+    def cell_sizes(self) -> DataFrame:
+        return (
+            self.assignments.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cell_id")
+        )
