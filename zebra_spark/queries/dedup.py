@@ -24,7 +24,7 @@ from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
 from zebra_spark.queries.text import tokens
-from zebra_spark.registry import query, sql_rnd
+from zebra_spark.registry import QUERIES, query, sql_rnd
 
 P = 2_147_483_647  # 2^31 - 1
 N_HASHES = 16
@@ -312,4 +312,116 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "id_a", "id_b")
         .limit(100)
         .select("id_a", "id_b", rnd(F.col("dist")).alias("dist"))
+    )
+
+
+# --- cluster dedup: connected components over the near-dup graph -----------
+
+_SQL_MINHASH_PAIRS = f"""
+    mh AS (
+      SELECT doc_id, j, min((a * tid + b) % {P}) AS mh
+      FROM t2 CROSS JOIN params
+      GROUP BY doc_id, j
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(floor(j / {N_HASHES // N_BANDS}) AS INTEGER) AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY j) AS key
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.word = ta.word
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
+            >= {MINHASH_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(l.cluster, d.doc_id) AS cluster,
+           CAST(CASE WHEN coalesce(l.cluster, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER dedup: connected components over the MinHash
+    pair graph, keep the min-id representative per component (keep=1).
+
+    Spark side: iterative min-label propagation to fixpoint (bounded by
+    graph diameter; each round is one join + groupBy, lineage cut with
+    localCheckpoint).  Oracle side: recursive-CTE transitive closure —
+    same fixpoint.  The scale posture is the standard large-graph CC
+    pattern (label propagation == the GraphFrames/Pregel formulation,
+    here in plain DataFrames).
+    """
+    from zebra_spark.io import load
+
+    pairs = QUERIES["q_dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint()
+    for _ in range(25):
+        neigh = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.label <> o.label")
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        F.when(F.col("label") == F.col("doc_id"), 1).otherwise(0)
+        .cast("int")
+        .alias("keep"),
     )
