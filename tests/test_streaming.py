@@ -164,3 +164,48 @@ def test_insert_rejects_wrong_dimension(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension"):
         db.insert_records(bad)
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """SURVEY §5.2.5: a row arriving beyond the watermark must be
+    dropped from an append-mode windowed aggregation."""
+    import datetime as dt
+
+    from zebra_spark.streaming import read_events_stream, tumbling_counts
+
+    d = str(tmp_path / "late")
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    # chunk 1: two events in the 10:00 window
+    write_chunk("c1", [(1, base, 1, "click", 1.0, "{}"),
+                       (2, base + dt.timedelta(minutes=5), 1, "click", 1.0, "{}")])
+    stream = read_events_stream(spark, d)
+    agg = tumbling_counts(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # chunk 2: far-future event advances the watermark past 10:00+1h
+        write_chunk("c2", [(3, base + dt.timedelta(hours=3), 1, "view", 1.0, "{}")])
+        q.processAllAvailable()
+        # chunk 3: LATE event back in the (closed) 10:00 window
+        write_chunk("c3", [(4, base + dt.timedelta(minutes=7), 1, "click", 9.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT * FROM t_late WHERE hour = '2024-06-01 10:00:00'"
+    ).toPandas()
+    # the 10:00 window was finalized with 2 events; the late 3rd is dropped
+    assert len(out) == 1
+    assert int(out.iloc[0]["n"]) == 2
