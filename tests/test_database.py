@@ -164,3 +164,17 @@ def test_index_load_then_save(spark, db):
     assert idx.corpus.count() == len(TEXTS) * 4 + 1
     res = third.query_texts(["quick brown fox dog"], k=2).toPandas()
     assert len(res) == 2
+
+
+def test_default_typed_databases(spark, tmp_path):
+    from zebra_spark.database import ZebraDatabase
+
+    t = ZebraDatabase.create_default_text(spark, str(tmp_path / "t"))
+    assert (t.meta["dim"], t.meta["metric"]) == (384, "l2sq")
+    i = ZebraDatabase.create_default_image(spark, str(tmp_path / "i"))
+    assert (i.meta["dim"], i.meta["metric"]) == (768, "cosine")
+    a = ZebraDatabase.create_default_audio(spark, str(tmp_path / "a"))
+    assert (a.meta["dim"], a.meta["metric"]) == (768, "cosine")
+    t.insert_texts(["alpha beta gamma", "delta epsilon"])
+    res = t.query_texts(["alpha beta"], k=1, exact=True).toPandas()
+    assert res.iloc[0]["doc"] == "alpha beta gamma"

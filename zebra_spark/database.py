@@ -77,6 +77,35 @@ class ZebraDatabase:
         db._write_meta()
         return db
 
+    # default typed databases ≙ the reference's shipped type aliases
+    # (src/database/default/{text,image,audio}.rs:8-15)
+
+    @classmethod
+    def create_default_text(cls, spark: SparkSession, path: str, **kw) -> "ZebraDatabase":
+        """≙ DefaultTextDatabase = Database<384, L2SquaredDistance,
+        BGESmallEn1_5>; offline the embedder falls back to hash_tf at the
+        same dimension."""
+        kw.setdefault("dim", 384)
+        kw.setdefault("metric", "l2sq")
+        return cls.create(spark, path, **kw)
+
+    @classmethod
+    def create_default_image(cls, spark: SparkSession, path: str, **kw) -> "ZebraDatabase":
+        """≙ DefaultImageDatabase = Database<768, CosineDistance,
+        image::VitBasePatch16_224>."""
+        kw.setdefault("dim", 768)
+        kw.setdefault("metric", "cosine")
+        return cls.create(spark, path, **kw)
+
+    @classmethod
+    def create_default_audio(cls, spark: SparkSession, path: str, **kw) -> "ZebraDatabase":
+        """≙ DefaultAudioDatabase = Database<768, CosineDistance,
+        audio::VitBasePatch16_224> (audio embeds via the spectrogram
+        image reduction, src/model/audio.rs:86-99)."""
+        kw.setdefault("dim", 768)
+        kw.setdefault("metric", "cosine")
+        return cls.create(spark, path, **kw)
+
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "ZebraDatabase":
         with open(f"{path}/zebra.json") as f:
