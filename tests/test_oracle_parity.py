@@ -28,7 +28,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15:
                 return f"{int(v)}"
-            return f"{v:.6g}"
+            return f"{v:.12g}"
         if isinstance(v, bool):
             return str(int(v))
         return str(v)

@@ -26,9 +26,17 @@ from pyspark.sql import functions as F
 
 
 def rnd(c: Column, nd: int = 4) -> Column:
-    """Round after aggregation (SURVEY §2.C rule 1) and collapse -0.0 to
-    0.0 so both engines value-hash identically."""
-    r = F.round(c.cast("double"), nd)
+    """Engine-portable rounding: floor(x * 10^nd + 0.5) / 10^nd in pure
+    IEEE double ops, which Spark and DuckDB evaluate bit-identically.
+
+    Native round() is NOT portable: Spark rounds via BigDecimal HALF_UP
+    on the decimal expansion while DuckDB goes through a float multiply —
+    they disagree on ~1 in 2000 continuous doubles at the 4th decimal
+    (found by multiset-hashing q_project_expr).  Also collapses -0.0 to
+    0.0.  |x|*10^nd must stay below 2^53 — true for every engine value
+    (all < 1e10)."""
+    s = float(10 ** nd)
+    r = F.floor(c.cast("double") * s + F.lit(0.5)) / s
     return F.when(r == 0.0, F.lit(0.0)).otherwise(r)
 
 

@@ -162,3 +162,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_K)
         .select("query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist"))
     )
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over the driver fixtures: treat each
+    document's UTF-8 bytes as an opaque binary blob, run the
+    mapInPandas decode->feature->embed path (deterministic fake decode,
+    real Arrow plumbing), return scalar features.  Rows-only: the
+    embedding content is hash-based, not SQL-expressible; determinism
+    is asserted in tests/test_multimodal.py."""
+    from zebra_spark.io import load
+    from zebra_spark.multimodal import decode_and_embed, to_multimodal
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    blobs = to_multimodal(docs, "doc_id", "content", "image")
+    feats = decode_and_embed(blobs)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "modality",
+        "n_bytes",
+        "height",
+        "width",
+        rnd(F.element_at(F.col("embedding").cast("array<double>"), 1)).alias(
+            "emb_head"
+        ),
+    )

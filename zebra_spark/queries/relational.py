@@ -507,7 +507,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle=f"""
     SELECT o_orderkey,
-           round(abs(o_totalprice), 2) AS p2,
+           (CASE WHEN (floor(CAST(abs(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0) = 0 THEN 0.0 ELSE (floor(CAST(abs(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0) END) AS p2,
            {sql_rnd("sqrt(o_totalprice)")} AS sq,
            {sql_rnd("ln(o_totalprice)")} AS lnp,
            {sql_rnd("power(o_totalprice, 0.3)")} AS pw
@@ -519,7 +519,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     return o.select(
         "o_orderkey",
-        F.round(F.abs(F.col("o_totalprice")), 2).alias("p2"),
+        rnd(F.abs(F.col("o_totalprice")), 2).alias("p2"),
         rnd(F.sqrt("o_totalprice")).alias("sq"),
         rnd(F.log("o_totalprice")).alias("lnp"),
         rnd(F.pow("o_totalprice", F.lit(0.3))).alias("pw"),
@@ -623,7 +623,8 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_subquery_scalar",
     oracle="""
-    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+    SELECT o.o_orderkey, o.o_custkey,
+           (CASE WHEN (floor(CAST(o.o_totalprice AS DOUBLE) * 100.0 + 0.5) / 100.0) = 0 THEN 0.0 ELSE (floor(CAST(o.o_totalprice AS DOUBLE) * 100.0 + 0.5) / 100.0) END) AS price
     FROM orders o
     WHERE o.o_totalprice > 1.5 * (
       SELECT avg(o2.o_totalprice) FROM orders o2
@@ -643,7 +644,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.round("o_totalprice", 2).alias("price"),
+            rnd(F.col("o_totalprice"), 2).alias("price"),
         )
     )
 

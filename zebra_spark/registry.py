@@ -30,7 +30,10 @@ def query(name: str, oracle: str | None = None):
 
 
 def sql_rnd(expr: str, nd: int = 4) -> str:
-    """Oracle-side float normalizer: round after aggregation (SURVEY §2.C
-    determinism rule 1) and collapse -0.0 to 0.0 so value-hashes agree."""
-    r = f"round(CAST({expr} AS DOUBLE), {nd})"
+    """Oracle-side float normalizer, the exact twin of functions.rnd:
+    floor(x * 10^nd + 0.5) / 10^nd in double (bit-identical across
+    engines, unlike native round() — see functions.rnd), -0.0 collapsed
+    to 0.0."""
+    s = float(10 ** nd)
+    r = f"(floor(CAST({expr} AS DOUBLE) * {s} + 0.5) / {s})"
     return f"(CASE WHEN {r} = 0 THEN 0.0 ELSE {r} END)"

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zebra_spark.functions import rnd
+
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
@@ -45,7 +47,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
         "n",
-        F.round(F.col("total_value").cast("double"), 4).alias("total_value"),
+        rnd(F.col("total_value"), 4).alias("total_value"),
     )
 
 
