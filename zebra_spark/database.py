@@ -199,9 +199,25 @@ class ZebraDatabase:
         list), broadcast the cumulative offsets back, and number rows
         within each partition.  Dense ids can never spill into another
         batch's id range (a raw monotonically_increasing_id would exceed
-        the 2^40 batch stride whenever partition_id >= 128)."""
+        the 2^40 batch stride whenever partition_id >= 128).
+
+        The batch base comes from the MAX id already on disk, not the
+        n_batches counter: a crash between the parquet append and the
+        metadata write leaves an orphan batch whose id range is then
+        still respected by the next insert — duplicate ROWS are possible
+        after such a crash (at-least-once; deduplicate() repairs), but
+        id COLLISIONS are not."""
         batch = self.meta["n_batches"]
-        base = (batch + 1) << _BATCH_SHIFT
+        existing = self._read("embeddings")
+        if existing is None:
+            cur_max = 0
+        else:
+            cur_max = (
+                existing.agg(F.coalesce(F.max("vec_id"), F.lit(0)).alias("m"))
+                .collect()[0]
+                .m
+            )
+        base = ((cur_max >> _BATCH_SHIFT) + 1) << _BATCH_SHIFT
         if "modality" not in df.columns:
             df = df.withColumn("modality", F.lit("text"))
         # materialize once: stabilizes rows/partitions for the dimension
@@ -253,9 +269,10 @@ class ZebraDatabase:
         )
         self.meta["n_batches"] = batch + 1
         self._write_meta()
-        inserted = self.spark.read.parquet(f"{self.path}/embeddings").filter(
-            F.col("vec_id") >= base
-        )
+        # return the checkpointed rows directly: no re-scan of every
+        # batch's files, and the handle stays valid even if a later
+        # remove()/dedup swaps the table directory
+        inserted = with_ids.select("vec_id", "embedding")
         if self._index is not None:
             # incremental maintenance (≙ LSHIndex::add, lsh.rs:440-466):
             # hyperplanes are fixed, so only the new rows get signatures —
@@ -398,6 +415,11 @@ class ZebraDatabase:
     ) -> DataFrame:
         """ANN via the LSH index (exact=False) or brute force; always
         exact re-rank; joins documents back (≙ read_documents, core.rs:358)."""
+        if self.is_empty():  # ≙ empty-index short-circuit core.rs:272-274
+            return self.spark.createDataFrame(
+                [], "query_id bigint, vec_id bigint, rank int, dist double,"
+                " doc string"
+            )
         if exact:
             res = self._brute_force(vectors, k, query_ids)
         else:

@@ -118,12 +118,14 @@ class IVFIndex:
         import os
 
         os.makedirs(path, exist_ok=True)
+        # a loaded index reads lazily from these paths — materialize and
+        # reassign before overwrite (same guard as LSHIndex.save)
+        self.assignments = self.assignments.localCheckpoint()
+        self.corpus = self.corpus.localCheckpoint()
         self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
             f"{path}/cells"
         )
-        self.corpus.localCheckpoint().write.mode("overwrite").parquet(
-            f"{path}/embeddings"
-        )
+        self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
         with open(f"{path}/metadata.json", "w") as f:
             json.dump({"centroids": self.centroids.tolist()}, f)
 
@@ -151,8 +153,21 @@ class IVFIndex:
         vectors = np.asarray(vectors, dtype=np.float64)
         if query_ids is None:
             query_ids = list(range(len(vectors)))
-        # nprobe nearest cells per query: numpy on the small centroid set
-        d2 = ((vectors[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        # nprobe nearest cells per query, under the SEARCH metric (numpy
+        # on the small centroid set).  Training is L2 (standard IVF);
+        # for cosine search, probe by cosine so high-magnitude vectors in
+        # distant L2 cells remain reachable — for best recall, L2-normalize
+        # embeddings before training when serving cosine.
+        if metric == "cosine":
+            qn = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12
+            )
+            cn = self.centroids / np.maximum(
+                np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-12
+            )
+            d2 = 1.0 - qn @ cn.T
+        else:
+            d2 = ((vectors[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         probe_cells = np.argsort(d2, axis=1)[:, :nprobe]
         keys = [
             (int(q), int(c))

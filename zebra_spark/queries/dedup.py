@@ -88,10 +88,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_minhash",
-    oracle=f"""
-    WITH {_SQL_TOK.format(nh=N_HASHES)},
+_SQL_MINHASH_CORE = f"""
     mh AS (
       SELECT doc_id, j, min((a * tid + b) % {P}) AS mh
       FROM t2 CROSS JOIN params
@@ -115,6 +112,14 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tok tb ON tb.doc_id = c.doc_b AND tb.word = ta.word
       GROUP BY c.doc_a, c.doc_b
     )
+"""
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_CORE}
     SELECT i.doc_a, i.doc_b, i.n_common,
            {sql_rnd("i.n_common * 1.0 / (sa.n + sb.n - i.n_common)")} AS jaccard
     FROM inter i
@@ -317,30 +322,9 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cluster dedup: connected components over the near-dup graph -----------
 
-_SQL_MINHASH_PAIRS = f"""
-    mh AS (
-      SELECT doc_id, j, min((a * tid + b) % {P}) AS mh
-      FROM t2 CROSS JOIN params
-      GROUP BY doc_id, j
-    ),
-    sigs AS (
-      SELECT doc_id, CAST(floor(j / {N_HASHES // N_BANDS}) AS INTEGER) AS band,
-             string_agg(mh::VARCHAR, ',' ORDER BY j) AS key
-      FROM mh GROUP BY doc_id, band
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sigs a JOIN sigs b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
-    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      FROM cand c
-      JOIN tok ta ON ta.doc_id = c.doc_a
-      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.word = ta.word
-      GROUP BY c.doc_a, c.doc_b
-    ),
+_SQL_MINHASH_PAIRS = (
+    _SQL_MINHASH_CORE
+    + f""",
     edges AS (
       SELECT i.doc_a, i.doc_b FROM inter i
       JOIN sz sa ON sa.doc_id = i.doc_a
@@ -349,6 +333,7 @@ _SQL_MINHASH_PAIRS = f"""
             >= {MINHASH_THRESHOLD}
     )
 """
+)
 
 
 @query(
@@ -418,6 +403,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "label propagation did not converge in 25 rounds — a near-dup "
+            "component has diameter > 25; raise the round cap"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster"),

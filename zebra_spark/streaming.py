@@ -79,9 +79,14 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
 
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id — ≙ the online insert path's id-based
-    upsert semantics; watermark bounds the dedup state."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return src.dropDuplicates(["event_id"])
+    upsert semantics.  Uses dropDuplicatesWithinWatermark so the dedup
+    state is actually GC'd as the watermark advances (plain
+    dropDuplicates on a non-event-time key retains every id forever)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
 
 
 def run_to_completion(
@@ -137,10 +142,13 @@ def stream_ingest_texts(
     """Streaming ingest: text documents arriving as files -> embed ->
     append to a ZebraDatabase via foreachBatch.
 
-    foreachBatch is at-least-once on restart; the sink is made
-    idempotent by recording the last applied epoch in the database
-    metadata and skipping replayed epochs, so a crash between the
-    insert commit and the streaming checkpoint cannot double-insert."""
+    foreachBatch is at-least-once on restart; the sink records the last
+    applied epoch in the database metadata (persisted atomically with
+    the insert's own metadata write) and skips replayed epochs.
+    Residual window: a crash between the parquet append and the
+    metadata write replays that one batch as duplicate ROWS under fresh
+    ids (never id collisions — see insert_records); deduplicate()
+    repairs, or use a transactional table format for exactly-once."""
     stream = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", 1)
@@ -151,10 +159,15 @@ def stream_ingest_texts(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= db.meta.get("last_stream_epoch", -1):
             return  # replayed epoch after restart — already applied
+        # stamp the epoch BEFORE inserting: insert_documents persists the
+        # metadata itself, so one durable write covers both the batch
+        # counter and the epoch — no crash window where the insert
+        # committed but the epoch didn't
+        db.meta["last_stream_epoch"] = epoch_id
         if not batch_df.isEmpty():
             db.insert_documents(batch_df, text_col="doc")
-        db.meta["last_stream_epoch"] = epoch_id
-        db._write_meta()
+        else:
+            db._write_meta()
 
     return (
         stream.writeStream.foreachBatch(sink)
