@@ -811,3 +811,42 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(rnd(_dsum(rev)).alias("revenue"))
     )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+           {sql_rnd(
+               "100.0 * CAST(" + _sql_dsum(
+                   "CASE WHEN p_type LIKE 'PROMO%%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+               ) + " AS DOUBLE) / CAST(" + _sql_dsum(
+                   "l_extendedprice * (1 - l_discount)"
+               ) + " AS DOUBLE)"
+           )} AS promo_revenue_pct,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): fact-dimension join with
+    conditional aggregation — promo revenue share per ship year.  The
+    part side broadcasts; the CASE lives inside the decimal sum so the
+    ratio is exact before the final double division."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("y"))
+        .agg(
+            rnd(
+                F.lit(100.0)
+                * _dsum(promo).cast("double")
+                / _dsum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
