@@ -850,3 +850,151 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_rnd("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)")} AS trailing_30d
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, trailing-30-day order total (range on
+    epoch-micros, so the frame is value-based, not row-based)."""
+    # o_orderdate is TIMESTAMP_NTZ on disk; cast to TIMESTAMP (session is
+    # UTC) so unix_micros matches DuckDB's epoch_us
+    o = load(spark, sf_dir, "orders").withColumn(
+        "odate_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("odate_us")
+        .rangeBetween(-2_592_000_000_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(F.sum("o_totalprice").over(w)).alias("trailing_30d"),
+    )
+
+
+@query(
+    "q_window_analytics",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER w_full AS last_ok,
+           nth_value(o_orderkey, 2) OVER w_full AS second_ok,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           {sql_rnd("percent_rank() OVER w")} AS prank,
+           {sql_rnd("cume_dist() OVER w")} AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery: first/last/nth value, ntile,
+    percent_rank, cume_dist — deterministic via full tie-broken order."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
+        F.ntile(4).over(w).alias("quartile"),
+        rnd(F.percent_rank().over(w)).alias("prank"),
+        rnd(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@query(
+    "q_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws('|', c_mktsegment, c_name) AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           reverse(c_mktsegment) AS rev,
+           CAST(strpos(c_name, '0') AS INTEGER) AS zero_pos,
+           repeat(left(c_mktsegment, 1), 3) AS tricked
+    FROM customer
+    """,
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: concat_ws, lpad, replace, reverse,
+    position, repeat/left."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("replaced"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.instr("c_name", "0").alias("zero_pos"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("tricked"),
+    )
+
+
+@query(
+    "q_conditional_funcs",
+    oracle=f"""
+    SELECT o_orderkey,
+           greatest(o_totalprice, 100000.0) AS hi,
+           least(o_totalprice, 100000.0) AS lo,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           CAST(o_totalprice > 100000 AS BOOLEAN) AS is_large
+    FROM orders
+    """,
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional battery: greatest/least, nullif+coalesce, CASE
+    ladder, boolean projection."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("hi"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("lo"),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")
+        ).alias("status_or_open"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        (F.col("o_totalprice") > 100000).alias("is_large"),
+    )
+
+
+@query(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_bit,
+           xor(event_id, 1365) AS xored,
+           event_id << 2 AS shifted,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: and/or/xor/shift/popcount on ids."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_bit"),
+        F.expr("event_id ^ 1365").alias("xored"),
+        F.expr("shiftleft(event_id, 2)").alias("shifted"),
+        F.bit_count("event_id").alias("popcount"),
+    )
