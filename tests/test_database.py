@@ -178,3 +178,33 @@ def test_default_typed_databases(spark, tmp_path):
     t.insert_texts(["alpha beta gamma", "delta epsilon"])
     res = t.query_texts(["alpha beta"], k=1, exact=True).toPandas()
     assert res.iloc[0]["doc"] == "alpha beta gamma"
+
+
+def test_cosine_db_binary_roundtrip(spark, tmp_path):
+    """Image-default database (768-d, cosine): binary insert + ANN query
+    through the cosine metric end-to-end."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.database import ZebraDatabase
+    from zebra_spark.multimodal import decode_and_embed, to_multimodal
+
+    db = ZebraDatabase.create(
+        spark, str(tmp_path / "imgdb"), dim=64, metric="cosine"
+    )
+    raw = spark.createDataFrame(
+        [(i, bytes([60 + i]) * 3000) for i in range(6)],
+        "id bigint, content binary",
+    )
+    feats = decode_and_embed(to_multimodal(raw, "id", "content", "image"))
+    db.insert_records(
+        feats.select(
+            F.col("id").cast("string").alias("doc"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("modality"),
+        )
+    )
+    blob = bytes([62]) * 3000  # identical to doc id=2
+    res = db.query_blobs([blob], modality="image", k=2).toPandas()
+    top = res.sort_values("rank").iloc[0]
+    assert top["doc"] == "2"
+    assert top["dist"] == 0.0

@@ -209,3 +209,39 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     # the 10:00 window was finalized with 2 events; the late 3rd is dropped
     assert len(out) == 1
     assert int(out.iloc[0]["n"]) == 2
+
+
+def test_session_window_matches_batch_sessionization(spark, chunked_events):
+    """The native session_window (streaming) and the lag+cumsum batch
+    formulation (q_window_session) must find the same sessions: same
+    count per user and same event-count multiset."""
+    import zebra_spark
+    from zebra_spark.streaming import (
+        read_events_stream,
+        run_to_completion,
+        session_counts,
+    )
+
+    zebra_spark.load_all_queries()
+    stream = read_events_stream(spark, chunked_events)
+    # chunk files are split by event_id, not time, so micro-batches arrive
+    # wildly out of event-time order — the watermark must exceed the full
+    # disorder (one month of data) or legitimate events get dropped as late
+    stream_sessions = run_to_completion(
+        session_counts(stream, watermark="40 days"), "t_sess_cmp"
+    ).toPandas()
+    batch_sessions = zebra_spark.QUERIES["q_window_session"](
+        spark, SF_SMOKE
+    ).toPandas()
+
+    a = (
+        stream_sessions.groupby("user_id")["n_events"]
+        .apply(lambda s: sorted(s))
+        .to_dict()
+    )
+    b = (
+        batch_sessions.groupby("user_id")["n_events"]
+        .apply(lambda s: sorted(s))
+        .to_dict()
+    )
+    assert a == b
