@@ -998,3 +998,28 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(event_id, 2)").alias("shifted"),
         F.bit_count("event_id").alias("popcount"),
     )
+
+
+@query(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_rnd("stddev_samp(l_quantity)")} AS sd_qty,
+           {sql_rnd("var_samp(l_discount)")} AS var_disc,
+           {sql_rnd("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+           {sql_rnd("covar_samp(l_discount, l_tax)")} AS cov_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+    Columns chosen with small magnitudes so cross-engine accumulation
+    error (~1e-9 relative) stays far below the 4-decimal rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        rnd(F.var_samp("l_discount")).alias("var_disc"),
+        rnd(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        rnd(F.covar_samp("l_discount", "l_tax")).alias("cov_disc_tax"),
+    )
