@@ -419,7 +419,9 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- set operations ---------------------------------------------------------
 
 _SET_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
-_SET_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000"
+# year-based operand: non-trivial intersect AND except at every fixture
+# scale factor (a price threshold left except empty at sf0.001)
+_SET_B = "SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995"
 
 
 def _set_sides(spark: SparkSession, sf_dir: str):
@@ -430,7 +432,7 @@ def _set_sides(spark: SparkSession, sf_dir: str):
     )
     b = (
         load(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 300000)
+        .filter(F.year("o_orderdate") == 1995)
         .select(F.col("o_custkey").alias("custkey"))
     )
     return a, b
