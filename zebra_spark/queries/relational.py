@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zebra_spark.functions import _agg_sum as zf_agg_sum
 from zebra_spark.functions import rnd
 from zebra_spark.io import load
 from zebra_spark.registry import query, sql_rnd
@@ -86,9 +87,9 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_rnd(_sql_dsum("l_extendedprice"))} AS sum_base_price,
            {sql_rnd(_sql_dsum("l_extendedprice * (1 - l_discount)"))} AS sum_disc_price,
            {sql_rnd(_sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))} AS sum_charge,
-           {sql_rnd("avg(l_quantity)")} AS avg_qty,
-           {sql_rnd("avg(l_extendedprice)")} AS avg_price,
-           {sql_rnd("avg(l_discount)")} AS avg_disc,
+           {sql_rnd("CAST(" + _sql_dsum("l_quantity") + " AS DOUBLE) / count(*)")} AS avg_qty,
+           {sql_rnd("CAST(" + _sql_dsum("l_extendedprice") + " AS DOUBLE) / count(*)")} AS avg_price,
+           {sql_rnd("CAST(" + _sql_dsum("l_discount") + " AS DOUBLE) / count(*)")} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -105,9 +106,11 @@ def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(_dsum(F.col("l_extendedprice"))).alias("sum_base_price"),
         rnd(_dsum(disc_price)).alias("sum_disc_price"),
         rnd(_dsum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-        rnd(F.avg("l_quantity")).alias("avg_qty"),
-        rnd(F.avg("l_extendedprice")).alias("avg_price"),
-        rnd(F.avg("l_discount")).alias("avg_disc"),
+        # exact averages: decimal sum / count (plain avg() folds doubles
+        # in shuffle order — boundary-flake risk under 4dp rounding)
+        rnd(_dsum(F.col("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        rnd(_dsum(F.col("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        rnd(_dsum(F.col("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -207,7 +210,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT r_name,
            count(*) AS n_customers,
-           {sql_rnd("avg(c_acctbal)")} AS avg_bal
+           {sql_rnd("CAST(" + _sql_dsum("c_acctbal") + " AS DOUBLE) / count(*)")} AS avg_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -226,7 +229,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            rnd(F.avg("c_acctbal")).alias("avg_bal"),
+            rnd(_dsum(F.col("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
         )
     )
 
@@ -291,7 +294,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events a
     JOIN events b
       ON a.user_id = b.user_id
-     AND b.ts > a.ts
+     AND epoch_us(b.ts) > epoch_us(a.ts)
      AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
     """,
 )
@@ -551,11 +554,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.array_max("emb")).alias("mx"),
         rnd(F.array_min("emb")).alias("mn"),
         rnd(F.element_at(F.array_sort("emb"), 3)).alias("third_smallest"),
-        rnd(
-            F.aggregate(
-                F.slice("emb", 1, 5), F.lit(0.0), lambda acc, x: acc + x
-            )
-        ).alias("head_sum"),
+        rnd(zf_agg_sum(F.slice("emb", 1, 5))).alias("head_sum"),
     )
 
 
@@ -937,7 +936,7 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
-        F.regexp_replace("c_name", "Customer", "Cust").alias("replaced"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
         F.reverse("c_mktsegment").alias("rev"),
         F.instr("c_name", "0").alias("zero_pos"),
         F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("tricked"),

@@ -182,12 +182,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic count-desc/word-asc tie-break)."""
     tok = tokens(spark, sf_dir, distinct=False).select("doc_id", "word")
     wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit -> TakeOrderedAndProject (distributed partial top-k);
+    # a global row_number window would drag the whole vocabulary through
+    # one partition
     stop = (
-        wc.withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.col("n").desc(), "word")),
-        )
-        .filter(F.col("rk") <= 10)
+        wc.orderBy(F.col("n").desc(), "word")
+        .limit(10)
         .select("word", F.lit(1).alias("is_stop"))
     )
     t = tok.join(F.broadcast(stop), "word", "left")
@@ -295,10 +295,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           CAST(list_sum(list_transform(range(1, length(text) + 1),
-                i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) *
-                     ([{", ".join(str(p) for p in FP_POWS)}])[(i - 1) % 8 + 1]))
-                AS BIGINT) % {FP_P} AS fingerprint
+           coalesce(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) *
+                      ([{", ".join(str(p) for p in FP_POWS)}])[(i - 1) % 8 + 1])
+                     % {FP_P}))
+                AS BIGINT), 0) % {FP_P} AS fingerprint
     FROM documents
     """,
 )
@@ -308,10 +309,15 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint expressible as one native array fold (no UDF)."""
     d = load(spark, sf_dir, "documents")
     pows = ", ".join(str(p) for p in FP_POWS)
+    # per-term mod keeps the accumulator far from bigint overflow even
+    # for huge/CJK texts (ascii() yields full codepoints); empty text ->
+    # 0 on both engines (Spark's sequence(1,0) is DESCENDING, not empty,
+    # so it must be guarded, and DuckDB's empty-list sum is NULL)
     fp = F.expr(
-        f"aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),"
-        f" (h, i) -> h + CAST(ascii(substring(text, i, 1)) AS BIGINT)"
-        f" * element_at(array({pows}), ((i - 1) % 8) + 1))"
-        f" % {FP_P}"
+        f"CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE"
+        f" aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),"
+        f" (h, i) -> h + (CAST(ascii(substring(text, i, 1)) AS BIGINT)"
+        f" * element_at(array({pows}), ((i - 1) % 8) + 1)) % {FP_P})"
+        f" % {FP_P} END"
     )
     return d.select("doc_id", fp.alias("fingerprint"))
