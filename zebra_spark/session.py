@@ -33,6 +33,9 @@ def get_spark(app: str = "zebra-spark", cpus: str | None = None) -> SparkSession
         # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
         # default; read as epoch-nanos long, io.load converts to us.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # zstd pages: the engine's storage-compression posture (plays the
+        # reference's per-doc LZ4, better ratio at scale)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
