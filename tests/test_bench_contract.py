@@ -1,0 +1,33 @@
+"""bench.py driver contract: one JSON line with the required keys, at a
+small scale factor so the test stays fast."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_contract_json():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, out.stdout[-2000:]
+    payload = json.loads(lines[-1])
+    assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    assert payload["value"] > 0
+    assert len(payload["queries"]) >= 10
+    assert all(v >= 0 for v in payload["queries"].values())

@@ -113,3 +113,55 @@ def test_random_join_agg(seed, spark, duck):
             f" WHERE o_custkey = c_custkey AND o_totalprice > {thr})"
         ).fetchone()[0]
     assert got == want, (how, thr, got, want)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_window_shapes(seed, spark, duck):
+    """Random running-aggregate window shapes: partition column, order
+    column, and frame chosen per seed; decimal running sums compared
+    exactly (sequential fold — same order both engines)."""
+    rng = random.Random(3000 + seed)
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey"])
+    n_prec = rng.choice([2, 5, 10])
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from zebra_spark.io import load
+
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture (14k dup
+    # pairs) — the window order must include l_partkey/l_suppkey to be a
+    # total order, or running sums are genuinely ambiguous
+    order_cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    w = Window.partitionBy(part).orderBy(*order_cols).rowsBetween(-n_prec, 0)
+    got = (
+        load(spark, SF_ORACLE, "lineitem")
+        .select(
+            *order_cols,
+            F2.round(
+                F2.sum(F2.col("l_quantity").cast("decimal(18,6)"))
+                .over(w)
+                .cast("double"),
+                4,
+            ).alias("run"),
+        )
+        .toPandas()
+        .sort_values(order_cols)
+        .reset_index(drop=True)
+    )
+    oc = ", ".join(order_cols)
+    want = (
+        duck.execute(
+            f"SELECT {oc},"
+            f" round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER ("
+            f" PARTITION BY {part} ORDER BY {oc}"
+            f" ROWS BETWEEN {n_prec} PRECEDING AND CURRENT ROW) AS DOUBLE), 4)"
+            f" AS run FROM lineitem ORDER BY {oc}"
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    import numpy as np
+
+    assert np.array_equal(got["run"].values, want["run"].values), (part, n_prec)
