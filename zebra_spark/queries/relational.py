@@ -1024,3 +1024,37 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
         rnd(F.covar_samp("l_discount", "l_tax")).alias("cov_disc_tax"),
     )
+
+
+@query(
+    "q_tpch_q2_min_cost",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(cnt.n_parts AS BIGINT) AS n_parts
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN (
+      SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_suppkey
+    ) cnt ON cnt.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal >= (SELECT avg(s2.s_acctbal) FROM supplier s2)
+    """,
+)
+def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-flavoured shape: uncorrelated scalar subquery threshold
+    (suppliers at/above the average balance) + dimension join + distinct
+    count per supplier."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    avg_bal = s.agg(F.avg("s_acctbal").alias("a"))
+    cnt = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(cnt, cnt.l_suppkey == s.s_suppkey)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("s_acctbal") >= F.col("a"))
+        .select("s_suppkey", "s_name", "n_name", "n_parts")
+    )
