@@ -1108,3 +1108,51 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           count(nullif(o_orderstatus, 'O')) AS n_nonopen,
+           CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           coalesce(max(nullif(o_orderstatus, 'O')), 'NONE') AS max_status
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: count(col) skips nulls, count(*) doesn't;
+    aggregate over a nullable derivation; coalesce fallback."""
+    o = load(spark, sf_dir, "orders")
+    nn = F.nullif("o_orderstatus", F.lit("O"))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nn).alias("n_nonopen"),
+        F.sum(F.when(nn.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.coalesce(F.max(nn), F.lit("NONE")).alias("max_status"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_rnd("quantile_cont(o_totalprice, 0.5)")} AS median_price,
+           {sql_rnd("quantile_cont(o_totalprice, 0.9)")} AS p90_price,
+           {sql_rnd("min(o_totalprice)")} AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — identical arithmetic on
+    both engines given the same sorted values)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        rnd(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        rnd(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        rnd(F.min("o_totalprice")).alias("min_price"),
+    )

@@ -321,3 +321,56 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" % {FP_P} END"
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_array_funcs2",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_contains(string_split(text, ' '), 'data') AS BOOLEAN)
+             AS has_data,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+             AS n_distinct,
+           array_to_string(list_sort(list_distinct(
+             string_split(text, ' ')))[1:3], '-') AS first3
+    FROM documents
+    """,
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery on token arrays: contains, distinct-size, sorted
+    slice joined to a string."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_contains(words, "data").alias("has_data"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(words)), 1, 3), "-"
+        ).alias("first3"),
+    )
+
+
+@query(
+    "q_regex_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS INTEGER)
+             AS n_vowels,
+           CAST(len(regexp_extract_all(text, '\\b[a-z]{4}\\b')) AS INTEGER)
+             AS n_four_letter,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word
+    FROM documents
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: match counting and first-match extraction."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
+        F.regexp_count("text", F.lit(r"\b[a-z]{4}\b")).cast("int").alias(
+            "n_four_letter"
+        ),
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+    )
