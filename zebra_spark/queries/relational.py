@@ -1156,3 +1156,98 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
         rnd(F.min("o_totalprice")).alias("min_price"),
     )
+
+
+@query(
+    "q_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+             AS due_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q
+    FROM orders
+    """,
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic battery: interval add, month end, day diff,
+    day-of-week, quarter.  DuckDB dayofweek is 0=Sunday..6 while Spark
+    dayofweek is 1=Sunday..7 — normalized to DuckDB's by -1."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("q"),
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH hi AS (
+      SELECT o_custkey, count(*) AS n_big FROM orders
+      WHERE o_totalprice > 300000 GROUP BY o_custkey
+    ),
+    seg AS (SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+    SELECT coalesce(seg.c_custkey, hi.o_custkey) AS custkey,
+           coalesce(seg.c_mktsegment, 'UNKNOWN') AS segment,
+           coalesce(hi.n_big, 0) AS n_big
+    FROM seg FULL OUTER JOIN hi ON seg.c_custkey = hi.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with both-sides null handling: selected segments
+    vs high-value order counts."""
+    hi = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    seg = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+    return (
+        seg.join(hi, seg.c_custkey == hi.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        )
+    )
+
+
+@query(
+    "q_order_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY nullif(o_orderstatus, 'O') ASC NULLS LAST,
+                      o_orderkey) AS INTEGER) AS rn
+    FROM orders
+    QUALIFY rn <= 5
+    """,
+)
+def q_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering: Spark defaults to NULLS FIRST on ASC,
+    DuckDB to NULLS LAST — portable code must always pin it
+    (asc_nulls_last here)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.nullif("o_orderstatus", F.lit("O")).asc_nulls_last(),
+        "o_orderkey",
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderkey", "rn")
+    )
