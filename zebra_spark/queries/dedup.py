@@ -10,20 +10,21 @@ signatures.
 Scale posture: MinHash is the scale path for near-dedup — candidate
 pairs come from band-bucket equi-joins (shuffle on the band key), never
 from a quadratic self-join; the quadratic token-join variant
-(q_text_jaccard_pairs) is bounded by its blocking key.  Token-id
-assignment uses a global row_number here for oracle parity; at 100 TB
-swap the vocab window for xxhash64(word) — the only change needed.
+(q_text_jaccard_pairs) is bounded by its blocking key.  Token ids are a
+per-row polynomial string hash (word_hash_expr) computed identically on
+both engines — no vocabulary join, no global window, embarrassingly
+parallel at any corpus size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
-from zebra_spark.queries.text import tokens
+from zebra_spark.queries.text import sql_word_hash, tokens, word_hash_expr
 from zebra_spark.registry import QUERIES, query, sql_rnd
 
 P = 2_147_483_647  # 2^31 - 1
@@ -31,33 +32,22 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 MINHASH_THRESHOLD = 0.5
 
-_SQL_TOK = """
+_SQL_TOK = f"""
     tok AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
       FROM documents
     ),
-    vocab AS (
-      SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT word FROM tok)
-    ),
-    t2 AS (SELECT doc_id, tid FROM tok JOIN vocab USING (word)),
+    t2 AS (SELECT doc_id, {sql_word_hash('word')} AS tid FROM tok),
     params AS (
       SELECT CAST(j AS INTEGER) AS j, 2*j + 1 AS a, 17*j + 29 AS b
-      FROM range(0, {nh}) t(j)
+      FROM range(0, {{nh}}) t(j)
     )
 """
 
 
 def _token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
-    vocab = (
-        tok.select("word")
-        .distinct()
-        .withColumn(
-            "tid", F.row_number().over(Window.orderBy("word")).cast("bigint")
-        )
-    )
-    return tok.join(vocab, "word").select("doc_id", "tid")
+    return tok.select("doc_id", word_hash_expr("word").alias("tid"))
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

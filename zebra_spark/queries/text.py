@@ -127,6 +127,35 @@ FP_P = 1_000_000_007
 FP_POWS = [pow(31, k, FP_P) for k in range(8)]
 
 
+def word_hash_expr(col: str = "word"):
+    """Per-token positional polynomial hash (same family as
+    q_text_fingerprint): sum_i ascii(c_i) * 31^(i mod 8) mod p.
+
+    Pure per-row native expression — no vocabulary join, no global
+    window — so token-id assignment is embarrassingly parallel at any
+    scale.  `sql_word_hash` is the DuckDB twin; both engines produce
+    identical ids (collisions included), so hash-parity is exact.
+    """
+    pows = ", ".join(str(p) for p in FP_POWS)
+    return F.expr(
+        f"CASE WHEN length({col}) = 0 THEN CAST(0 AS BIGINT) ELSE"
+        f" aggregate(sequence(1, length({col})), CAST(0 AS BIGINT),"
+        f" (h, i) -> h + (CAST(ascii(substring({col}, i, 1)) AS BIGINT)"
+        f" * element_at(array({pows}), ((i - 1) % 8) + 1)) % {FP_P})"
+        f" % {FP_P} END"
+    )
+
+
+def sql_word_hash(col: str = "word") -> str:
+    """DuckDB twin of word_hash_expr (see q_text_fingerprint oracle)."""
+    pows = ", ".join(str(p) for p in FP_POWS)
+    return (
+        f"coalesce(CAST(list_sum(list_transform(range(1, length({col}) + 1),"
+        f" i -> (CAST(ascii(substr({col}, i, 1)) AS BIGINT) *"
+        f" ([{pows}])[(i - 1) % 8 + 1]) % {FP_P})) AS BIGINT), 0) % {FP_P}"
+    )
+
+
 @query(
     "q_text_token_count",
     oracle="""
