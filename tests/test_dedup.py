@@ -1,0 +1,62 @@
+"""Dedup-family invariants beyond oracle parity (which
+test_oracle_parity.py sweeps): the index-blocked closest-pairs query
+must still return the TRUE all-pairs top-100 at fixture scale, and the
+hashed token-id path must agree between engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from tests.conftest import SF_ORACLE
+
+import zebra_spark
+from zebra_spark import functions as zf
+from zebra_spark.registry import sql_rnd
+
+zebra_spark.load_all_queries()
+
+
+def _vhash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = sorted(
+        tuple(f"{v:.4f}" if isinstance(v, float) else str(v) for v in r)
+        for r in pdf.itertuples(index=False)
+    )
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def test_neardup_cosine_blocking_is_lossless(spark, duck):
+    """IVF multi-assign candidates (C=10, R=5) contain the true top-100
+    closest pairs: blocked output == exhaustive all-pairs output."""
+    sp = zebra_spark.QUERIES["q_neardup_cosine"](spark, SF_ORACLE).toPandas()
+    allpairs = duck.execute(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              {zf.sql_metric("cosine", dim=64)} AS dist
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, {sql_rnd("dist")} AS dist
+        FROM d ORDER BY d.dist, id_a, id_b LIMIT 100
+        """
+    ).fetchdf()
+    assert len(sp) == 100
+    assert _vhash(sp) == _vhash(allpairs)
+
+
+def test_word_hash_cross_engine(spark, duck):
+    """Per-row polynomial token ids are bit-identical across engines
+    (the invariant every minhash/simhash signature rests on)."""
+    from zebra_spark.queries.text import sql_word_hash, word_hash_expr
+
+    words = ["", "a", "the", "data", "zebra", "antidisestablishment", "日本語"]
+    sdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["h"]
+        for r in sdf.select("word", word_hash_expr("word").alias("h")).collect()
+    }
+    for w in words:
+        want = duck.execute(
+            f"SELECT {sql_word_hash('w')} AS h FROM (SELECT ? AS w)", [w]
+        ).fetchone()[0]
+        assert got[w] == want, (w, got[w], want)

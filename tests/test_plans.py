@@ -64,3 +64,26 @@ def test_partial_aggregation(spark):
     # map-side partial agg before the exchange (two HashAggregate levels)
     p = plan_of(spark, "q_agg_hash")
     assert p.count("HashAggregate") >= 2, p[:1500]
+
+
+def test_neardup_cosine_pair_join_is_blocked(spark):
+    # candidate pairs come from an equi-join on cell_id, never an
+    # unbounded theta self-join of the corpus; the only nested-loop is
+    # the corpus x tiny-broadcast-seed assignment cross join, and the
+    # global top-100 is a distributed partial top-k
+    p = plan_of(spark, "q_neardup_cosine")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    import re
+    hash_joins = len(re.findall(r"(?:BroadcastHash|ShuffledHash|SortMerge)Join", p))
+    assert hash_joins >= 3, p[:2000]  # cell-pair join + 2 embedding joins
+
+
+def test_minhash_has_no_global_window(spark):
+    # token ids are per-row hashes: no single-partition global window
+    # (Window.orderBy without partitionBy) anywhere in the minhash plan
+    p = plan_of(spark, "q_dedup_minhash")
+    import re
+    for m in re.finditer(r"Window \[.*?\], \[(.*?)\], \[(.*?)\]", p):
+        assert m.group(1).strip(), f"global window in plan: {m.group(0)}"
+    assert "row_number" not in p.lower() or "partition" in p.lower()

@@ -276,34 +276,93 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-style blocking for the closest-pairs query: every vector is
+# assigned to its NDUP_ASSIGN nearest of NDUP_CELLS deterministic cells
+# (seeds = first NDUP_CELLS corpus vectors, the q_ann_ivf quantizer);
+# candidate pairs are pairs sharing >= 1 cell.  At fixture params
+# (C=10, R=5) candidate top-100 == all-pairs top-100 (recall 1.0,
+# asserted in tests) because the fixture has no density gap; at
+# production scale C grows with n (C ~ n/1000, R fixed) so the
+# candidate fraction ~ R^2/C and total work stays near-linear.
+NDUP_CELLS = 10
+NDUP_ASSIGN = 5
+
+
 @query(
     "q_neardup_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
+              WHERE vec_id < {NDUP_CELLS}),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {zf.sql_metric("l2sq", a="e.emb", b="s.ce", dim=64)}, s.cell_id)
+                 AS rk
+        FROM e CROSS JOIN seeds s
+      ) WHERE rk <= {NDUP_ASSIGN}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
     d AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {zf.sql_metric("cosine", dim=64)} AS dist
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      SELECT c.id_a, c.id_b,
+             {zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64)} AS dist
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b
     )
     SELECT id_a, id_b, {sql_rnd("dist")} AS dist
     FROM d ORDER BY d.dist, id_a, id_b LIMIT 100
     """,
 )
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: the 100 closest pairs in the corpus
-    (all-pairs closest-pair primitive; fixtures have no sub-threshold
-    dups, measured min pairwise cosine dist 0.487).  orderBy+limit ->
-    TakeOrderedAndProject, per-partition partial top-k."""
-    e = embeddings_d(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-dup, index-based: IVF multi-assign blocking
+    (deterministic quantizer shared with q_ann_ivf) -> within-cell
+    candidate pairs -> exact cosine re-rank -> global top-100.
+
+    Plan shape: seeds broadcast to both the corpus scan and the pair
+    join; pair generation is an EQUI-join on cell_id (bounded by cell
+    population), never an unbounded theta self-join; final top-100 is
+    TakeOrderedAndProject (per-partition partial top-k).  Locked by
+    tests/test_plans.py."""
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    seeds = e.filter(F.col("vec_id") < NDUP_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("vec_id").orderBy("d_seed", "cell_id")
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
         .select(
-            "id_a",
-            "id_b",
-            zf.cosine(F.col("ea"), F.col("eb")).alias("dist"),
+            "vec_id",
+            "cell_id",
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
         )
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= NDUP_ASSIGN)
+        .select("vec_id", "cell_id")
+    )
+    a = assign.select(F.col("vec_id").alias("id_a"), "cell_id")
+    b = assign.select(F.col("vec_id").alias("id_b"), F.col("cell_id").alias("cell_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("cell_id") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", zf.cosine(F.col("ea"), F.col("eb")).alias("dist"))
         .orderBy("dist", "id_a", "id_b")
         .limit(100)
         .select("id_a", "id_b", rnd(F.col("dist")).alias("dist"))
