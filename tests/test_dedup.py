@@ -44,6 +44,36 @@ def test_neardup_cosine_blocking_is_lossless(spark, duck):
     assert _vhash(sp) == _vhash(allpairs)
 
 
+def test_jaccard_pairs_survives_hot_stopword(spark, tmp_path):
+    """One stopword shared by every doc must not explode candidate
+    generation: pairs are generated from rare words only, yet n_common
+    still counts the stopword (exact full-set Jaccard)."""
+    from zebra_spark.queries.text import JACCARD_DF_CAP
+
+    rows = []
+    for i in range(300):  # 150 twin pairs, all sharing hot word "common"
+        k = i // 2
+        rows.append((i, "s", f"common pair{k}a pair{k}b pair{k}c"))
+    # docs overlapping ONLY on the stopword: excluded by design
+    rows.append((900, "s", "common unique900"))
+    rows.append((901, "s", "common unique901"))
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = (
+        zebra_spark.QUERIES["q_text_jaccard_pairs"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 150
+    assert (out["n_common"] == 4).all()  # 3 rare words + the hot stopword
+    assert (out["jaccard"] == 1.0).all()
+    assert 900 not in set(out["doc_a"]) and 901 not in set(out["doc_b"])
+    assert 300 > JACCARD_DF_CAP  # the hot list really was over the cap
+
+
 def test_word_hash_cross_engine(spark, duck):
     """Per-row polynomial token ids are bit-identical across engines
     (the invariant every minhash/simhash signature rests on)."""
