@@ -103,7 +103,7 @@ def insert_from_files(db, modality: str, paths: list[str]) -> int:
     blobs = to_multimodal(
         raw.withColumn("id", F.monotonically_increasing_id()), "id", "content", modality
     )
-    feats = decode_and_embed(blobs)
+    feats = decode_and_embed(blobs, dim=db.meta["dim"])
     records = feats.select(
         F.col("id").cast("string").alias("doc"),
         F.col("embedding").cast("array<double>").alias("embedding"),

@@ -169,10 +169,6 @@ class ZebraDatabase:
 
     def insert_documents(self, df: DataFrame, text_col: str = "doc") -> DataFrame:
         """Embed with the configured model, then append records."""
-        if self.meta["model"] != "hash_tf":
-            from zebra_spark.embed import embed_column
-
-            embed_column(self.meta["model"])  # raises: model not available
         # checkpoint BEFORE embedding: hash_tf_embedding joins the tagged
         # frame back to itself on _tmp_id, and monotonically_increasing_id
         # is only stable across the two join branches if the lineage is
@@ -180,13 +176,27 @@ class ZebraDatabase:
         tagged = df.withColumn(
             "_tmp_id", F.monotonically_increasing_id()
         ).localCheckpoint()
-        emb = hash_tf_embedding(tagged, text_col, "_tmp_id", self.meta["dim"])
+        emb = self._embed_frame(tagged, text_col)
         return self.insert_records(
             emb.select(
                 F.col(text_col).alias("doc"),
                 F.col("embedding"),
                 F.lit("text").alias("modality"),
             )
+        )
+
+    def _embed_frame(self, df: DataFrame, text_col: str) -> DataFrame:
+        """Embed `text_col` with the configured model: the native
+        hashing-TF path for 'hash_tf', else the model-backed pandas_udf
+        (embed_column — factory resolved at plan time, model loaded
+        lazily once per executor)."""
+        if self.meta["model"] == "hash_tf":
+            return hash_tf_embedding(df, text_col, "_tmp_id", self.meta["dim"])
+        from zebra_spark.embed import embed_column
+
+        udf = embed_column(self.meta["model"])
+        return df.withColumn(
+            "embedding", udf(F.col(text_col)).cast("array<double>")
         )
 
     def insert_records(self, df: DataFrame) -> DataFrame:
@@ -376,7 +386,17 @@ class ZebraDatabase:
         qdf = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "query_id bigint, doc string"
         )
-        emb = hash_tf_embedding(qdf, "doc", "query_id", self.meta["dim"])
+        if self.meta["model"] == "hash_tf":
+            emb = hash_tf_embedding(qdf, "doc", "query_id", self.meta["dim"])
+        else:
+            from zebra_spark.embed import embed_column
+
+            emb = qdf.withColumn(
+                "embedding",
+                embed_column(self.meta["model"])(F.col("doc")).cast(
+                    "array<double>"
+                ),
+            )
         vecs = {r.query_id: r.embedding for r in emb.select("query_id", "embedding").collect()}
         qids = sorted(vecs)
         return self.query_vectors(
@@ -397,7 +417,9 @@ class ZebraDatabase:
         raw = self.spark.createDataFrame(
             [(i, b) for i, b in enumerate(blobs)], "id bigint, content binary"
         )
-        feats = decode_and_embed(to_multimodal(raw, "id", "content", modality))
+        feats = decode_and_embed(
+            to_multimodal(raw, "id", "content", modality), dim=self.meta["dim"]
+        )
         rows = feats.select("id", "embedding").collect()
         got = {r.id: [float(x) for x in r.embedding] for r in rows}
         qids = sorted(got)

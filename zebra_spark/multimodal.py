@@ -63,6 +63,23 @@ def _fake_pixels(content: bytes, size: int = IMAGE_SIZE) -> np.ndarray:
     return out.reshape(size, size)
 
 
+def _pil_pixels(content: bytes, size: int = IMAGE_SIZE) -> np.ndarray:
+    """Real image decode (reference src/model/image.rs:24-43): open,
+    grayscale, resize to (size, size).  Only reachable when PIL is
+    installed; the plumbing around it is exercised with injected fake
+    decoders in tests/test_multimodal.py."""
+    import io  # noqa: PLC0415
+
+    img = PIL.Image.open(io.BytesIO(content)).convert("L").resize((size, size))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def decode_pixels(content: bytes, size: int = IMAGE_SIZE) -> np.ndarray:
+    """Decode a blob to a (size, size) uint8 grid: PIL when available,
+    the deterministic fake otherwise."""
+    return (_pil_pixels if _HAVE_PIL else _fake_pixels)(content, size)
+
+
 def _embed_pixels(pixels: np.ndarray, dim: int = EMBED_DIM) -> np.ndarray:
     """Deterministic feature extraction: mean-pool the pixel grid into
     `dim` blocks and L2-normalize (plays the ViT forward's role,
@@ -74,24 +91,27 @@ def _embed_pixels(pixels: np.ndarray, dim: int = EMBED_DIM) -> np.ndarray:
     return (v / n if n else v).astype(np.float32)
 
 
-def decode_and_embed(df: DataFrame) -> DataFrame:
+def decode_and_embed(
+    df: DataFrame, dim: int = EMBED_DIM, decoder=None
+) -> DataFrame:
     """mapInPandas: (id, modality, content, meta) -> decoded features +
-    embedding.  Audio reduces to a spectrogram image first (the
-    reference's audio≙image reduction), video would frame-sample — both
-    collapse to the image path in the stub."""
+    embedding of length `dim`.  Audio reduces to a spectrogram image
+    first (the reference's audio≙image reduction), video would
+    frame-sample — both collapse to the image path.
+
+    `dim` MUST match the owning database's configured dimension (the
+    facade passes db.meta['dim']); `decoder` (bytes -> (H, W) uint8
+    grid) defaults to the PIL path when installed, else the
+    deterministic fake — tests inject fakes here to exercise the real
+    branch's plumbing."""
+    dec = decoder or decode_pixels
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
-                if _HAVE_PIL and r.modality == "image":
-                    raise NotImplementedError(
-                        "real decode path: PIL present but intentionally "
-                        "unwired in v1 — swap _fake_pixels for "
-                        "PIL.Image.open + resize((224,224))"
-                    )
-                pixels = _fake_pixels(content)
+                pixels = np.asarray(dec(content), dtype=np.uint8)
                 rows.append(
                     {
                         "id": r.id,
@@ -99,7 +119,7 @@ def decode_and_embed(df: DataFrame) -> DataFrame:
                         "n_bytes": len(content),
                         "height": pixels.shape[0],
                         "width": pixels.shape[1],
-                        "embedding": _embed_pixels(pixels),
+                        "embedding": _embed_pixels(pixels, dim),
                     }
                 )
             yield pd.DataFrame(rows)
