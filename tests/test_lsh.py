@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql.functions import col as spark_col
 
 from tests.conftest import SF_ORACLE
 
@@ -91,10 +92,13 @@ def test_save_load_roundtrip(spark, index, tmp_path):
     assert r1.equals(r2)
 
 
-def test_adaptive_build_deepens_on_skew(spark):
-    """A tightly clustered corpus overflows buckets at the default
-    depth; adaptive build must deepen until <=10% of rows sit in
-    oversized buckets (≙ the reference's split-until-leaves-fit)."""
+def test_adaptive_build_splits_locally_on_skew(spark):
+    """A tightly clustered corpus overflows some leaves at the default
+    depth; adaptive build must split ONLY those leaves (per-node
+    hyperplanes from the leaf's own members, ≙ build_a_tree's recursion
+    lsh.rs:250-267) — untouched leaves keep the base depth, every
+    vector stays in exactly num_trees leaves, oversized mass shrinks,
+    and recall vs exact stays high."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -113,13 +117,24 @@ def test_adaptive_build_deepens_on_skew(spark):
         spark, "", corpus=corpus, num_trees=5, seed=1, adaptive=True,
         oversize_factor=8,
     )
-    assert adaptive.options.depth > plain.normals.shape[1]
+    # local split: base depth unchanged, split metadata present,
+    # split leaves carry more signature bits than the base depth
+    assert adaptive.options.depth == plain.options.depth
+    assert len(adaptive.split_meta) > 0
+    sizes = adaptive.bucket_counts().toPandas()
+    assert sizes["nbits"].max() > adaptive.options.depth
+    # index size invariant: every vector in exactly num_trees leaves
+    # (global deepening would keep this too, but it re-buckets EVERY
+    # row; local split moved only the oversized leaves' rows)
+    assert sizes["n"].sum() == 2000 * 5
+    untouched = sizes[sizes["nbits"] == adaptive.options.depth]
+    assert len(untouched) > 0  # most leaves were never re-bucketed
 
     limit = 8 * adaptive.options.max_node_size
 
     def oversized_rows(idx):
         return (
-            idx.index_df.groupBy("tree_id", "bucket_id")
+            idx.index_df.groupBy("tree_id", "bucket_id", "nbits")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") > limit)
             .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("r"))
@@ -127,10 +142,73 @@ def test_adaptive_build_deepens_on_skew(spark):
             .r
         )
 
-    # deepening strictly reduces oversized mass (full convergence is
+    # splitting strictly reduces oversized mass (full convergence is
     # impossible for arbitrarily tight clusters under ANY splitting
     # scheme, the reference's recursion included)
     assert oversized_rows(adaptive) < oversized_rows(plain)
+    # p99 leaf of the adaptive index respects the oversize budget
+    assert float(sizes["n"].quantile(0.99)) <= limit
+    # recall vs exact top-10 for 20 member queries
+    qids = list(range(0, 2000, 100))
+    got = adaptive.search_ids(qids, k=10, probes=8).toPandas()
+    d2 = ((data[:, None, :] - data[None, :, :] ) ** 2).sum(-1) if False else None
+    ref_hits = 0
+    for q in qids:
+        dist = ((data - data[q]) ** 2).sum(1)
+        order = np.argsort(dist, kind="stable")[:10]
+        mine = set(got[got.query_id == q].neighbor_id)
+        ref_hits += len(mine & set(int(x) for x in order))
+    assert ref_hits / (10 * len(qids)) >= 0.9
+
+
+def test_identical_vector_leaf_freezes_not_loops(spark):
+    """A leaf of byte-identical vectors can never split; the builder
+    must freeze it and terminate instead of looping."""
+    from zebra_spark.index.lsh import LSHIndex
+
+    rows = [(i, [1.0] * 8) for i in range(300)] + [
+        (1000 + i, [float(i), 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 2.0]) for i in range(50)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+    idx = LSHIndex.build(
+        spark, "", corpus=corpus, num_trees=3, seed=7, adaptive=True,
+        oversize_factor=4,
+    )
+    sizes = idx.bucket_counts().toPandas()
+    assert sizes["n"].sum() == 350 * 3  # nothing lost, build terminated
+    hits = idx.search_ids([0], k=5).toPandas()
+    assert len(hits) == 5
+
+
+def test_search_df_matches_numpy_path(spark, index):
+    """The DataFrame-native search (no driver collect) returns exactly
+    what the numpy probe path returns for the same queries."""
+    from zebra_spark.io import embeddings_d
+
+    queries = (
+        embeddings_d(spark, SF_ORACLE)
+        .filter("vec_id < 200")
+        .select(spark_col("vec_id").alias("query_id"), "emb")
+        .withColumnRenamed("emb", "qe")
+    )
+    via_df = (
+        index.search_df(queries, k=10, probes=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    vecs = {r.query_id: r.qe for r in queries.collect()}
+    qids = sorted(vecs)
+    via_np = (
+        index.search_vectors(
+            np.array([vecs[q] for q in qids], dtype=np.float64),
+            k=10, probes=8, query_ids=qids,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert via_df.equals(via_np)
 
 
 def test_compact_preserves_results(spark, index):
@@ -153,3 +231,54 @@ def test_compact_preserves_results(spark, index):
     r1 = grown.search_ids([3], k=5).toPandas()
     r2 = compacted.search_ids([3], k=5).toPandas()
     assert r1.equals(r2)
+
+
+def test_compact_collapses_probe_plan_unions(spark, index):
+    """Each add() leaves one more un-clustered appendix on the probe
+    path (a Union branch in the candidate scan); compact() restores the
+    single tree_id-clustered relation."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+
+    grown = index
+    for i in range(3):
+        extra = (
+            embeddings_d(spark, SF_ORACLE)
+            .select("vec_id", "emb")
+            .filter("vec_id < 3")
+            .withColumn("vec_id", (F.lit((60 + i) << 50) + F.col("vec_id")))
+        )
+        grown = grown.add(extra)
+    assert grown.appends == 3
+
+    def probe_plan(idx):
+        df = idx.search_ids([1], k=3)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Union" in probe_plan(grown)
+    compacted = grown.compact()
+    assert compacted.appends == 0
+    assert "Union" not in probe_plan(compacted)
+    a = grown.search_ids([3], k=5).toPandas()
+    b = compacted.search_ids([3], k=5).toPandas()
+    assert a.equals(b)
+
+
+def test_database_auto_compacts_index(spark, tmp_path):
+    """insert_records compacts the incremental index once the append
+    stack reaches _AUTO_COMPACT_APPENDS (VERDICT r1 #8)."""
+    from zebra_spark.database import _AUTO_COMPACT_APPENDS, ZebraDatabase
+
+    db = ZebraDatabase.create(spark, str(tmp_path / "db"), dim=8, metric="l2sq")
+    db.insert_texts([f"seed doc {i}" for i in range(40)])
+    db.index()  # force the initial build
+    for i in range(_AUTO_COMPACT_APPENDS):
+        db.insert_texts([f"incremental doc {i}"])
+        assert db._index.appends <= _AUTO_COMPACT_APPENDS
+    # the loop crossed the threshold at least once -> stack was reset
+    assert db._index.appends < _AUTO_COMPACT_APPENDS
+    # dim=8 hash-TF can bucket-collide distinct digits, so assert on the
+    # distance (an exact-duplicate embedding is guaranteed present)
+    hits = db.query_texts(["seed doc 7"], k=1).collect()
+    assert hits[0].dist == 0.0

@@ -37,6 +37,7 @@ from zebra_spark.embed import DEFAULT_DIM, hash_tf_embedding
 from zebra_spark.functions import rnd
 
 _BATCH_SHIFT = 40  # ids: (batch_no << 40) | monotonic_id
+_AUTO_COMPACT_APPENDS = 8  # compact the LSH index every N incremental adds
 
 
 class ZebraDatabase:
@@ -293,6 +294,11 @@ class ZebraDatabase:
                     "vec_id", F.col("embedding").cast("array<double>").alias("emb")
                 )
             )
+            # each add() unions one more unpartitioned appendix onto the
+            # probe path; compact once the union stack gets deep enough
+            # to matter (restores the single tree_id-clustered scan)
+            if self._index.appends >= _AUTO_COMPACT_APPENDS:
+                self._index = self._index.compact()
         return inserted
 
     # -- mutation (≙ remove/deduplicate, core.rs:205-224) -----------------

@@ -42,8 +42,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
-
 from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
@@ -103,28 +101,138 @@ def _sample_hyperplanes(
     return normals.reshape(num_trees, depth, dim), constants.reshape(num_trees, depth)
 
 
-def _signature_udf(normals: np.ndarray, constants: np.ndarray):
-    """array<double> -> array<long>: bucket id per tree, one matmul per
-    Arrow batch.  H/C ride the closure once per executor (small:
-    T*D*dim floats)."""
+def _descend_np(
+    vec: np.ndarray, tree: int, bucket: int, nbits: int, split_meta: dict
+) -> tuple[int, int]:
+    """Follow per-leaf split hyperplanes to the final (bucket, nbits).
+    ≙ the reference's recursive descent past the fixed-depth frontier
+    (tree_result, lsh.rs:320-345): each split leaf holds ONE extra
+    hyperplane; children may be split again."""
+    while (tree, nbits, bucket) in split_meta:
+        normal, const = split_meta[(tree, nbits, bucket)]
+        bit = 1 if float(vec @ normal) + const >= 0 else 0
+        bucket = (bucket << 1) | bit
+        nbits += 1
+    return bucket, nbits
+
+
+def _descend_multi_np(
+    vec: np.ndarray,
+    tree: int,
+    bucket: int,
+    nbits: int,
+    split_meta: dict,
+    max_leaves: int,
+) -> list[tuple[int, int]]:
+    """Best-first multi-leaf descent through the split subtree: at every
+    split node the taken child continues, the sibling is queued with the
+    boundary |margin| as penalty; leaves pop in ascending total penalty
+    until max_leaves are collected.  This is the in-tree analogue of the
+    reference's backtracking (lsh.rs:340-345): without it a query would
+    see exactly one small split leaf and recall collapses on clustered
+    data."""
+    import heapq
+
+    out: list[tuple[int, int]] = []
+    heap: list[tuple[float, int, int]] = [(0.0, bucket, nbits)]
+    while heap and len(out) < max_leaves:
+        pen, b, nb = heapq.heappop(heap)
+        while (tree, nb, b) in split_meta:
+            normal, const = split_meta[(tree, nb, b)]
+            m = float(vec @ normal) + const
+            bit = 1 if m >= 0 else 0
+            heapq.heappush(heap, (pen + abs(m), (b << 1) | (1 - bit), nb + 1))
+            b, nb = (b << 1) | bit, nb + 1
+        out.append((b, nb))
+    return out
+
+
+def _assign_op(normals: np.ndarray, constants: np.ndarray, split_meta: dict):
+    """mapInPandas op: (vec_id, emb) -> (tree_id, bucket_id, nbits,
+    vec_id) leaf assignments.  Base signatures are one matmul per Arrow
+    batch; only rows landing in split leaves take the (rare) per-row
+    descent loop."""
     T, D, dim = normals.shape
-    H = normals.reshape(T * D, dim).T.copy()  # (dim, T*D)
+    H = normals.reshape(T * D, dim).T.copy()
     C = constants.reshape(T * D)
     weights = (1 << np.arange(D, dtype=np.int64))[::-1]
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def sig(emb: pd.Series) -> pd.Series:
-        M = np.array(emb.tolist(), dtype=np.float64)  # (n, dim)
-        bits = (M @ H + C >= 0).reshape(len(M), T, D)
-        buckets = bits.astype(np.int64) @ weights  # (n, T)
-        return pd.Series(list(buckets))
+    def op(batches):
+        for pdf in batches:
+            M = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            bits = (M @ H + C >= 0).reshape(len(M), T, D)
+            base = bits.astype(np.int64) @ weights  # (n, T)
+            out = {"tree_id": [], "bucket_id": [], "nbits": [], "vec_id": []}
+            for i, vid in enumerate(pdf["vec_id"]):
+                for t in range(T):
+                    b, nb = int(base[i, t]), D
+                    if split_meta:
+                        b, nb = _descend_np(M[i], t, b, nb, split_meta)
+                    out["tree_id"].append(t)
+                    out["bucket_id"].append(b)
+                    out["nbits"].append(nb)
+                    out["vec_id"].append(int(vid))
+            yield pd.DataFrame(out)
 
-    return sig
+    return op
+
+
+_INDEX_SCHEMA = "tree_id int, bucket_id bigint, nbits int, vec_id bigint"
+
+
+def _probe_keys_np(
+    vectors: np.ndarray,
+    normals: np.ndarray,
+    constants: np.ndarray,
+    split_meta: dict,
+    probes: int,
+) -> pd.DataFrame:
+    """Pure-numpy probe-key computation shared by the driver path
+    (probe_keys) and the DataFrame-native path (search_df's
+    mapInPandas): base signature matmul, lowest-|margin| bit flips,
+    then per-leaf split descent."""
+    T, D, dim = normals.shape
+    H = normals.reshape(T * D, dim).T
+    C = constants.reshape(T * D)
+    margins = (vectors @ H + C).reshape(-1, T, D)
+    bits = margins >= 0
+    weights = (1 << np.arange(D, dtype=np.int64))[::-1]
+    base = bits.astype(np.int64) @ weights  # (n, T)
+    rows = []
+    for qi in range(base.shape[0]):
+        for t in range(T):
+            cand = [int(base[qi, t])]
+            if probes > 1:
+                order = np.argsort(np.abs(margins[qi, t]))[: probes - 1]
+                cand.extend(int(base[qi, t]) ^ int(weights[lvl]) for lvl in order)
+            for b in cand:
+                if split_meta:
+                    for leaf_b, leaf_nb in _descend_multi_np(
+                        vectors[qi], t, b, D, split_meta, max_leaves=probes
+                    ):
+                        rows.append((qi, t, leaf_b, leaf_nb))
+                else:
+                    rows.append((qi, t, b, D))
+    return pd.DataFrame(
+        rows, columns=["query_id", "tree_id", "bucket_id", "nbits"]
+    )
+
+
 
 
 class LSHIndex:
     """A built index: hyperplanes (driver-side numpy, broadcastable) +
-    the bucket-assignment DataFrame (tree_id, bucket_id, vec_id)."""
+    the bucket-assignment DataFrame (tree_id, bucket_id, nbits, vec_id).
+
+    `nbits` is the signature length of the row's leaf.  The base build
+    assigns every row `depth` bits; LOCAL re-splits (adaptive=True)
+    extend only oversized leaves one bit at a time with a hyperplane
+    sampled from that leaf's own members — the faithful analogue of the
+    reference's per-node recursion (build_a_tree, lsh.rs:250-267),
+    instead of deepening the whole forest.  The per-leaf hyperplanes
+    live in `split_meta` {(tree, nbits, bucket): (normal, constant)} —
+    tiny (one entry per split leaf), rides to executors in closures and
+    to disk in metadata.json."""
 
     def __init__(
         self,
@@ -134,6 +242,8 @@ class LSHIndex:
         normals: np.ndarray,
         constants: np.ndarray,
         index_df: DataFrame,
+        split_meta: dict | None = None,
+        appends: int = 0,
     ):
         self.spark = spark
         self.corpus = corpus  # (vec_id, emb double[])
@@ -141,6 +251,8 @@ class LSHIndex:
         self.normals = normals
         self.constants = constants
         self.index_df = index_df
+        self.split_meta = split_meta or {}
+        self.appends = appends  # un-compacted add() rounds
 
     # -- construction (≙ LSHIndex::build_index, lsh.rs:411-429) -----------
 
@@ -156,15 +268,16 @@ class LSHIndex:
         corpus: DataFrame | None = None,
         adaptive: bool = False,
         oversize_factor: int = 16,
-        max_depth: int = 24,
+        max_split_rounds: int = 16,
     ) -> "LSHIndex":
-        """Bulk build.  adaptive=True re-splits by deepening: if more
-        than 10% of index rows sit in buckets larger than
-        oversize_factor * max_node_size, rebuild one level deeper — the
-        hash-space analogue of the reference's recursive splitting until
-        leaves fit (build_a_tree, lsh.rs:250-267).  Each iteration is one
-        cheap matmul pass; depth is global per build (per-bucket local
-        splits would need split metadata on the probe path)."""
+        """Bulk build.  adaptive=True re-splits LOCALLY: each leaf larger
+        than oversize_factor * max_node_size gets ONE extra hyperplane
+        sampled from its own members (normal = b - a through the
+        midpoint — per-node build_hyperplane, lsh.rs:192-225) and its
+        rows move to the two child leaves; rounds repeat until every
+        leaf fits or a leaf proves unsplittable (e.g. identical
+        vectors).  Unlike global deepening, untouched leaves keep their
+        depth, so a skewed corpus can't inflate the whole forest."""
         opts = LSHIndexOptions(num_trees, max_node_size, seed, depth)
         corpus = corpus if corpus is not None else embeddings_d(spark, sf_dir).select(
             "vec_id", "emb"
@@ -175,50 +288,161 @@ class LSHIndex:
         dim = len(corpus.select("emb").first().emb)
         d = opts.resolve_depth(n)
 
-        def build_at(d: int):
-            normals, constants = _sample_hyperplanes(corpus, num_trees, d, dim, seed)
-            sig = _signature_udf(normals, constants)
-            index_df = (
-                corpus.withColumn("sig", sig("emb"))
-                .select("vec_id", F.posexplode("sig").alias("tree_id", "bucket_id"))
-                .select("tree_id", "bucket_id", "vec_id")
-                .repartition("tree_id")
-                .cache()
-            )
-            index_df.count()  # materialize
-            return normals, constants, index_df
+        normals, constants = _sample_hyperplanes(corpus, num_trees, d, dim, seed)
+        index_df = (
+            corpus.mapInPandas(_assign_op(normals, constants, {}), _INDEX_SCHEMA)
+            .repartition("tree_id")
+            .cache()
+        )
+        index_df.count()  # materialize
+        opts.depth = d
 
-        normals, constants, index_df = build_at(d)
-        while adaptive and d < max_depth:
-            limit = oversize_factor * max_node_size
-            oversized = (
-                index_df.groupBy("tree_id", "bucket_id")
+        split_meta: dict = {}
+        if adaptive:
+            index_df, split_meta = cls._local_resplit(
+                spark, corpus, index_df, seed,
+                limit=oversize_factor * max_node_size,
+                max_rounds=max_split_rounds,
+            )
+        return cls(spark, corpus, opts, normals, constants, index_df, split_meta)
+
+    @staticmethod
+    def _local_resplit(
+        spark: SparkSession,
+        corpus: DataFrame,
+        index_df: DataFrame,
+        seed: int,
+        limit: int,
+        max_rounds: int,
+    ) -> tuple[DataFrame, dict]:
+        """Split oversized leaves in place, one bit per round.  Each
+        round is two distributed passes (size scan + member re-assign)
+        over ONLY the oversized leaves' rows; hyperplane seeds are two
+        deterministically-sampled members per leaf (a driver list of
+        2 rows per split leaf — never the leaf populations)."""
+        split_meta: dict = {}
+        frozen: set = set()  # leaves that failed to split (e.g. all-identical)
+        for rnd_no in range(max_rounds):
+            sizes = (
+                index_df.groupBy("tree_id", "bucket_id", "nbits")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .filter(F.col("c") > limit)
-                .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("rows"))
-                .collect()[0]
-                .rows
+                .collect()
             )
-            if oversized <= 0.1 * n * num_trees:
+            todo = [
+                r for r in sizes
+                if (r.tree_id, r.nbits, r.bucket_id) not in frozen
+            ]
+            if not todo:
                 break
-            index_df.unpersist()
-            d += 1
-            normals, constants, index_df = build_at(d)
-        opts.depth = d
-        return cls(spark, corpus, opts, normals, constants, index_df)
+            parent_size = {
+                (r.tree_id, r.nbits, r.bucket_id): r.c for r in todo
+            }
+            keys_df = F.broadcast(
+                spark.createDataFrame(
+                    [(r.tree_id, r.bucket_id, r.nbits) for r in todo],
+                    "tree_id int, bucket_id bigint, nbits int",
+                )
+            )
+            members = index_df.join(keys_df, ["tree_id", "bucket_id", "nbits"])
+            # two seeded sample members per leaf -> hyperplane a, b
+            w = Window.partitionBy("tree_id", "bucket_id", "nbits").orderBy(
+                F.xxhash64("vec_id", F.lit(seed + rnd_no))
+            )
+            pair_rows = (
+                members.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= 2)
+                .join(corpus, "vec_id")
+                .select("tree_id", "bucket_id", "nbits", "_rn", "emb")
+                .collect()
+            )
+            pairs: dict = {}
+            for r in pair_rows:
+                pairs.setdefault((r.tree_id, r.nbits, r.bucket_id), {})[r._rn] = (
+                    np.array(r.emb, dtype=np.float64)
+                )
+            rng = np.random.default_rng(seed + 1000 + rnd_no)
+            new_splits: dict = {}
+            for key, ab in pairs.items():
+                a, b = ab.get(1), ab.get(2)
+                if a is None or b is None:
+                    frozen.add(key)
+                    continue
+                normal = b - a
+                if np.linalg.norm(normal) < 1e-12:  # identical sample pair
+                    normal = rng.standard_normal(len(a))
+                const = -float(normal @ ((a + b) / 2.0))
+                new_splits[key] = (normal, float(const))
+            if not new_splits:
+                break
+            # re-assign ONLY the members of leaves split this round
+            bcast = new_splits
+
+            def reassign(batches):
+                for pdf in batches:
+                    emb = [np.array(e, dtype=np.float64) for e in pdf["emb"]]
+                    bucket, nbits = [], []
+                    for i in range(len(pdf)):
+                        key = (
+                            int(pdf["tree_id"].iat[i]),
+                            int(pdf["nbits"].iat[i]),
+                            int(pdf["bucket_id"].iat[i]),
+                        )
+                        b, nb = key[2], key[1]
+                        if key in bcast:
+                            normal, const = bcast[key]
+                            bit = 1 if float(emb[i] @ normal) + const >= 0 else 0
+                            b, nb = (b << 1) | bit, nb + 1
+                        bucket.append(b)
+                        nbits.append(nb)
+                    yield pd.DataFrame(
+                        {
+                            "tree_id": pdf["tree_id"],
+                            "bucket_id": bucket,
+                            "nbits": nbits,
+                            "vec_id": pdf["vec_id"],
+                        }
+                    )
+
+            reassigned = (
+                members.join(corpus, "vec_id")
+                .select("tree_id", "bucket_id", "nbits", "vec_id", "emb")
+                .mapInPandas(reassign, _INDEX_SCHEMA)
+            )
+            untouched = index_df.join(
+                keys_df, ["tree_id", "bucket_id", "nbits"], "left_anti"
+            )
+            index_df = (
+                untouched.unionByName(reassigned)
+                .repartition("tree_id")
+                .localCheckpoint()  # cut per-round lineage growth
+            )
+            split_meta.update(new_splits)
+            # freeze children that did not shrink (all members on one side)
+            child_sizes = (
+                index_df.groupBy("tree_id", "bucket_id", "nbits")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > limit)
+                .collect()
+            )
+            for r in child_sizes:
+                parent = (r.tree_id, r.nbits - 1, r.bucket_id >> 1)
+                if parent in new_splits and parent_size.get(parent) == r.c:
+                    frozen.add((r.tree_id, r.nbits, r.bucket_id))
+        return index_df, split_meta
 
     # -- incremental add (≙ LSHIndex::add, lsh.rs:440-466) ----------------
 
     def add(self, new_corpus: DataFrame) -> "LSHIndex":
-        """Hyperplanes are fixed after build, so inserting rows is just
-        signature computation for the NEW rows + append — no tree rebuild
-        (the hash formulation's payoff vs the reference's leaf-split
-        rewrite at lsh.rs:368-377)."""
-        sig = _signature_udf(self.normals, self.constants)
-        add_df = (
-            new_corpus.withColumn("sig", sig("emb"))
-            .select("vec_id", F.posexplode("sig").alias("tree_id", "bucket_id"))
-            .select("tree_id", "bucket_id", "vec_id")
+        """Hyperplanes (global AND per-leaf splits) are fixed after
+        build, so inserting rows is just leaf assignment for the NEW
+        rows + append — no tree rebuild (the hash formulation's payoff
+        vs the reference's leaf-split rewrite at lsh.rs:368-377).  The
+        append is an unpartitioned union; `appends` counts them so the
+        owner can compact() once the probe layout degrades."""
+        add_df = new_corpus.mapInPandas(
+            _assign_op(self.normals, self.constants, self.split_meta),
+            _INDEX_SCHEMA,
         )
         return LSHIndex(
             self.spark,
@@ -227,6 +451,8 @@ class LSHIndex:
             self.normals,
             self.constants,
             self.index_df.unionByName(add_df),
+            self.split_meta,
+            appends=self.appends + 1,
         )
 
     def remove(self, ids: Sequence[int]) -> "LSHIndex":
@@ -240,6 +466,8 @@ class LSHIndex:
             self.normals,
             self.constants,
             self.index_df.join(F.broadcast(ids_df), "vec_id", "left_anti"),
+            self.split_meta,
+            self.appends,
         )
 
     # -- persistence (≙ KeyValue partitions + .zebra metadata) ------------
@@ -262,6 +490,10 @@ class LSHIndex:
             "dim": int(self.normals.shape[2]),
             "normals": self.normals.tolist(),
             "constants": self.constants.tolist(),
+            "split_meta": [
+                [t, nb, b, normal.tolist(), const]
+                for (t, nb, b), (normal, const) in self.split_meta.items()
+            ],
         }
         import os
 
@@ -276,6 +508,10 @@ class LSHIndex:
         opts = LSHIndexOptions(
             meta["num_trees"], meta["max_node_size"], meta["seed"], meta["depth"]
         )
+        split_meta = {
+            (t, nb, b): (np.array(normal, dtype=np.float64), float(const))
+            for t, nb, b, normal, const in meta.get("split_meta", [])
+        }
         return cls(
             spark,
             spark.read.parquet(f"{path}/embeddings"),
@@ -283,31 +519,21 @@ class LSHIndex:
             np.array(meta["normals"]),
             np.array(meta["constants"]),
             spark.read.parquet(f"{path}/index"),
+            split_meta,
         )
 
     # -- search (≙ LSHIndex::search, lsh.rs:544-565) ----------------------
 
     def probe_keys(self, vectors: np.ndarray, probes: int = 1) -> pd.DataFrame:
-        """(query_id, tree_id, bucket_id) probe set.  probes > 1 enables
-        multi-probe: flip the `probes-1` lowest-|margin| sign bits, the
-        hash-space analogue of the reference's sibling backtracking
-        (lsh.rs:340-345)."""
-        T, D, dim = self.normals.shape
-        H = self.normals.reshape(T * D, dim).T
-        C = self.constants.reshape(T * D)
-        margins = (np.asarray(vectors, dtype=np.float64) @ H + C).reshape(-1, T, D)
-        bits = margins >= 0
-        weights = (1 << np.arange(D, dtype=np.int64))[::-1]
-        base = bits.astype(np.int64) @ weights  # (n, T)
-        rows = []
-        for qi in range(base.shape[0]):
-            for t in range(T):
-                rows.append((qi, t, int(base[qi, t])))
-                if probes > 1:
-                    order = np.argsort(np.abs(margins[qi, t]))[: probes - 1]
-                    for lvl in order:
-                        rows.append((qi, t, int(base[qi, t] ^ int(weights[lvl]))))
-        return pd.DataFrame(rows, columns=["query_id", "tree_id", "bucket_id"])
+        """(query_id, tree_id, bucket_id, nbits) probe set.  probes > 1
+        enables multi-probe: flip the `probes-1` lowest-|margin| sign
+        bits, the hash-space analogue of the reference's sibling
+        backtracking (lsh.rs:340-345).  Every probed base bucket is then
+        descended through the per-leaf split hyperplanes."""
+        return _probe_keys_np(
+            np.asarray(vectors, dtype=np.float64),
+            self.normals, self.constants, self.split_meta, probes,
+        )
 
     def search_vectors(
         self,
@@ -329,7 +555,7 @@ class LSHIndex:
         keys_df = self.spark.createDataFrame(
             [tuple(int(v) for v in row)
              for row in keys.drop_duplicates().itertuples(index=False)],
-            "query_id bigint, tree_id int, bucket_id bigint",
+            "query_id bigint, tree_id int, bucket_id bigint, nbits int",
         )
         qdf = self.spark.createDataFrame(
             # plain-Python floats: the non-Arrow createDataFrame path
@@ -337,16 +563,23 @@ class LSHIndex:
             [(int(q), [float(x) for x in v]) for q, v in zip(query_ids, vectors)],
             "query_id bigint, qe array<double>",
         )
-        candidates = (
-            self.index_df.join(F.broadcast(keys_df), ["tree_id", "bucket_id"])
+        return self._rerank(
+            self._candidates(F.broadcast(keys_df)), F.broadcast(qdf), k, metric
+        )
+
+    def _candidates(self, keys_df) -> DataFrame:
+        return (
+            self.index_df.join(keys_df, ["tree_id", "bucket_id", "nbits"])
             .select("query_id", "vec_id")
             .dropDuplicates(["query_id", "vec_id"])  # ≙ the DashSet, lsh.rs:553
         )
+
+    def _rerank(self, candidates: DataFrame, qdf, k: int, metric: str) -> DataFrame:
         metric_fn = zf.METRICS[metric]
         w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
         return (
             candidates.join(self.corpus, "vec_id")
-            .join(F.broadcast(qdf), "query_id")
+            .join(qdf, "query_id")
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
@@ -357,6 +590,45 @@ class LSHIndex:
             .select(
                 "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
             )
+        )
+
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "l2sq",
+        probes: int = 8,
+    ) -> DataFrame:
+        """DataFrame-native ANN for LARGE query batches: `queries` is
+        (query_id bigint, qe array<double>); probe keys are computed
+        executor-side by the same numpy routine as probe_keys (one
+        matmul per Arrow batch, inside mapInPandas), so NOTHING —
+        vectors or keys — ever transits the driver.  The key->index
+        join shuffles on (tree_id, bucket_id, nbits); candidate re-rank
+        shuffles on query_id: two bounded shuffles regardless of batch
+        size.  search_vectors stays the low-latency path for driver-side
+        numpy batches (its probe keys broadcast)."""
+        normals, constants = self.normals, self.constants
+        split_meta = self.split_meta
+
+        def probe_op(batches):
+            for pdf in batches:
+                M = np.array(pdf["qe"].tolist(), dtype=np.float64)
+                keys = _probe_keys_np(M, normals, constants, split_meta, probes)
+                keys["query_id"] = keys["query_id"].map(
+                    dict(enumerate(pdf["query_id"]))
+                )
+                yield keys.drop_duplicates()
+
+        keys_df = queries.mapInPandas(
+            probe_op,
+            "query_id bigint, tree_id int, bucket_id bigint, nbits int",
+        )
+        return self._rerank(
+            self._candidates(keys_df),
+            queries.select("query_id", "qe"),
+            k,
+            metric,
         )
 
     def search_ids(
@@ -380,8 +652,9 @@ class LSHIndex:
         compaction the reference delegates to fjall."""
         compacted = self.index_df.repartition("tree_id").localCheckpoint()
         return LSHIndex(
-            self.spark, self.corpus, self.options,
+            self.spark, self.corpus.localCheckpoint(), self.options,
             self.normals, self.constants, compacted,
+            self.split_meta, appends=0,
         )
 
     # -- diagnostics ------------------------------------------------------
@@ -390,7 +663,7 @@ class LSHIndex:
         """Bucket histogram (≙ tree shape introspection; deterministic
         under fixed seed — golden-tested PySpark-side)."""
         return (
-            self.index_df.groupBy("tree_id", "bucket_id")
+            self.index_df.groupBy("tree_id", "bucket_id", "nbits")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("tree_id", "bucket_id")
+            .orderBy("tree_id", "bucket_id", "nbits")
         )
