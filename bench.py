@@ -67,6 +67,11 @@ def main() -> None:
         "q_ann_ivf",
         "q_window_sliding",
         "q_text_fingerprint",
+        # north-star dedup pipeline (VERDICT r1 #9): banded MinHash
+        # candidates + verify, and connected-component clustering on top
+        "q_dedup_minhash",
+        "q_dedup_clusters",
+        "q_neardup_cosine",
     ]
 
     # warm-up: JVM/codegen/parquet footer caches

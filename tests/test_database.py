@@ -208,3 +208,59 @@ def test_cosine_db_binary_roundtrip(spark, tmp_path):
     top = res.sort_values("rank").iloc[0]
     assert top["doc"] == "2"
     assert top["dist"] == 0.0
+
+
+def test_remove_crash_between_table_swaps_rolls_forward(spark, tmp_path):
+    """ADVICE r1: a crash between the embeddings swap and the documents
+    swap must not leave the two tables disagreeing.  Simulate the crash
+    window: both _tmp copies written, commit marker down, only the
+    FIRST table swapped — reopening must complete the second swap."""
+    import json as _json
+    import os
+
+    from zebra_spark.database import ZebraDatabase
+
+    path = str(tmp_path / "db")
+    db = ZebraDatabase.create(spark, path, dim=8)
+    db.insert_texts([f"doc {i}" for i in range(10)])
+    victim = db.documents().select("vec_id").orderBy("vec_id").first().vec_id
+
+    # phase 1 by hand: kept rows to _tmp for both tables
+    ids_df = spark.createDataFrame([(int(victim),)], "vec_id bigint")
+    for table in ("embeddings", "documents"):
+        db._read(table).join(ids_df, "vec_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{table}_tmp")
+    with open(f"{path}/_swap_commit", "w") as f:
+        _json.dump(["embeddings", "documents"], f)
+    db._swap_in_tmp("embeddings")  # crash happens here
+
+    reopened = ZebraDatabase.open(spark, path)  # recovery runs in __init__
+    assert not os.path.exists(f"{path}/_swap_commit")
+    emb_ids = {r.vec_id for r in reopened.embeddings().select("vec_id").collect()}
+    doc_ids = {r.vec_id for r in reopened.documents().select("vec_id").collect()}
+    assert emb_ids == doc_ids  # the tables agree
+    assert victim not in emb_ids  # and the delete is durable
+
+
+def test_remove_crash_before_commit_discards_tmp(spark, tmp_path):
+    """Pre-commit crash (kept rows written, no marker): the delete never
+    happened — reopening discards _tmp and keeps every row."""
+    import os
+
+    from zebra_spark.database import ZebraDatabase
+
+    path = str(tmp_path / "db")
+    db = ZebraDatabase.create(spark, path, dim=8)
+    db.insert_texts([f"doc {i}" for i in range(10)])
+    ids_df = spark.createDataFrame(
+        [(int(db.documents().first().vec_id),)], "vec_id bigint"
+    )
+    db._read("embeddings").join(ids_df, "vec_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/embeddings_tmp")  # crash before marker
+
+    reopened = ZebraDatabase.open(spark, path)
+    assert not os.path.exists(f"{path}/embeddings_tmp")
+    assert reopened.embeddings().count() == 10
+    assert reopened.documents().count() == 10

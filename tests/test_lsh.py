@@ -265,19 +265,22 @@ def test_compact_collapses_probe_plan_unions(spark, index):
     assert a.equals(b)
 
 
-def test_database_auto_compacts_index(spark, tmp_path):
+def test_database_auto_compacts_index(spark, tmp_path, monkeypatch):
     """insert_records compacts the incremental index once the append
-    stack reaches _AUTO_COMPACT_APPENDS (VERDICT r1 #8)."""
-    from zebra_spark.database import _AUTO_COMPACT_APPENDS, ZebraDatabase
+    stack reaches _AUTO_COMPACT_APPENDS (VERDICT r1 #8).  The threshold
+    is lowered to keep the insert loop short."""
+    import zebra_spark.database as dbmod
+    from zebra_spark.database import ZebraDatabase
 
+    monkeypatch.setattr(dbmod, "_AUTO_COMPACT_APPENDS", 3)
     db = ZebraDatabase.create(spark, str(tmp_path / "db"), dim=8, metric="l2sq")
     db.insert_texts([f"seed doc {i}" for i in range(40)])
     db.index()  # force the initial build
-    for i in range(_AUTO_COMPACT_APPENDS):
+    for i in range(3):
         db.insert_texts([f"incremental doc {i}"])
-        assert db._index.appends <= _AUTO_COMPACT_APPENDS
+        assert db._index.appends <= 3
     # the loop crossed the threshold at least once -> stack was reset
-    assert db._index.appends < _AUTO_COMPACT_APPENDS
+    assert db._index.appends < 3
     # dim=8 hash-TF can bucket-collide distinct digits, so assert on the
     # distance (an exact-duplicate embedding is guaranteed present)
     hits = db.query_texts(["seed doc 7"], k=1).collect()

@@ -46,6 +46,38 @@ class ZebraDatabase:
         self.path = path
         self.meta = meta
         self._index = None
+        self._recover_swaps()
+
+    def _recover_swaps(self) -> None:
+        """Roll an interrupted remove_df() FORWARD.  The commit marker is
+        written only after every table's post-delete copy is fully in
+        {table}_tmp, so once it exists the delete is durable: finish any
+        pending swap per table.  Without the marker a leftover _tmp is a
+        pre-commit crash — discard it (the delete never happened)."""
+        marker = f"{self.path}/_swap_commit"
+        if os.path.exists(marker):
+            with open(marker) as f:
+                tables = json.load(f)
+            for table in tables:
+                p = f"{self.path}/{table}"
+                if os.path.exists(f"{p}_tmp"):
+                    self._swap_in_tmp(table)
+                else:  # swap already done; clear any leftover backup
+                    shutil.rmtree(f"{p}_old", ignore_errors=True)
+            os.remove(marker)
+        else:
+            for table in ("embeddings", "documents"):
+                shutil.rmtree(
+                    f"{self.path}/{table}_tmp", ignore_errors=True
+                )
+
+    def _swap_in_tmp(self, table: str) -> None:
+        p = f"{self.path}/{table}"
+        shutil.rmtree(f"{p}_old", ignore_errors=True)
+        if os.path.exists(p):
+            os.rename(p, f"{p}_old")
+        os.rename(f"{p}_tmp", p)
+        shutil.rmtree(f"{p}_old", ignore_errors=True)
 
     # -- lifecycle (≙ new/open/open_or_create/save, core.rs:92-190) -------
 
@@ -309,20 +341,30 @@ class ZebraDatabase:
 
     def remove_df(self, ids_df: DataFrame) -> None:
         """Distributed delete: anti-join each table against an id
-        DataFrame (never collected to the driver).  The swap keeps a
-        crash-recoverable copy: write kept rows to _tmp, move the live
-        dir to _old, promote _tmp, drop _old — `_read` falls back to
-        _old if a crash strikes between the two renames."""
-        for table in ("embeddings", "documents"):
-            df = self._read(table)
-            if df is None:
-                continue
-            kept = df.join(ids_df.select("vec_id"), "vec_id", "left_anti")
+        DataFrame (never collected to the driver).
+
+        Two-phase swap so BOTH tables commit or neither (ADVICE r1: an
+        independent per-table swap could crash with embeddings deleted
+        but documents rolled back).  Phase 1 writes every table's kept
+        rows to {table}_tmp; the _swap_commit marker is the commit
+        point; phase 2 swaps each _tmp in.  _recover_swaps() rolls an
+        interrupted run forward past the marker, or discards pre-commit
+        _tmp dirs."""
+        tables = [
+            t for t in ("embeddings", "documents")
+            if self._read(t) is not None
+        ]
+        for table in tables:
+            kept = self._read(table).join(
+                ids_df.select("vec_id"), "vec_id", "left_anti"
+            )
             kept.write.mode("overwrite").parquet(f"{self.path}/{table}_tmp")
-            shutil.rmtree(f"{self.path}/{table}_old", ignore_errors=True)
-            os.rename(f"{self.path}/{table}", f"{self.path}/{table}_old")
-            os.rename(f"{self.path}/{table}_tmp", f"{self.path}/{table}")
-            shutil.rmtree(f"{self.path}/{table}_old", ignore_errors=True)
+        marker = f"{self.path}/_swap_commit"
+        with open(marker, "w") as f:
+            json.dump(tables, f)
+        for table in tables:
+            self._swap_in_tmp(table)
+        os.remove(marker)
         self._index = None
         self.meta["indexed_batches"] = -1  # persisted index (if any) is stale
         self._write_meta()

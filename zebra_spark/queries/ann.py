@@ -18,8 +18,13 @@ _INDEX_CACHE: dict[tuple, object] = {}
 def get_index(spark: SparkSession, sf_dir: str, num_trees: int = 15, seed: int = 42):
     from zebra_spark.index.lsh import LSHIndex
 
-    key = (id(spark), sf_dir, num_trees, seed)
+    # keyed on applicationId, not id(spark): CPython reuses object ids
+    # after GC, which could hand a new session an index bound to a
+    # stopped one (ADVICE r1)
+    key = (spark.sparkContext.applicationId, sf_dir, num_trees, seed)
     if key not in _INDEX_CACHE:
+        for k in [k for k in _INDEX_CACHE if k[0] != key[0]]:
+            del _INDEX_CACHE[k]  # evict indexes of dead sessions
         _INDEX_CACHE[key] = LSHIndex.build(
             spark, sf_dir, num_trees=num_trees, seed=seed
         )

@@ -135,23 +135,31 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # verify: join each candidate pair to the two docs' SORTED token
+    # arrays and count the overlap with native array_intersect — one row
+    # per pair through the join, instead of exploding (pair x shared
+    # word) rows into a shuffle (the fixture has ~100 shared words per
+    # pair, so that explode would be two orders of magnitude more rows)
     tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "word")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "word")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "word"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    toksets = tok.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("word")).alias("words")
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).cast("bigint").alias("n_common"),
+            F.size("wa").alias("na"),
+            F.size("wb").alias("nb"),
+        )
+    )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= MINHASH_THRESHOLD)
+        scored.filter(jac >= MINHASH_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", rnd(jac).alias("jaccard"))
     )
 
@@ -277,15 +285,17 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF-style blocking for the closest-pairs query: every vector is
-# assigned to its NDUP_ASSIGN nearest of NDUP_CELLS deterministic cells
-# (seeds = first NDUP_CELLS corpus vectors, the q_ann_ivf quantizer);
-# candidate pairs are pairs sharing >= 1 cell.  At fixture params
-# (C=10, R=5) candidate top-100 == all-pairs top-100 (recall 1.0,
-# asserted in tests) because the fixture has no density gap; at
-# production scale C grows with n (C ~ n/1000, R fixed) so the
-# candidate fraction ~ R^2/C and total work stays near-linear.
+# assigned to its NDUP_ASSIGN nearest of C deterministic cells (seeds =
+# first C corpus vectors, the q_ann_ivf quantizer); candidate pairs are
+# pairs sharing >= 1 cell.  C grows with the corpus — C = max(10,
+# n/NDUP_PER_CELL), identically on both engines — so candidate count
+# ~ R^2 * n^2 / 2C stays near-linear in n.  At sf0.01 (n=500 -> C=10,
+# R=5) candidate top-100 == all-pairs top-100 (recall 1.0, asserted in
+# tests) because the fixture has no density gap; R/C trade recall for
+# work at larger scales.
 NDUP_CELLS = 10
 NDUP_ASSIGN = 5
+NDUP_PER_CELL = 50
 
 
 @query(
@@ -293,7 +303,9 @@ NDUP_ASSIGN = 5
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
-              WHERE vec_id < {NDUP_CELLS}),
+              WHERE vec_id < greatest({NDUP_CELLS},
+                CAST(floor((SELECT count(*) FROM e) / {NDUP_PER_CELL}.0)
+                     AS BIGINT))),
     assign AS (
       SELECT vec_id, cell_id FROM (
         SELECT e.vec_id, s.cell_id,
@@ -330,7 +342,8 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition partial top-k).  Locked by
     tests/test_plans.py."""
     e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
-    seeds = e.filter(F.col("vec_id") < NDUP_CELLS).select(
+    n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
+    seeds = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
     )
     from pyspark.sql import Window
