@@ -81,10 +81,10 @@ def main(n: int = 50_000, nq: int = 100, dim: int = 64) -> None:
                  for r in idx.probe_keys(
                      np.array([data[i] for i in qids]), probes=8
                  ).drop_duplicates().itertuples(index=False)],
-                "query_id bigint, tree_id int, bucket_id bigint",
+                "query_id bigint, tree_id int, bucket_id bigint, nbits int",
             )
         ),
-        ["tree_id", "bucket_id"],
+        ["tree_id", "bucket_id", "nbits"],
     ).select("query_id", "vec_id").distinct().count()
     print(
         f"n={n} dim={dim} depth={depth} trees=15 probes=8\n"
@@ -92,6 +92,26 @@ def main(n: int = 50_000, nq: int = 100, dim: int = 64) -> None:
         f"exact ({nq}q): {t_exact:.1f}s\n"
         f"recall@10: {recall:.3f}  avg candidates/query: {n_cand / nq:.0f} "
         f"({100 * n_cand / nq / n:.1f}% of corpus)"
+    )
+
+    # adaptive local re-split on the same clustered corpus
+    t0 = time.perf_counter()
+    adaptive = LSHIndex.build(
+        spark, sf_dir="", corpus=corpus, num_trees=15, seed=42, adaptive=True
+    )
+    t_adapt = time.perf_counter() - t0
+    sizes = adaptive.bucket_counts().toPandas()
+    ann2 = adaptive.search_ids(qids, k=10).toPandas()
+    as2 = ann2.groupby("query_id")["neighbor_id"].apply(set)
+    recall2 = float(
+        np.mean([len(es[k] & as2.get(k, set())) / 10 for k in es.index])
+    )
+    print(
+        f"adaptive: build {t_adapt:.1f}s  splits={len(adaptive.split_meta)}  "
+        f"p99 bucket={float(sizes['n'].quantile(0.99)):.0f} "
+        f"(limit {16 * adaptive.options.max_node_size})  "
+        f"max nbits={int(sizes['nbits'].max())} (base {depth})  "
+        f"recall@10: {recall2:.3f}"
     )
     spark.stop()
 
