@@ -245,3 +245,57 @@ def test_session_window_matches_batch_sessionization(spark, chunked_events):
         .to_dict()
     )
     assert a == b
+
+
+def test_stream_static_join_enriches(spark, chunked_events):
+    """Stream-static join: every micro-batch row picks up its dimension
+    attributes; stream output == batch output."""
+    from zebra_spark.streaming import (
+        enrich_with_users,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    users = spark.createDataFrame(
+        [(u, "vip" if u % 3 == 0 else "free") for u in range(200)],
+        "user_id bigint, segment string",
+    )
+    stream = read_events_stream(spark, chunked_events)
+    got = _canon(
+        run_to_completion(
+            enrich_with_users(stream, users), "t_enrich", output_mode="append"
+        ).toPandas()
+    )
+    want = _canon(enrich_with_users(_batch_events(spark), users).toPandas())
+    assert got.equals(want)
+    assert set(got["segment"]) <= {"vip", "free", "unknown"}
+
+
+def test_stream_stream_join_matches_batch(spark, chunked_events):
+    """Stream-stream interval join (purchase <- prior click within the
+    horizon): the watermark+interval bounds make state finite, and the
+    fully-processed stream equals the batch twin."""
+    from zebra_spark.streaming import (
+        purchases_with_prior_click,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    # chunks are split by event_id, so event TIME arrives wildly out of
+    # order — the watermark must cover the fixture's full disorder for
+    # stream==batch equality (the join-horizon interval, not the
+    # watermark, is what bounds the state size)
+    wm = dict(click_watermark="90 days", purchase_watermark="90 days")
+    stream = read_events_stream(spark, chunked_events)
+    got = _canon(
+        run_to_completion(
+            purchases_with_prior_click(stream, **wm),
+            "t_ssjoin",
+            output_mode="append",
+        ).toPandas()
+    )
+    want = _canon(
+        purchases_with_prior_click(_batch_events(spark), **wm).toPandas()
+    )
+    assert len(got) > 0  # the fixture does contain attributable purchases
+    assert got.equals(want)

@@ -174,3 +174,56 @@ def stream_ingest_texts(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def enrich_with_users(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-STATIC join: enrich an event stream with a slowly-changing
+    dimension table.  The static side is re-read per micro-batch (so a
+    refreshed snapshot is picked up), and Spark broadcasts it when small
+    — no streaming state is created for stream-static joins at all."""
+    return events.join(F.broadcast(users), "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+    )
+
+
+def purchases_with_prior_click(
+    events: DataFrame,
+    click_watermark: str = "2 hours",
+    purchase_watermark: str = "1 hour",
+    join_horizon: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: purchases matched to a click by the
+    same user within `join_horizon` BEFORE the purchase (the streaming
+    twin of q_join_asof's attribution shape).
+
+    State bounds (the thing that matters at scale): both sides carry
+    watermarks AND the join condition constrains the two event times to
+    a bounded interval, so Spark derives state-eviction watermarks for
+    both buffers — without the interval condition, stream-stream join
+    state grows forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", click_watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", purchase_watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {join_horizon}")),
+    ).select("purchase_id", "user_id", "p_ts", "value", "click_id", "c_ts")
