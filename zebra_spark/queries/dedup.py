@@ -477,3 +477,60 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    bits AS (
+      SELECT t2.doc_id, params.j,
+             CASE WHEN sum(CASE WHEN ((a * tid + b) % {P}) % 2 = 1
+                               THEN 1 ELSE -1 END) > 0
+                  THEN CAST(power(2, params.j) AS BIGINT) ELSE 0 END AS w
+      FROM t2 CROSS JOIN params
+      GROUP BY t2.doc_id, params.j
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, f.simhash, d.n_chars,
+             row_number() OVER (PARTITION BY f.simhash
+               ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+             count(*) OVER (PARTITION BY f.simhash) AS group_size
+      FROM documents d JOIN fp f ON f.doc_id = d.doc_id
+    )
+    SELECT doc_id, simhash, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: group documents by SimHash
+    fingerprint and keep the BEST doc per group (longest text, id
+    tie-break) — the 'which copy do we train on' step that follows any
+    near-dup grouping.  One window over the fingerprint groups; at
+    scale this is the standard keep-rule pattern (quality argmax per
+    cluster), swap n_chars for any quality score."""
+    from pyspark.sql import Window
+
+    from zebra_spark.io import load
+
+    fp = QUERIES["q_dedup_simhash"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = d.join(fp, "doc_id")
+    w = Window.partitionBy("simhash").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("simhash")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("group_size").cast("bigint").alias("group_size"),
+        )
+    )
