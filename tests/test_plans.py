@@ -87,3 +87,12 @@ def test_minhash_has_no_global_window(spark):
     for m in re.finditer(r"Window \[.*?\], \[(.*?)\], \[(.*?)\]", p):
         assert m.group(1).strip(), f"global window in plan: {m.group(0)}"
     assert "row_number" not in p.lower() or "partition" in p.lower()
+
+
+def test_tpch_q6_predicates_reach_scan(spark):
+    # Q6 is the pushdown showcase: every predicate lands in PushedFilters
+    p = plan_of(spark, "q_tpch_q6")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    for frag in ("l_shipdate", "GreaterThanOrEqual(l_discount",
+                 "LessThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert frag in pushed, pushed
