@@ -264,3 +264,71 @@ def test_remove_crash_before_commit_discards_tmp(spark, tmp_path):
     assert not os.path.exists(f"{path}/embeddings_tmp")
     assert reopened.embeddings().count() == 10
     assert reopened.documents().count() == 10
+
+
+def test_remove_crash_mid_swap_invalidates_persisted_index(spark, tmp_path, monkeypatch):
+    """The index-stale flag must be durable BEFORE the _swap_commit
+    marker: a crash mid-swap may leave deleted rows gone from the
+    tables, and a reopened database must not serve a saved index whose
+    corpus copy still contains them."""
+    from zebra_spark.database import ZebraDatabase
+
+    path = str(tmp_path / "db")
+    db = ZebraDatabase.create(spark, path, dim=8)
+    db.insert_texts([f"doc {i}" for i in range(30)])
+    db.save_index()
+    assert db.meta["indexed_batches"] == db.meta["n_batches"]
+    victim = int(db.documents().select("vec_id").orderBy("vec_id").first().vec_id)
+
+    calls = {"n": 0}
+    real_swap = ZebraDatabase._swap_in_tmp
+
+    def crashy(self, table):
+        real_swap(self, table)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash between table swaps")
+
+    monkeypatch.setattr(ZebraDatabase, "_swap_in_tmp", crashy)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        db.remove([victim])
+    monkeypatch.setattr(ZebraDatabase, "_swap_in_tmp", real_swap)
+
+    reopened = ZebraDatabase.open(spark, path)  # rolls the swap forward
+    assert reopened.meta["indexed_batches"] == -1  # stale index flagged
+    hit_ids = {
+        r.vec_id for r in reopened.query_texts(["doc 0"], k=30).collect()
+    }
+    assert victim not in hit_ids  # rebuilt index, no resurrected vector
+
+
+def test_load_round1_format_index(spark, tmp_path):
+    """Indexes saved before the nbits/split_meta schema must still load
+    and answer queries (nbits defaults to the base depth)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.index.lsh import LSHIndex
+
+    idx = LSHIndex.build(spark, "/root/testdata/sf0.001", num_trees=5, seed=3)
+    p = str(tmp_path / "old_idx")
+    idx.save(p)
+    # rewrite artifacts to the round-1 format
+    old = spark.read.parquet(f"{p}/index").drop("nbits")
+    old.write.mode("overwrite").parquet(f"{p}/index_v1")
+    import shutil as _sh
+
+    _sh.rmtree(f"{p}/index")
+    _sh.move(f"{p}/index_v1", f"{p}/index")
+    meta = _json.load(open(f"{p}/metadata.json"))
+    meta.pop("split_meta", None)
+    _json.dump(meta, open(f"{p}/metadata.json", "w"))
+
+    loaded = LSHIndex.load(spark, p)
+    res = loaded.search_ids([0, 1], k=5).toPandas()
+    assert len(res) == 10
+    want = idx.search_ids([0, 1], k=5).toPandas()
+    assert res.equals(want)

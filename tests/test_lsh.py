@@ -151,7 +151,6 @@ def test_adaptive_build_splits_locally_on_skew(spark):
     # recall vs exact top-10 for 20 member queries
     qids = list(range(0, 2000, 100))
     got = adaptive.search_ids(qids, k=10, probes=8).toPandas()
-    d2 = ((data[:, None, :] - data[None, :, :] ) ** 2).sum(-1) if False else None
     ref_hits = 0
     for q in qids:
         dist = ((data - data[q]) ** 2).sum(1)

@@ -80,13 +80,12 @@ def test_neardup_cosine_pair_join_is_blocked(spark):
 
 
 def test_minhash_has_no_global_window(spark):
-    # token ids are per-row hashes: no single-partition global window
-    # (Window.orderBy without partitionBy) anywhere in the minhash plan
+    # token ids are per-row hashes: the minhash plan contains NO window
+    # operator at all (the r1 vocab used a single-partition global
+    # row_number window — this locks its removal)
     p = plan_of(spark, "q_dedup_minhash")
-    import re
-    for m in re.finditer(r"Window \[.*?\], \[(.*?)\], \[(.*?)\]", p):
-        assert m.group(1).strip(), f"global window in plan: {m.group(0)}"
-    assert "row_number" not in p.lower() or "partition" in p.lower()
+    assert "Window" not in p, p[:1500]
+    assert "row_number" not in p.lower()
 
 
 def test_tpch_q6_predicates_reach_scan(spark):

@@ -165,14 +165,12 @@ class ZebraDatabase:
     # -- tables -----------------------------------------------------------
 
     def _read(self, table: str) -> DataFrame | None:
+        # crash recovery is _recover_swaps' job (runs at construction);
+        # resurrecting a {table}_old here would UNDO a delete the
+        # _swap_commit marker already declared durable
         p = f"{self.path}/{table}"
         if not os.path.exists(p):
-            # crash recovery: a remove() interrupted between its two
-            # renames leaves the data in {table}_old — promote it back
-            if os.path.exists(f"{p}_old"):
-                os.rename(f"{p}_old", p)
-            else:
-                return None
+            return None
         return self.spark.read.parquet(p)
 
     def documents(self) -> DataFrame:
@@ -359,15 +357,20 @@ class ZebraDatabase:
                 ids_df.select("vec_id"), "vec_id", "left_anti"
             )
             kept.write.mode("overwrite").parquet(f"{self.path}/{table}_tmp")
+        # invalidate any persisted index BEFORE the commit marker: once
+        # the marker exists the delete is durable, so the index-stale
+        # flag must already be durable too (a crash after the marker but
+        # before a later meta write would otherwise reopen with a fresh-
+        # looking index still holding the deleted vectors)
+        self._index = None
+        self.meta["indexed_batches"] = -1
+        self._write_meta()
         marker = f"{self.path}/_swap_commit"
         with open(marker, "w") as f:
             json.dump(tables, f)
         for table in tables:
             self._swap_in_tmp(table)
         os.remove(marker)
-        self._index = None
-        self.meta["indexed_batches"] = -1  # persisted index (if any) is stale
-        self._write_meta()
 
     def deduplicate(self) -> int:
         """Exact dedup, first id wins (≙ core.rs:216-224, bitwise compare

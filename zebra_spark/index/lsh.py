@@ -157,22 +157,37 @@ def _assign_op(normals: np.ndarray, constants: np.ndarray, split_meta: dict):
     C = constants.reshape(T * D)
     weights = (1 << np.arange(D, dtype=np.int64))[::-1]
 
+    split_keys = {(t, b) for (t, _nb, b) in split_meta} if split_meta else set()
+
     def op(batches):
         for pdf in batches:
+            n = len(pdf)
             M = np.array(pdf["emb"].tolist(), dtype=np.float64)
-            bits = (M @ H + C >= 0).reshape(len(M), T, D)
+            bits = (M @ H + C >= 0).reshape(n, T, D)
             base = bits.astype(np.int64) @ weights  # (n, T)
-            out = {"tree_id": [], "bucket_id": [], "nbits": [], "vec_id": []}
-            for i, vid in enumerate(pdf["vec_id"]):
-                for t in range(T):
-                    b, nb = int(base[i, t]), D
-                    if split_meta:
-                        b, nb = _descend_np(M[i], t, b, nb, split_meta)
-                    out["tree_id"].append(t)
-                    out["bucket_id"].append(b)
-                    out["nbits"].append(nb)
-                    out["vec_id"].append(int(vid))
-            yield pd.DataFrame(out)
+            # fully vectorized row-major (vec_id x tree) layout; the
+            # per-row descent loop below touches ONLY rows whose base
+            # bucket is actually split (none at all for non-adaptive
+            # builds)
+            bucket = base.reshape(-1)
+            nbits = np.full(n * T, D, dtype=np.int64)
+            vec_ids = np.repeat(np.asarray(pdf["vec_id"], dtype=np.int64), T)
+            trees = np.tile(np.arange(T, dtype=np.int64), n)
+            if split_meta:
+                for idx in range(n * T):
+                    t, b = int(trees[idx]), int(bucket[idx])
+                    if (t, b) in split_keys:
+                        bucket[idx], nbits[idx] = _descend_np(
+                            M[idx // T], t, b, D, split_meta
+                        )
+            yield pd.DataFrame(
+                {
+                    "tree_id": trees,
+                    "bucket_id": bucket,
+                    "nbits": nbits,
+                    "vec_id": vec_ids,
+                }
+            )
 
     return op
 
@@ -299,11 +314,14 @@ class LSHIndex:
 
         split_meta: dict = {}
         if adaptive:
+            base_df = index_df
             index_df, split_meta = cls._local_resplit(
                 spark, corpus, index_df, seed,
                 limit=oversize_factor * max_node_size,
                 max_rounds=max_split_rounds,
             )
+            if index_df is not base_df:  # resplit checkpointed a new frame
+                base_df.unpersist()
         return cls(spark, corpus, opts, normals, constants, index_df, split_meta)
 
     @staticmethod
@@ -512,13 +530,20 @@ class LSHIndex:
             (t, nb, b): (np.array(normal, dtype=np.float64), float(const))
             for t, nb, b, normal, const in meta.get("split_meta", [])
         }
+        index_df = spark.read.parquet(f"{path}/index")
+        if "nbits" not in index_df.columns:
+            # index saved before per-leaf splits existed: every row
+            # carries the base depth
+            index_df = index_df.withColumn(
+                "nbits", F.lit(int(meta["depth"])).cast("int")
+            )
         return cls(
             spark,
             spark.read.parquet(f"{path}/embeddings"),
             opts,
             np.array(meta["normals"]),
             np.array(meta["constants"]),
-            spark.read.parquet(f"{path}/index"),
+            index_df,
             split_meta,
         )
 

@@ -178,13 +178,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding content is hash-based, not SQL-expressible; determinism
     is asserted in tests/test_multimodal.py."""
     from zebra_spark.io import load
-    from zebra_spark.multimodal import decode_and_embed, to_multimodal
+    from zebra_spark.multimodal import _fake_pixels, decode_and_embed, to_multimodal
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     blobs = to_multimodal(docs, "doc_id", "content", "image")
-    feats = decode_and_embed(blobs)
+    # decoder pinned to the deterministic fake: these blobs are UTF-8
+    # text bytes, not images — the environment-default decoder would
+    # crash (PIL) or drift the hashes on a machine that has Pillow
+    feats = decode_and_embed(blobs, decoder=_fake_pixels)
     return feats.select(
         F.col("id").alias("doc_id"),
         "modality",
