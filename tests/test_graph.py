@@ -1,0 +1,66 @@
+"""connected_components invariants: correct labels vs a driver-side
+union-find oracle on random graphs, log-round convergence on long
+chains (the case that would starve pure neighbor propagation)."""
+
+from __future__ import annotations
+
+import random
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    from zebra_spark.graph import connected_components
+
+    rng = random.Random(11)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edf).collect()
+    }
+    want = _uf_components(n, edges)
+    # normalize: union-find parent-compressed roots ARE min ids here
+    # because unions always point the larger root at the smaller one
+    assert got == want
+
+
+def test_long_chain_converges_via_doubling(spark):
+    """A 200-hop chain needs ~log2(200)+1 rounds with pointer doubling;
+    pure neighbor propagation would need 200 (and the old 25-round cap
+    raised).  max_rounds=12 passes only if doubling works."""
+    from zebra_spark.graph import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    out = connected_components(nodes, edges, max_rounds=12).collect()
+    assert all(r.component == 0 for r in out)
+    assert len(out) == n
+
+
+def test_isolated_nodes_keep_own_label(spark):
+    from zebra_spark.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id bigint")
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}

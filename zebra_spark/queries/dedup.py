@@ -427,53 +427,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER dedup: connected components over the MinHash
     pair graph, keep the min-id representative per component (keep=1).
 
-    Spark side: iterative min-label propagation to fixpoint (bounded by
-    graph diameter; each round is one join + groupBy, lineage cut with
-    localCheckpoint).  Oracle side: recursive-CTE transitive closure —
-    same fixpoint.  The scale posture is the standard large-graph CC
-    pattern (label propagation == the GraphFrames/Pregel formulation,
-    here in plain DataFrames).
+    Spark side: zebra_spark.graph.connected_components — min-label
+    propagation WITH pointer doubling, so rounds are O(log diameter)
+    (a 60-hop near-dup chain converges in ~7 rounds, not 60).  Oracle
+    side: recursive-CTE transitive closure — same fixpoint.
     """
+    from zebra_spark.graph import connected_components
     from zebra_spark.io import load
 
-    pairs = QUERIES["q_dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint()
-    for _ in range(25):
-        neigh = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.label <> o.label")
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            "label propagation did not converge in 25 rounds — a near-dup "
-            "component has diameter > 25; raise the round cap"
-        )
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster"),
-        F.when(F.col("label") == F.col("doc_id"), 1).otherwise(0)
+    pairs = QUERIES["q_dedup_minhash"](spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    comp = connected_components(docs, pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.when(F.col("component") == F.col("id"), 1).otherwise(0)
         .cast("int")
         .alias("keep"),
     )
