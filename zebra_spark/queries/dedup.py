@@ -504,3 +504,86 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("group_size").cast("bigint").alias("group_size"),
         )
     )
+
+
+SIMHASH_HAM_MAX = 3  # pairs within this Hamming distance are near-dups
+SIMHASH_BLOCKS = 4  # 16-bit fingerprint split into 4 nibbles
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    bits AS (
+      SELECT t2.doc_id, params.j,
+             CASE WHEN sum(CASE WHEN ((a * tid + b) % {P}) % 2 = 1
+                               THEN 1 ELSE -1 END) > 0
+                  THEN CAST(power(2, params.j) AS BIGINT) ELSE 0 END AS w
+      FROM t2 CROSS JOIN params
+      GROUP BY t2.doc_id, params.j
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, CAST(blk AS INTEGER) AS blk,
+             (simhash >> (blk * 4)) & 15 AS key
+      FROM fp CROSS JOIN range(0, {SIMHASH_BLOCKS}) t(blk)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAM_MAX}
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the canonical web-scale design: split
+    the fingerprint into {SIMHASH_BLOCKS} blocks; by pigeonhole, any
+    pair within Hamming distance {SIMHASH_HAM_MAX} shares at least one
+    whole block, so candidates come from per-block equi-joins (shuffle
+    on the 4-bit block key — bounded fan-out per bucket), then an exact
+    popcount(xor) verify.  No quadratic step; the miss rate is ZERO for
+    ham <= blocks-1 (pigeonhole, not probabilistic)."""
+    fp = QUERIES["q_dedup_simhash"](spark, sf_dir)
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BLOCKS - 1}),"
+                f" blk -> struct(CAST(blk AS INT) AS blk,"
+                f" shiftright(simhash, blk * 4) % 16 AS key))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.key")
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "blk", "key",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        F.col("blk").alias("blk_b"), F.col("key").alias("key_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
