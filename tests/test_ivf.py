@@ -91,3 +91,39 @@ def test_fixture_corpus_trains(spark):
 
     idx = IVFIndex.train(spark, SF_ORACLE, k=10, iters=2, seed=42)
     assert idx.assignments.count() == 500
+
+
+def test_ivf_search_df_matches_numpy_path(spark):
+    """DataFrame-native IVF search (no driver collect) equals the numpy
+    probe path for the same queries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.io import embeddings_d
+
+    idx = IVFIndex.train(spark, SF_ORACLE, k=8, iters=3, seed=5)
+    queries = (
+        embeddings_d(spark, SF_ORACLE)
+        .filter("vec_id < 50")
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    )
+    via_df = (
+        idx.search_df(queries, k=5, nprobe=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    vecs = {r.query_id: r.qe for r in queries.collect()}
+    qids = sorted(vecs)
+    via_np = (
+        idx.search_vectors(
+            np.array([vecs[q] for q in qids], dtype=np.float64),
+            k=5, nprobe=3, query_ids=qids,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert via_df.equals(via_np)

@@ -198,6 +198,63 @@ class IVFIndex:
             )
         )
 
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        metric: str = "l2sq",
+    ) -> DataFrame:
+        """DataFrame-native ANN for large query batches: `queries` is
+        (query_id bigint, qe array<double>).  Probe cells are computed
+        executor-side (the k x dim centroid matrix rides the mapInPandas
+        closure), so neither vectors nor probe keys transit the driver —
+        the mirror of LSHIndex.search_df."""
+        centroids = self.centroids
+
+        def probe_op(batches):
+            for pdf in batches:
+                M = np.array(pdf["qe"].tolist(), dtype=np.float64)
+                if metric == "cosine":
+                    qn = M / np.maximum(
+                        np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+                    )
+                    cn = centroids / np.maximum(
+                        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+                    )
+                    d2 = 1.0 - qn @ cn.T
+                else:
+                    d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+                cells = np.argsort(d2, axis=1)[:, :nprobe]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            np.asarray(pdf["query_id"], dtype=np.int64), nprobe
+                        ),
+                        "cell_id": cells.reshape(-1).astype(np.int64),
+                    }
+                )
+
+        keys_df = queries.mapInPandas(probe_op, "query_id bigint, cell_id int")
+        metric_fn = zf.METRICS[metric]
+        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        return (
+            self.assignments.join(keys_df, "cell_id")
+            .select("query_id", "vec_id")
+            .join(self.corpus, "vec_id")
+            .join(queries.select("query_id", "qe"), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                metric_fn(F.col("qe"), F.col("emb")).alias("dist"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
+            )
+        )
+
     def cell_sizes(self) -> DataFrame:
         return (
             self.assignments.groupBy("cell_id")
