@@ -54,6 +54,10 @@ _ROUND2_FIRST = [
     "q_agg_stats", "q_tpch_q2_min_cost", "q_unpivot", "q_histogram",
     "q_null_semantics", "q_percentiles", "q_date_funcs2", "q_join_full",
     "q_order_nulls",
+    # round-2 additions (no prior driver row either)
+    "q_tpch_q6", "q_tpch_q4", "q_tpch_q12", "q_text_tfidf",
+    "q_text_bigrams", "q_sample_per_group", "q_split_assign",
+    "q_emb_quantize_int8", "q_dedup_keep_best", "q_dedup_simhash_pairs",
     # previously-green core operators, re-checked if budget allows
     "q_knn_exact", "q_dedup_exact", "q_agg_hash", "q_join_inner",
     "q_doc_scan", "q_filter_pred", "q_sort_limit", "q_window_rank",
