@@ -63,3 +63,48 @@ def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- generic source/sink formats --------------------------------------------
+#
+# Parquet is the native format (pushdown + pruning + page compression);
+# these adapters let the same tables round-trip through the other
+# formats a data lake grows: CSV/JSON for interchange (schema carried
+# explicitly — both are schema-less on disk), ORC as the columnar
+# alternative.  Timestamp columns are emitted as ISO strings in
+# CSV/JSON (both engines' parsers disagree on bare timestamp syntax
+# otherwise) and restored via the supplied schema.
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; pick one of {FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true").option("timestampFormat",
+                                              "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    if fmt == "json":
+        w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
+) -> DataFrame:
+    """Read a table written by write_table.  For CSV/JSON pass the
+    explicit schema string (DDL) — inference re-types columns silently
+    and is forbidden on the query path."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; pick one of {FORMATS}")
+    ensure_session_confs(spark)
+    r = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(f"{fmt} requires an explicit schema")
+        r = r.schema(schema).option("timestampFormat",
+                                    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)
