@@ -50,11 +50,16 @@ def _token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.select("doc_id", word_hash_expr("word").alias("tid"))
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """(doc_id, band, key): banded MinHash signatures."""
     t2 = _token_ids(spark, sf_dir)
     params = spark.createDataFrame(
-        [(j, 2 * j + 1, 17 * j + 29) for j in range(N_HASHES)],
+        [(j, 2 * j + 1, 17 * j + 29) for j in range(n_hashes)],
         "j int, a bigint, b bigint",
     )
     mh = (
@@ -62,7 +67,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "j")
         .agg(F.min((F.col("a") * F.col("tid") + F.col("b")) % P).alias("mh"))
     )
-    rows_per_band = N_HASHES // N_BANDS
+    rows_per_band = n_hashes // n_bands
     return (
         mh.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -122,7 +127,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dedup: shingle(word)->minhash->band->
     bucket-join candidates->true-Jaccard verify.  16 explicit polynomial
     permutations, 4 bands x 4 rows."""
-    sigs = _minhash_sigs(spark, sf_dir)
+    return _minhash_pairs(spark, sf_dir, N_HASHES, N_BANDS)
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, n_hashes: int, n_bands: int
+) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir, n_hashes, n_bands)
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
     cand = (
@@ -162,6 +173,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(jac >= MINHASH_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", rnd(jac).alias("jaccard"))
     )
+
+
+@query(
+    "q_dedup_minhash128",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=128)},
+    {_SQL_MINHASH_CORE}
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           {sql_rnd("i.n_common * 1.0 / (sa.n + sb.n - i.n_common)")} AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {MINHASH_THRESHOLD}
+    """,
+)
+def q_dedup_minhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-recall MinHash config: 128 permutations / 32 bands of
+    4 rows — detection probability 1-(1-J^4)^32 (0.9997 at J=0.8, vs
+    0.91 for the 16/4 demo config).  Everything else — hashed token
+    ids, band equi-join candidates, array_intersect verify — is the
+    same parameterized machinery as q_dedup_minhash; the cost delta is
+    one wider (tokens x 128) map-side aggregation."""
+    return _minhash_pairs(spark, sf_dir, n_hashes=128, n_bands=32)
 
 
 @query(
