@@ -58,6 +58,7 @@ _ROUND2_FIRST = [
     "q_tpch_q6", "q_tpch_q4", "q_tpch_q12", "q_text_tfidf",
     "q_text_bigrams", "q_sample_per_group", "q_split_assign",
     "q_emb_quantize_int8", "q_dedup_keep_best", "q_dedup_simhash_pairs",
+    "q_dedup_minhash128",
     # previously-green core operators, re-checked if budget allows
     "q_knn_exact", "q_dedup_exact", "q_agg_hash", "q_join_inner",
     "q_doc_scan", "q_filter_pred", "q_sort_limit", "q_window_rank",
