@@ -25,6 +25,7 @@ def load_all_queries() -> None:
         text,
         dedup,
         ann,
+        tpch,
     )
 
 
