@@ -95,3 +95,40 @@ def test_tpch_q6_predicates_reach_scan(spark):
     for frag in ("l_shipdate", "GreaterThanOrEqual(l_discount",
                  "LessThanOrEqual(l_discount", "LessThan(l_quantity"):
         assert frag in pushed, pushed
+
+
+_TPCH_R2 = [f"q_tpch_q{i}" for i in [7, 8, 9, 10, 13, 15, 16, 17, 18, 19, 20, 21, 22]]
+
+
+@pytest.mark.parametrize("name", _TPCH_R2)
+def test_tpch_no_unbounded_joins(spark, name):
+    # every round-2 TPC-H shape: no cartesian product anywhere, and the
+    # only nested-loop join allowed is a 1-row broadcast scalar
+    # (Q15 max-revenue, Q17 threshold, Q22 balance threshold)
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, f"{name}: cartesian product"
+    if "BroadcastNestedLoopJoin" in p:
+        assert name in ("q_tpch_q15", "q_tpch_q17", "q_tpch_q22"), (
+            f"{name}: unexpected nested-loop join"
+        )
+
+
+def test_tpch_topk_queries_take_ordered(spark):
+    # Q10 top-20 and Q18 top-100 must be TakeOrderedAndProject, not a
+    # global sort
+    for name in ("q_tpch_q10", "q_tpch_q18"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name), name
+
+
+def test_tpch_exists_shapes_are_semi_anti(spark):
+    # correlated EXISTS / NOT EXISTS compile to semi/anti hash joins,
+    # never to a per-row subquery or sort-merge fallback on the
+    # bounded-key sides
+    p16 = plan_of(spark, "q_tpch_q16")
+    assert "LeftAnti" in p16
+    p20 = plan_of(spark, "q_tpch_q20")
+    assert "LeftSemi" in p20 and "SortMergeJoin" not in p20, p20[:1500]
+    p21 = plan_of(spark, "q_tpch_q21")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    p22 = plan_of(spark, "q_tpch_q22")
+    assert "LeftAnti" in p22

@@ -575,8 +575,9 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     s = load(spark, sf_dir, "supplier")
+    # qual is distinct supplier keys — bounded by |supplier|, broadcast-safe
     return s.join(
-        qual, s.s_suppkey == qual.l_suppkey, "left_semi"
+        F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi"
     ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
 
 
