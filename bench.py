@@ -72,6 +72,9 @@ def main() -> None:
         "q_dedup_minhash",
         "q_dedup_clusters",
         "q_neardup_cosine",
+        # round-2 TPC-H completion: heaviest join shape + semi/anti shape
+        "q_tpch_q9",
+        "q_tpch_q21",
     ]
 
     # warm-up: JVM/codegen/parquet footer caches

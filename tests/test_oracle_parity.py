@@ -48,17 +48,38 @@ SPARK_TO_DUCK = {
 }
 
 
+@pytest.fixture(scope="session")
+def spark_results(spark):
+    """Materialize every registered query's Spark result once, 8 jobs in
+    flight (Spark schedules concurrent actions from threads across the
+    same local executor pool).  Cuts the parity sweep from ~1.5 s/query
+    serial to the latency of the slowest stragglers; per-query failures
+    are captured and re-raised inside the owning test."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name):
+        try:
+            sdf = zebra_spark.QUERIES[name](spark, SF_ORACLE)
+            return name, (sdf.schema, sdf.toPandas(), None)
+        except Exception as exc:  # noqa: BLE001 — re-raised per-test
+            return name, (None, None, exc)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(ex.map(run, NAMES))
+
+
 @pytest.mark.parametrize("name", NAMES)
-def test_parity(name, spark, duck):
-    sdf = zebra_spark.QUERIES[name](spark, SF_ORACLE)
-    spark_pdf = sdf.toPandas()
+def test_parity(name, spark, duck, spark_results):
+    schema, spark_pdf, exc = spark_results[name]
+    if exc is not None:
+        raise exc
     duck_pdf = duck.execute(zebra_spark.ORACLES[name]).fetchdf()
 
     # schema: same columns AND equivalent types on both engines
     duck_types = {
         r[0]: r[1] for r in duck.execute(f"DESCRIBE {zebra_spark.ORACLES[name]}").fetchall()
     }
-    for f in sdf.schema.fields:
+    for f in schema.fields:
         st = f.dataType.simpleString()
         dt = duck_types.get(f.name)
         assert dt is not None, f"{name}: column {f.name} missing in oracle"

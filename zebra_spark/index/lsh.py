@@ -430,11 +430,19 @@ class LSHIndex:
             untouched = index_df.join(
                 keys_df, ["tree_id", "bucket_id", "nbits"], "left_anti"
             )
-            index_df = (
-                untouched.unionByName(reassigned)
-                .repartition("tree_id")
-                .localCheckpoint()  # cut per-round lineage growth
-            )
+            merged = untouched.unionByName(reassigned).repartition("tree_id")
+            if rnd_no < 8:
+                index_df = merged.localCheckpoint()  # cut per-round lineage
+            else:
+                # chained localCheckpoints hit a super-linear planning
+                # blowup past ~15 rounds in Spark 4.1 (measured — see
+                # graph.py module docstring); deep-skew splits spill to
+                # parquet instead, which stays flat per round
+                import tempfile
+
+                spill = tempfile.mkdtemp(prefix="zebra_lsh_split_")
+                merged.write.mode("overwrite").parquet(spill)
+                index_df = corpus.sparkSession.read.parquet(spill)
             split_meta.update(new_splits)
             # freeze children that did not shrink (all members on one side)
             child_sizes = (
