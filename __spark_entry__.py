@@ -40,6 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 _PRIORITY = [
+    # the 15 names with no driver row after r2 (VERDICT r2 directive 1):
+    # pinned FIRST so no r3 addition can displace them in the gate order
+    "q_text_chunk", "q_seq_packing",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
+    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     # §2.C manifest names the driver never checked in r1
     "q_text_wordcount", "q_text_jaccard_pairs", "q_window_tumbling",
     "q_window_session", "q_window_sliding",
