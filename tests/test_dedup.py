@@ -74,6 +74,45 @@ def test_jaccard_pairs_survives_hot_stopword(spark, tmp_path):
     assert 300 > JACCARD_DF_CAP  # the hot list really was over the cap
 
 
+def test_ngram_jaccard_survives_hot_gram(spark, tmp_path):
+    """A 3-gram present in EVERY doc must not explode candidate
+    generation: pairs come from posting lists <= NGRAM_DF_CAP only,
+    yet n_common still counts hot grams (exact full-shingle Jaccard)."""
+    from zebra_spark.queries.dedup import NGRAM_DF_CAP
+
+    # every text starts with "ZZZ " -> grams "ZZZ" and "ZZ " appear in
+    # all 302 docs (>> cap); each twin pair shares rare grams from its
+    # unique 6-char word, so twins are still found via rare grams.
+    import itertools
+
+    combos = list(itertools.combinations("abcdefghijklmnopqrstuvwxyz", 2))[:150]
+    rows = []
+    for k, (a, b) in enumerate(combos):
+        word = (a + b) * 3
+        rows.append((2 * k, "s", f"ZZZ {word}"))
+        rows.append((2 * k + 1, "s", f"ZZZ {word}"))
+    # docs whose ENTIRE overlap is hot grams: full-set jaccard would be
+    # 1.0, but no rare gram links them -> excluded by design
+    rows.append((900, "s", "ZZZ"))
+    rows.append((901, "s", "ZZZ"))
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = (
+        zebra_spark.QUERIES["q_text_ngram_jaccard"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 150
+    # twins are identical: 6 distinct grams, 2 of them hot, all counted
+    assert (out["n_common"] == 6).all()
+    assert (out["jaccard"] == 1.0).all()
+    assert 900 not in set(out["doc_a"]) and 901 not in set(out["doc_b"])
+    assert 302 > NGRAM_DF_CAP  # the hot posting list really was over cap
+
+
 def test_word_hash_cross_engine(spark, duck):
     """Per-row polynomial token ids are bit-identical across engines
     (the invariant every minhash/simhash signature rests on)."""

@@ -238,15 +238,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM = 3
 NGRAM_THRESHOLD = 0.55
+# Per-(source, gram) posting-list cap — same contract as
+# text.JACCARD_DF_CAP: grams hotter than this never GENERATE candidate
+# pairs (per-gram fan-out bounded by C(cap, 2) — 3-char grams like
+# 'the' are maximal hot keys, so without this one skewed key owns the
+# whole shuffle at scale), but every gram still COUNTS toward n_common,
+# so reported Jaccard is the exact full-shingle-set value.  Fixture
+# sources have <= 25 docs at the test SFs, so the cap is non-binding
+# there (output identical to the uncapped operator over the FULL
+# corpus — no demo subset).
+NGRAM_DF_CAP = 64
 
 _SQL_SHINGLES = f"""
-    sub AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
     sh AS (
       SELECT DISTINCT doc_id, source,
              unnest(list_transform(
                range(1, greatest(length(text) - {NGRAM - 1}, 0) + 1),
                i -> substr(text, i, {NGRAM}))) AS gram
-      FROM sub
+      FROM documents
     )
 """
 
@@ -255,12 +264,22 @@ _SQL_SHINGLES = f"""
     "q_text_ngram_jaccard",
     oracle=f"""
     WITH {_SQL_SHINGLES},
+    pl AS (SELECT source, gram, count(*) AS n FROM sh GROUP BY source, gram),
+    cand AS (
+      SELECT DISTINCT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a
+      JOIN sh b ON a.gram = b.gram AND a.source = b.source
+                AND a.doc_id < b.doc_id
+      JOIN pl ON pl.source = a.source AND pl.gram = a.gram
+      WHERE pl.n <= {NGRAM_DF_CAP}
+    ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b
-        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
-      GROUP BY a.source, a.doc_id, b.doc_id
+      SELECT c.source, c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.doc_a
+      JOIN sh tb ON tb.doc_id = c.doc_b AND tb.gram = ta.gram
+      GROUP BY c.source, c.doc_a, c.doc_b
     )
     SELECT i.source, i.doc_a, i.doc_b, i.n_common,
            {sql_rnd("i.n_common * 1.0 / (sa.n + sb.n - i.n_common)")} AS jaccard
@@ -271,14 +290,25 @@ _SQL_SHINGLES = f"""
     """,
 )
 def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-3-gram Jaccard near-dup within source (subset doc_id%5=0
-    keeps the demo pair space small; the MinHash path is the scale
-    formulation)."""
+    """Character-3-gram Jaccard near-dup within source, full corpus.
+
+    Two stages (the capped MinHash-verify shape, mirrored in the
+    oracle):
+      1. candidates from per-(source, gram) sorted posting lists of
+         length <= NGRAM_DF_CAP — one groupBy shuffle, each unordered
+         pair emitted once, hot grams dropped BEFORE the quadratic
+         flatten so no skewed key can own a task;
+      2. exact n_common over the FULL shingle sets (hot grams included)
+         via one array_intersect per candidate pair — no (pair x gram)
+         explode.
+    Pairs whose entire overlap is stopgram-grade are excluded by
+    design; q_dedup_minhash is the probabilistic full-recall path.
+    """
     from zebra_spark.io import load
 
-    sub = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     sh = (
-        sub.select(
+        load(spark, sf_dir, "documents")
+        .select(
             "doc_id",
             "source",
             F.explode(
@@ -290,30 +320,45 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select("source", F.col("doc_id").alias("doc_a"), "gram")
-    b = sh.select(
-        F.col("source").alias("source_b"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("gram").alias("gram_b"),
+    grp = (
+        sh.groupBy("source", "gram")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= NGRAM_DF_CAP)
     )
-    inter = (
-        a.join(
-            b,
-            (F.col("gram") == F.col("gram_b"))
-            & (F.col("source") == F.col("source_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+    cand = (
+        grp.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) ->"
+                    " transform(slice(docs, i + 2, size(docs)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p"),
         )
-        .groupBy("source", "doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("source", "p.doc_a", "p.doc_b")
+        .distinct()
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    gramsets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("gram")).alias("grams")
+    )
+    ga = gramsets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("gra"))
+    gb = gramsets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grb"))
+    scored = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "source",
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gra", "grb")).cast("bigint").alias("n_common"),
+            F.size("gra").alias("na"),
+            F.size("grb").alias("nb"),
+        )
+    )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= NGRAM_THRESHOLD)
+        scored.filter(jac >= NGRAM_THRESHOLD)
         .select("source", "doc_a", "doc_b", "n_common", rnd(jac).alias("jaccard"))
     )
 
