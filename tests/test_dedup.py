@@ -44,6 +44,16 @@ def test_neardup_cosine_blocking_is_lossless(spark, duck):
     assert _vhash(sp) == _vhash(allpairs)
 
 
+def test_neardup_cosine_np_kernel_matches(spark):
+    """The Arrow/numpy verify kernel returns the same top-100 (to the
+    4-decimal contract rounding) as the native sequential-fold path."""
+    from zebra_spark.queries.dedup import neardup_cosine_np
+
+    native = zebra_spark.QUERIES["q_neardup_cosine"](spark, SF_ORACLE).toPandas()
+    vec = neardup_cosine_np(spark, SF_ORACLE).toPandas()
+    assert _vhash(native) == _vhash(vec)
+
+
 def test_jaccard_pairs_survives_hot_stopword(spark, tmp_path):
     """One stopword shared by every doc must not explode candidate
     generation: pairs are generated from rare words only, yet n_common

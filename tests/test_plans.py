@@ -67,16 +67,21 @@ def test_partial_aggregation(spark):
 
 
 def test_neardup_cosine_pair_join_is_blocked(spark):
-    # candidate pairs come from an equi-join on cell_id, never an
-    # unbounded theta self-join of the corpus; the only nested-loop is
-    # the corpus x tiny-broadcast-seed assignment cross join, and the
-    # global top-100 is a distributed partial top-k
+    # candidate pairs come from per-cell member lists (ONE groupBy over
+    # the assignment, computed once), never an unbounded theta self-join
+    # of the corpus; the only nested-loop is the corpus x
+    # tiny-broadcast-seed assignment cross join, and the global top-100
+    # is a distributed partial top-k
     p = plan_of(spark, "q_neardup_cosine")
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
     import re
     hash_joins = len(re.findall(r"(?:BroadcastHash|ShuffledHash|SortMerge)Join", p))
-    assert hash_joins >= 3, p[:2000]  # cell-pair join + 2 embedding joins
+    assert hash_joins >= 2, p[:2000]  # the two embedding-side joins
+    # exactly one window operator node (the top-R cell rank) — the r2
+    # shape evaluated the assignment window twice, once per side of the
+    # pair self-join
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p[:2000]
 
 
 def test_minhash_has_no_global_window(spark):

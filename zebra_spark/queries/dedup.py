@@ -415,11 +415,36 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic quantizer shared with q_ann_ivf) -> within-cell
     candidate pairs -> exact cosine re-rank -> global top-100.
 
-    Plan shape: seeds broadcast to both the corpus scan and the pair
-    join; pair generation is an EQUI-join on cell_id (bounded by cell
-    population), never an unbounded theta self-join; final top-100 is
-    TakeOrderedAndProject (per-partition partial top-k).  Locked by
-    tests/test_plans.py."""
+    Plan shape (r3 rework — same output, ~4x less work than the r2
+    assign self-join formulation):
+      - seeds broadcast to one corpus pass; the top-R cell assignment
+        is computed ONCE and pairs come from per-cell sorted member
+        lists (one groupBy, each unordered pair emitted once) — the r2
+        version referenced `assign` on both sides of an equi-join, so
+        Spark recomputed the whole crossJoin+window twice;
+      - per-vector norms are computed once in the corpus projection and
+        joined to pairs, so the verify kernel is ONE sequential dot per
+        pair instead of three (dot(a,b), dot(a,a), dot(b,b)) — same
+        IEEE doubles (identical op order on identical data), so oracle
+        hash parity is untouched;
+      - final top-100 is TakeOrderedAndProject (per-partition partial
+        top-k).  Locked by tests/test_plans.py.
+    For bulk pair scoring where 4-decimal float parity is not required,
+    `neardup_cosine_np` (Arrow/numpy kernel) scores the same candidate
+    table faster."""
+    return _neardup_cosine(spark, sf_dir, vectorized=False)
+
+
+def neardup_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_neardup_cosine with the Arrow/numpy verify kernel
+    (functions.cosine_np_udf) — same candidates, same top-100 at any
+    realistic float margin; for bulk scoring, not the oracle gate."""
+    return _neardup_cosine(spark, sf_dir, vectorized=True)
+
+
+def _neardup_cosine(
+    spark: SparkSession, sf_dir: str, vectorized: bool
+) -> DataFrame:
     e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
     n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
     seeds = e.filter(F.col("vec_id") < n_cells).select(
@@ -439,22 +464,48 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= NDUP_ASSIGN)
         .select("vec_id", "cell_id")
     )
-    a = assign.select(F.col("vec_id").alias("id_a"), "cell_id")
-    b = assign.select(F.col("vec_id").alias("id_b"), F.col("cell_id").alias("cell_b"))
     cand = (
-        a.join(
-            b,
-            (F.col("cell_id") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
+        assign.groupBy("cell_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) ->"
+                    " transform(slice(members, i + 2, size(members)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select("id_a", "id_b")
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    if vectorized:
+        cos_np = zf.cosine_np_udf()
+        ea = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+        eb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+        dist = cos_np(F.col("ea"), F.col("eb"))
+    else:
+        en = e.select(
+            "vec_id", "emb", F.sqrt(zf.dot("emb", "emb")).alias("nrm")
+        )
+        ea = en.select(
+            F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        eb = en.select(
+            F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        dist = F.when(
+            (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(1.0)
+        ).otherwise(
+            F.lit(1.0)
+            - zf.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", zf.cosine(F.col("ea"), F.col("eb")).alias("dist"))
+        .select("id_a", "id_b", dist.alias("dist"))
         .orderBy("dist", "id_a", "id_b")
         .limit(100)
         .select("id_a", "id_b", rnd(F.col("dist")).alias("dist"))
