@@ -28,7 +28,7 @@ import atexit
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -76,8 +76,11 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the previous round's label through as `old` so the
+        # convergence signal rides the SAME job as the round's write
         stepped = labels.join(neigh, "id", "left").select(
             "id",
+            F.col("label").alias("old"),
             F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"),
         )
         # 2) pointer doubling on the CURRENT round's labels:
@@ -92,17 +95,20 @@ def connected_components(
         )
         doubled = stepped.join(lab2, "label", "left").select(
             "id",
+            "old",
             F.least("label", F.coalesce("label2", F.col("label"))).alias("label"),
         )
-        new = cut(doubled, r)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter("n.label <> o.label")
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        # convergence check via observed metrics on the write itself —
+        # one job per round, not write + a separate join+count job
+        obs = Observation(f"cc_round_{r}")
+        observed = doubled.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("label") != F.col("old")).cast("long")), F.lit(0)
+            ).alias("changed"),
+        ).select("id", "label")
+        labels = cut(observed, r)
+        if obs.get["changed"] == 0:
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
