@@ -76,6 +76,41 @@ def test_multibatch_ids_unique(spark, db):
     assert len(ids) == len(set(ids)) == len(TEXTS)
 
 
+def test_ingest_crash_replay_exactly_once(spark, db, monkeypatch):
+    """A crash after the table appends but before the batch-manifest
+    rename leaves the batch INVISIBLE; replaying it yields exactly one
+    visible copy with zero duplicate rows — no deduplicate() repair —
+    and the orphan's id range is never reused."""
+    import pytest as _pytest
+
+    from zebra_spark.database import _BATCH_SHIFT, ZebraDatabase
+
+    db.insert_texts(TEXTS[:2])
+
+    def boom(src, dst):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr("zebra_spark.database.os.replace", boom)
+    with _pytest.raises(RuntimeError, match="crash before manifest"):
+        db.insert_texts(TEXTS[2:])
+    monkeypatch.undo()
+
+    # the crashed batch's rows are on disk but not visible
+    assert db.count() == 2
+    orphan_base = 2  # batch bases start at 1; the crashed append took 2
+
+    # replay on a fresh handle (as a restarted job would)
+    db2 = ZebraDatabase.open(spark, db.path)
+    db2.insert_texts(TEXTS[2:])
+    assert db2.count() == len(TEXTS)
+    docs = sorted(r.doc for r in db2.documents().collect())
+    assert docs == sorted(TEXTS)  # zero duplicates, no deduplicate()
+    ids = [r.vec_id for r in db2.embeddings().select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == len(TEXTS)
+    # the orphan's id range stayed reserved: nothing visible lives there
+    assert all((i >> _BATCH_SHIFT) != orphan_base for i in ids)
+
+
 def test_lsh_query_path(spark, db):
     db.insert_texts(TEXTS * 4)  # 20 rows
     res = db.query_texts(["quick brown fox dog"], k=3).toPandas()

@@ -156,7 +156,7 @@ class ZebraDatabase:
 
     def clear(self) -> None:
         """≙ clear_database (core.rs:194-198)."""
-        for sub in ("documents", "embeddings", "index"):
+        for sub in ("documents", "embeddings", "index", "_batches"):
             shutil.rmtree(f"{self.path}/{sub}", ignore_errors=True)
         self.meta["n_batches"] = 0
         self._index = None
@@ -164,14 +164,42 @@ class ZebraDatabase:
 
     # -- tables -----------------------------------------------------------
 
-    def _read(self, table: str) -> DataFrame | None:
+    def _committed_bases(self) -> list[int] | None:
+        """Batch bases with a manifest entry (exactly-once ingest), or
+        None when the db predates the manifest (legacy: no filtering).
+        The manifest file is renamed into place AFTER both table
+        appends, so its presence proves the whole batch landed."""
+        d = f"{self.path}/_batches"
+        if not os.path.isdir(d):
+            return None
+        return [
+            int(n[: -len(".json")])
+            for n in os.listdir(d)
+            if n.endswith(".json")
+        ]
+
+    def _read(self, table: str, committed_only: bool = True) -> DataFrame | None:
         # crash recovery is _recover_swaps' job (runs at construction);
-        # resurrecting a {table}_old here would UNDO a delete the
-        # _swap_commit marker already declared durable
+        # resurrecting a {table}_old would UNDO a delete the
+        # _swap_commit marker already declared durable.  Reads see only
+        # MANIFESTED batches: rows from an append that crashed before
+        # its manifest rename are invisible (exactly-once), though their
+        # id range stays reserved (insert_records scans unfiltered).
         p = f"{self.path}/{table}"
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        df = self.spark.read.parquet(p)
+        if committed_only:
+            bases = self._committed_bases()
+            if bases is not None:
+                # one manifest entry per ingest batch — thousands at
+                # most, so an in-filter on the id's base bits beats a
+                # join and still prunes at the row-group level
+                df = df.filter(
+                    F.shiftrightunsigned(F.col("vec_id"), _BATCH_SHIFT)
+                    .isin([b >> _BATCH_SHIFT for b in bases])
+                )
+        return df
 
     def documents(self) -> DataFrame:
         df = self._read("documents")
@@ -242,14 +270,16 @@ class ZebraDatabase:
         batch's id range (a raw monotonically_increasing_id would exceed
         the 2^40 batch stride whenever partition_id >= 128).
 
-        The batch base comes from the MAX id already on disk, not the
-        n_batches counter: a crash between the parquet append and the
-        metadata write leaves an orphan batch whose id range is then
-        still respected by the next insert — duplicate ROWS are possible
-        after such a crash (at-least-once; deduplicate() repairs), but
-        id COLLISIONS are not."""
+        EXACTLY-once under crash-replay: the batch manifest entry
+        (_batches/{base}.json, written via tmp + atomic rename) lands
+        only AFTER both table appends; reads filter to manifested
+        bases, so a crashed append's rows are invisible and a replay
+        simply writes the same logical batch under a fresh base.  The
+        base comes from the MAX id on an UNFILTERED scan, so an orphan
+        batch's id range is never reused (its invisible rows can't be
+        resurrected by a later batch landing in the same range)."""
         batch = self.meta["n_batches"]
-        existing = self._read("embeddings")
+        existing = self._read("embeddings", committed_only=False)
         if existing is None:
             cur_max = 0
         else:
@@ -308,6 +338,14 @@ class ZebraDatabase:
         with_ids.select("vec_id", "doc", "modality").write.mode("append").parquet(
             f"{self.path}/documents"
         )
+        # commit point: manifest rename AFTER both appends (atomic on
+        # POSIX; on a cluster use the object store's atomic put)
+        bdir = f"{self.path}/_batches"
+        os.makedirs(bdir, exist_ok=True)
+        tmp = f"{bdir}/.{base}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"base": base, "rows": acc}, f)
+        os.replace(tmp, f"{bdir}/{base}.json")
         self.meta["n_batches"] = batch + 1
         self._write_meta()
         # return the checkpointed rows directly: no re-scan of every
