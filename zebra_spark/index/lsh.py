@@ -678,6 +678,30 @@ class LSHIndex:
         vecs = np.array([got[i] for i in present], dtype=np.float64)
         return self.search_vectors(vecs, k=k, metric=metric, probes=probes, query_ids=present)
 
+    def candidates_for_ids(self, ids: Iterable[int], probes: int = 8) -> DataFrame:
+        """Diagnostic: the deduped (query_id, vec_id) candidate set the
+        two-phase search re-ranks for these corpus-member queries — the
+        pre-rerank stage of search_ids, exposed so callers can measure
+        selectivity/recall without re-implementing the probe path."""
+        ids = [int(i) for i in ids]
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+        rows = (
+            self.corpus.join(F.broadcast(ids_df), "vec_id").select("vec_id", "emb").collect()
+        )
+        got = {r.vec_id: r.emb for r in rows}
+        present = [i for i in ids if i in got]
+        vecs = np.array([got[i] for i in present], dtype=np.float64)
+        keys = self.probe_keys(vecs, probes)
+        keys["query_id"] = keys["query_id"].map(
+            {i: q for i, q in enumerate(present)}
+        )
+        keys_df = self.spark.createDataFrame(
+            [tuple(int(v) for v in row)
+             for row in keys.drop_duplicates().itertuples(index=False)],
+            "query_id bigint, tree_id int, bucket_id bigint, nbits int",
+        )
+        return self._candidates(F.broadcast(keys_df))
+
     def compact(self) -> "LSHIndex":
         """Maintenance: re-cluster the index by tree after a run of
         incremental add()s (which append unions without re-partitioning),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from zebra_spark.functions import rnd as zf_rnd
 from zebra_spark.registry import query
 
 _INDEX_CACHE: dict[tuple, object] = {}
@@ -34,10 +35,41 @@ def get_index(spark: SparkSession, sf_dir: str, num_trees: int = 15, seed: int =
 @query("q_knn_lsh")
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for the first 10 corpus vectors via the seeded LSH
-    forest (candidate bucket join + exact re-rank).  Rows-only: the
-    recall>=0.9-vs-exact assertion lives in tests/test_lsh.py."""
+    forest (candidate bucket join + exact re-rank), with the semantics
+    PINNED IN THE OUTPUT: every row carries `recall` (fraction of the
+    exact brute-force top-10 the forest recovered, computed
+    declaratively against q_knn_exact — no driver collect) and
+    `n_candidates` (deduped pre-rerank candidate rows), so even the
+    rows-only driver check sees a value that collapses if the index
+    degrades.  recall >= 0.9 is additionally asserted in
+    tests/test_lsh.py."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.registry import QUERIES
+
     idx = get_index(spark, sf_dir)
-    return idx.search_ids(range(10), k=10)
+    ann = idx.search_ids(range(10), k=10)
+    exact = QUERIES["q_knn_exact"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    n_hit = (
+        ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    stats = (
+        n_hit.crossJoin(n_exact)
+        .crossJoin(
+            idx.candidates_for_ids(range(10)).agg(
+                F.count(F.lit(1)).alias("n_candidates")
+            )
+        )
+        .select(
+            zf_rnd(F.col("n_hit") / F.col("n_exact")).alias("recall"),
+            "n_candidates",
+        )
+    )
+    return ann.crossJoin(F.broadcast(stats))
 
 
 @query("q_lsh_bucket_counts")
