@@ -106,6 +106,47 @@ def test_database_uses_registered_model_end_to_end(spark, tmp_path):
     assert hits[0].dist == 0.0
 
 
+def test_default_text_database_with_bge_fake_e2e(spark, tmp_path):
+    """Golden contract for the BGE slot (VERDICT r2 #9): a 384-d model
+    registered under kind='bge' flows through create_default_text ->
+    insert -> stored embeddings -> query with zero code change — the
+    exact drop-in seam a real fastembed weight load would use."""
+    from zebra_spark.database import ZebraDatabase
+
+    register_model("bge", functools.partial(CharSumModel, dim=384))
+    db = ZebraDatabase.create_default_text(
+        spark, str(tmp_path / "db"), model="bge"
+    )
+    assert db.meta["dim"] == 384 and db.meta["metric"] == "l2sq"
+    db.insert_texts(["alpha bravo", "charlie delta", "echo foxtrot"])
+    emb = db.embeddings().collect()
+    assert len(emb) == 3
+    assert all(len(r.embedding) == 384 for r in emb)
+    assert all(isinstance(r.embedding[0], float) for r in emb)
+    hits = db.query_texts(["charlie delta"], k=1).collect()
+    assert hits[0].doc == "charlie delta" and hits[0].dist == 0.0
+
+
+def test_vit_fake_embed_column_contract(spark):
+    """Golden contract for the ViT slot: a 768-d model registered under
+    kind='vit' embeds a BINARY column through the same Arrow pandas_udf
+    a real torch forward would ride — shape (n, 768), float32 Arrow
+    list<float> out."""
+    register_model("vit", functools.partial(CharSumModel, dim=768))
+    df = spark.createDataFrame(
+        [(1, b"\x05" * 64), (2, b"\x07payload"), (3, b"")],
+        "id bigint, content binary",
+    )
+    rows = (
+        df.withColumn("e", embed_column("vit")(F.col("content")))
+        .orderBy("id")
+        .collect()
+    )
+    assert [len(r.e) for r in rows] == [768, 768, 768]
+    ref = CharSumModel(dim=768).embed([b"\x05" * 64])
+    assert np.allclose(np.array(rows[0].e, dtype=np.float32), ref[0])
+
+
 def test_image_database_dim_threading(spark, tmp_path):
     """ADVICE r1: create_default_image declares dim=768 but the fake
     embed path hardcoded 64, so insert failed the dimension check and
