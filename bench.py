@@ -57,6 +57,13 @@ def main() -> None:
     zebra_spark.load_all_queries()
     spark = get_spark("zebra-bench", cpus=cpus)
 
+    # Optional subset filter (comma-separated names; special rows
+    # knn_exact_100/lsh_build/lsh_query_100/ingest included by name).
+    # Used by the test suite's contract check to keep it fast; the
+    # driver's full run leaves it unset.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    only_set = {s.strip() for s in only.split(",")} if only else None
+
     headline = [
         "q_agg_hash",
         "q_join_inner",
@@ -76,6 +83,11 @@ def main() -> None:
         "q_tpch_q9",
         "q_tpch_q21",
     ]
+    if only_set is not None:
+        headline = [n for n in headline if n in only_set]
+
+    def wanted(name: str) -> bool:
+        return only_set is None or name in only_set
 
     # warm-up: JVM/codegen/parquet footer caches
     _consume(zebra_spark.QUERIES["q_agg_hash"](spark, sf_dir))
@@ -86,29 +98,33 @@ def main() -> None:
         _consume(zebra_spark.QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    _consume(knn_exact(spark, sf_dir, n_queries=100, k=10))
-    times["knn_exact_100"] = round(time.perf_counter() - t0, 3)
-
-    try:
-        from zebra_spark.index.lsh import LSHIndex
-
+    if wanted("knn_exact_100"):
         t0 = time.perf_counter()
-        idx = LSHIndex.build(spark, sf_dir, num_trees=15, seed=42)
-        times["lsh_build"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        _consume(idx.search_ids(range(100), k=10))
-        times["lsh_query_100"] = round(time.perf_counter() - t0, 3)
-    except ImportError:
-        pass
+        _consume(knn_exact(spark, sf_dir, n_queries=100, k=10))
+        times["knn_exact_100"] = round(time.perf_counter() - t0, 3)
 
-    out_dir = tempfile.mkdtemp(prefix="zebra_bench_")
-    try:
-        t0 = time.perf_counter()
-        bench_ingest(spark, sf_dir, out_dir)
-        times["ingest"] = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    if wanted("lsh_build") or wanted("lsh_query_100"):
+        try:
+            from zebra_spark.index.lsh import LSHIndex
+
+            t0 = time.perf_counter()
+            idx = LSHIndex.build(spark, sf_dir, num_trees=15, seed=42)
+            times["lsh_build"] = round(time.perf_counter() - t0, 3)
+            if wanted("lsh_query_100"):
+                t0 = time.perf_counter()
+                _consume(idx.search_ids(range(100), k=10))
+                times["lsh_query_100"] = round(time.perf_counter() - t0, 3)
+        except ImportError:
+            pass
+
+    if wanted("ingest"):
+        out_dir = tempfile.mkdtemp(prefix="zebra_bench_")
+        try:
+            t0 = time.perf_counter()
+            bench_ingest(spark, sf_dir, out_dir)
+            times["ingest"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(

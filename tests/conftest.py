@@ -16,6 +16,10 @@ SF_ORACLE = os.environ.get("ZEBRA_TEST_SF_ORACLE", "/root/testdata/sf0.01")
 def spark():
     from zebra_spark.session import get_spark
 
+    # 8 threads / 8 shuffle partitions: the suite is hundreds of tiny
+    # jobs; A/B runs showed 16 threads (and 16 shuffle partitions, and
+    # AQE off, and codegen off) all measurably WORSE — per-job fixed
+    # overhead dominates, and wider configs only add task scheduling.
     s = get_spark("zebra-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     yield s
     s.stop()

@@ -7,17 +7,20 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_asof_window_matches_merge_asof(spark):
     """The declared q_join_asof (range join + rank-1 window) must agree
-    with pandas merge_asof per user (the grouped-map fallback)."""
+    with pandas merge_asof per user (the grouped-map fallback).  Runs at
+    the smoke SF — the oracle sweep already checks q_join_asof at
+    sf0.01; this test pins the asof SEMANTICS against an independent
+    formulation, which the smaller event set still exercises."""
     import zebra_spark
 
     zebra_spark.load_all_queries()
     declared = (
-        zebra_spark.QUERIES["q_join_asof"](spark, SF_ORACLE)
+        zebra_spark.QUERIES["q_join_asof"](spark, SF_SMOKE)
         .toPandas()
         .sort_values("pid")
         .reset_index(drop=True)
@@ -25,7 +28,7 @@ def test_asof_window_matches_merge_asof(spark):
 
     from zebra_spark.io import load
 
-    ev = load(spark, SF_ORACLE, "events").select(
+    ev = load(spark, SF_SMOKE, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
 

@@ -13,6 +13,16 @@ def test_bench_emits_contract_json():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # fast subset: every row *kind* (registry query, knn special, lsh
+    # build+query specials, ingest) without the heavy dedup pipeline —
+    # the contract under test is the JSON shape, not the full suite
+    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(
+        [
+            "q_agg_hash", "q_join_inner", "q_dedup_exact", "q_sort_limit",
+            "q_window_sliding", "q_text_fingerprint", "q_tpch_q9",
+            "knn_exact_100", "lsh_build", "lsh_query_100", "ingest",
+        ]
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,

@@ -105,17 +105,18 @@ def test_adaptive_build_splits_locally_on_skew(spark):
     from zebra_spark.index.lsh import LSHIndex
 
     rng = np.random.default_rng(3)
+    n, trees = 1500, 3
     # 3 tight clusters -> default depth leaves huge buckets
     centers = rng.standard_normal((3, 16)) * 10
-    data = centers[rng.integers(0, 3, 2000)] + rng.standard_normal((2000, 16)) * 0.5
+    data = centers[rng.integers(0, 3, n)] + rng.standard_normal((n, 16)) * 0.5
     corpus = spark.createDataFrame(
-        [(i, [float(x) for x in data[i]]) for i in range(2000)],
+        [(i, [float(x) for x in data[i]]) for i in range(n)],
         "vec_id bigint, emb array<double>",
     )
-    plain = LSHIndex.build(spark, "", corpus=corpus, num_trees=5, seed=1)
+    plain = LSHIndex.build(spark, "", corpus=corpus, num_trees=trees, seed=1)
     adaptive = LSHIndex.build(
-        spark, "", corpus=corpus, num_trees=5, seed=1, adaptive=True,
-        oversize_factor=8,
+        spark, "", corpus=corpus, num_trees=trees, seed=1, adaptive=True,
+        oversize_factor=8, max_split_rounds=12,
     )
     # local split: base depth unchanged, split metadata present,
     # split leaves carry more signature bits than the base depth
@@ -126,7 +127,7 @@ def test_adaptive_build_splits_locally_on_skew(spark):
     # index size invariant: every vector in exactly num_trees leaves
     # (global deepening would keep this too, but it re-buckets EVERY
     # row; local split moved only the oversized leaves' rows)
-    assert sizes["n"].sum() == 2000 * 5
+    assert sizes["n"].sum() == n * trees
     untouched = sizes[sizes["nbits"] == adaptive.options.depth]
     assert len(untouched) > 0  # most leaves were never re-bucketed
 
@@ -149,7 +150,7 @@ def test_adaptive_build_splits_locally_on_skew(spark):
     # p99 leaf of the adaptive index respects the oversize budget
     assert float(sizes["n"].quantile(0.99)) <= limit
     # recall vs exact top-10 for 20 member queries
-    qids = list(range(0, 2000, 100))
+    qids = list(range(0, n, 100))
     got = adaptive.search_ids(qids, k=10, probes=8).toPandas()
     ref_hits = 0
     for q in qids:

@@ -49,36 +49,74 @@ SPARK_TO_DUCK = {
 
 
 @pytest.fixture(scope="session")
-def spark_results(spark):
-    """Materialize every registered query's Spark result once, 8 jobs in
-    flight (Spark schedules concurrent actions from threads across the
-    same local executor pool).  Cuts the parity sweep from ~1.5 s/query
-    serial to the latency of the slowest stragglers; per-query failures
-    are captured and re-raised inside the owning test."""
+def sweep_results(spark):
+    """Materialize BOTH engines' results for every registered query once,
+    concurrently: 8 Spark jobs in flight (Spark schedules concurrent
+    actions from threads across the same local executor pool) overlapped
+    with 6 DuckDB connections each running oracle SQL (DuckDB releases
+    the GIL during execution; views are metadata-only to register).
+    The serial formulation paid ~50 s Spark THEN ~70 s single-connection
+    DuckDB; this pays ~max of the two.  Per-query failures are captured
+    and re-raised inside the owning test."""
+    import duckdb
     from concurrent.futures import ThreadPoolExecutor
 
-    def run(name):
+    def run_spark(name):
         try:
             sdf = zebra_spark.QUERIES[name](spark, SF_ORACLE)
             return name, (sdf.schema, sdf.toPandas(), None)
         except Exception as exc:  # noqa: BLE001 — re-raised per-test
             return name, (None, None, exc)
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        return dict(ex.map(run, NAMES))
+    oracle_names = [n for n in NAMES if n in zebra_spark.ORACLES]
+
+    def run_duck_chunk(chunk):
+        con = duckdb.connect()
+        # each connection defaults to ALL cores; bound so six pooled
+        # connections + Spark don't oversubscribe the machine
+        con.execute("SET threads=4")
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+            )
+        out = []
+        for name in chunk:
+            sql = zebra_spark.ORACLES[name]
+            try:
+                pdf = con.execute(sql).fetchdf()
+                types = {
+                    r[0]: r[1]
+                    for r in con.execute(f"DESCRIBE {sql}").fetchall()
+                }
+                out.append((name, (types, pdf, None)))
+            except Exception as exc:  # noqa: BLE001 — re-raised per-test
+                out.append((name, (None, None, exc)))
+        con.close()
+        return out
+
+    n_chunks = 6
+    chunks = [oracle_names[i::n_chunks] for i in range(n_chunks)]
+    with ThreadPoolExecutor(max_workers=8 + n_chunks) as ex:
+        spark_futs = [ex.submit(run_spark, n) for n in NAMES]
+        duck_futs = [ex.submit(run_duck_chunk, c) for c in chunks]
+        spark_side = dict(f.result() for f in spark_futs)
+        duck_side = dict(kv for f in duck_futs for kv in f.result())
+    return spark_side, duck_side
 
 
 @pytest.mark.parametrize("name", NAMES)
-def test_parity(name, spark, duck, spark_results):
-    schema, spark_pdf, exc = spark_results[name]
+def test_parity(name, sweep_results):
+    spark_side, duck_side = sweep_results
+    schema, spark_pdf, exc = spark_side[name]
     if exc is not None:
         raise exc
-    duck_pdf = duck.execute(zebra_spark.ORACLES[name]).fetchdf()
-
-    # schema: same columns AND equivalent types on both engines
-    duck_types = {
-        r[0]: r[1] for r in duck.execute(f"DESCRIBE {zebra_spark.ORACLES[name]}").fetchall()
-    }
+    duck_types, duck_pdf, dexc = duck_side[name]
+    if dexc is not None:
+        raise dexc
     for f in schema.fields:
         st = f.dataType.simpleString()
         dt = duck_types.get(f.name)

@@ -22,7 +22,10 @@ def get_spark(app: str = "zebra-spark", cpus: str | None = None) -> SparkSession
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("ZEBRA_AQE", "true"))
+        .config("spark.sql.codegen.wholeStage",
+                os.environ.get("ZEBRA_CODEGEN", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
