@@ -60,11 +60,18 @@ def connected_components(
         shutil.rmtree(f"{base}/round_{r - 2}", ignore_errors=True)
         return spark.read.parquet(f"{base}/round_{r}")
 
+    # Materialize the edge list FIRST: `edges` is often an expensive
+    # pipeline (q_dedup_clusters feeds the full MinHash pair query in),
+    # and the symmetrize union below references it twice — without this
+    # cut Spark recomputes the whole upstream pipeline once per union
+    # branch (measured: 2x the pair-query cost inside one job).
+    edges.select("src", "dst").write.mode("overwrite").parquet(f"{base}/edges")
+    edges_m = spark.read.parquet(f"{base}/edges")
     # static through all rounds: one localCheckpoint (no chaining — the
     # blowup above only affects iterated checkpoints of checkpoints)
     sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        edges_m.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges_m.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
         .localCheckpoint()
     )

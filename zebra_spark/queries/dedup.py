@@ -134,6 +134,14 @@ def _minhash_pairs(
     spark: SparkSession, sf_dir: str, n_hashes: int, n_bands: int
 ) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir, n_hashes, n_bands)
+    # Candidates via band-key EQUI-JOIN (not per-key member-list
+    # explode): both shapes emit the same g^2/2 pairs per colliding
+    # key, but the join lets AQE's skew-join splitting spread a hot
+    # band key across tasks, while a groupBy/explode pins each key's
+    # whole pair fan-out to one task (measured slower on the
+    # saturation-dense fixture).  The join recomputes the signature
+    # chain once per side, but signatures are the cheap stage (~2.5 s
+    # of 21 s at sf0.1) — parallelism of the expensive stage wins.
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
     cand = (
