@@ -89,8 +89,13 @@ def main() -> None:
     def wanted(name: str) -> bool:
         return only_set is None or name in only_set
 
-    # warm-up: JVM/codegen/parquet footer caches
-    _consume(zebra_spark.QUERIES["q_agg_hash"](spark, sf_dir))
+    # warm-up: JVM/codegen/parquet footer caches.  One cheap query per
+    # engine family (relational agg, window, text tokenization) so the
+    # first heavy row doesn't absorb residual codegen/compile cost
+    # (VERDICT r2: the single-query warm-up polluted cross-round
+    # comparisons of whichever row ran first).
+    for warm in ("q_agg_hash", "q_window_sliding", "q_text_fingerprint"):
+        _consume(zebra_spark.QUERIES[warm](spark, sf_dir))
 
     times: dict[str, float] = {}
     for name in headline:
