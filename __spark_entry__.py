@@ -40,6 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 _PRIORITY = [
+    # round-4 regression gate (VERDICT r3 #1/#8): the five queries broken
+    # by the fixture ts-dtype change, now fixed in io.load, plus the new
+    # schema canary — pinned FIRST so CORRECTNESS_r4 proves the fix
+    "q_events_schema", "q_window_session", "q_window_sliding",
+    "q_window_lag", "q_join_range", "q_join_asof",
     # the 15 names with no driver row after r2 (VERDICT r2 directive 1):
     # pinned FIRST so no r3 addition can displace them in the gate order
     "q_text_chunk", "q_seq_packing",

@@ -93,20 +93,38 @@ def main() -> None:
     # engine family (relational agg, window, text tokenization) so the
     # first heavy row doesn't absorb residual codegen/compile cost
     # (VERDICT r2: the single-query warm-up polluted cross-round
-    # comparisons of whichever row ran first).
+    # comparisons of whichever row ran first).  Each warm-up is
+    # failure-isolated and respects the subset filter: a broken query
+    # must cost one warm cache, never the whole bench (VERDICT r3 #5 —
+    # an unguarded warm-up zeroed out BENCH_r03 entirely).
     for warm in ("q_agg_hash", "q_window_sliding", "q_text_fingerprint"):
-        _consume(zebra_spark.QUERIES[warm](spark, sf_dir))
+        if not wanted(warm):
+            continue
+        try:
+            _consume(zebra_spark.QUERIES[warm](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+            print(f"warmup {warm} failed: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         t0 = time.perf_counter()
-        _consume(zebra_spark.QUERIES[name](spark, sf_dir))
+        try:
+            _consume(zebra_spark.QUERIES[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"query {name} failed: {exc}", file=sys.stderr)
+            continue
         times[name] = round(time.perf_counter() - t0, 3)
 
     if wanted("knn_exact_100"):
         t0 = time.perf_counter()
-        _consume(knn_exact(spark, sf_dir, n_queries=100, k=10))
-        times["knn_exact_100"] = round(time.perf_counter() - t0, 3)
+        try:
+            _consume(knn_exact(spark, sf_dir, n_queries=100, k=10))
+            times["knn_exact_100"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors["knn_exact_100"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"query knn_exact_100 failed: {exc}", file=sys.stderr)
 
     if wanted("lsh_build") or wanted("lsh_query_100"):
         try:
@@ -119,8 +137,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 _consume(idx.search_ids(range(100), k=10))
                 times["lsh_query_100"] = round(time.perf_counter() - t0, 3)
-        except ImportError:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            errors["lsh"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"query lsh_build/query failed: {exc}", file=sys.stderr)
 
     if wanted("ingest"):
         out_dir = tempfile.mkdtemp(prefix="zebra_bench_")
@@ -128,21 +147,25 @@ def main() -> None:
             t0 = time.perf_counter()
             bench_ingest(spark, sf_dir, out_dir)
             times["ingest"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors["ingest"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"query ingest failed: {exc}", file=sys.stderr)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    if errors:
+        # Partial failure still yields a comparable suite number; the
+        # per-query error map makes the gap visible instead of silent.
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -19,6 +19,33 @@ SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
 @query(
+    "q_events_schema",
+    oracle="""
+    SELECT 'timestamp' AS ts_dtype,
+           min(epoch_us(ts)) AS min_us,
+           max(epoch_us(ts)) AS max_us,
+           count(*) AS n
+    FROM events
+    """,
+)
+def q_events_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression canary (VERDICT r3 #8): the sf fixtures regenerated
+    between rounds with a different on-disk `ts` dtype (TIMESTAMP(NANOS)
+    -> timestamp[us]/NTZ), silently breaking five event-time queries at
+    once.  This row pins the post-`io.load` contract — `ts` must be a
+    session-TZ TIMESTAMP with the exact instants DuckDB sees — so a
+    future fixture dtype change turns into ONE obviously-red driver row
+    instead of five confusing ones."""
+    ev = load(spark, sf_dir, "events")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    return ev.agg(
+        F.min(F.unix_micros("ts")).alias("min_us"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.lit(ts_dtype).alias("ts_dtype"), "min_us", "max_us", "n")
+
+
+@query(
     "q_window_tumbling",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
