@@ -142,6 +142,13 @@ def _minhash_pairs(
     # saturation-dense fixture).  The join recomputes the signature
     # chain once per side, but signatures are the cheap stage (~2.5 s
     # of 21 s at sf0.1) — parallelism of the expensive stage wins.
+    # r4 A/B (sf0.1, 3+ runs each): localCheckpoint()ing sigs and/or
+    # toksets to avoid the per-side recompute made things WORSE —
+    # both-checkpointed: minhash 30.6->28.8-30.5 (noise), clusters
+    # 35->41-47; sigs-only: minhash 37.8.  A checkpointed frame scans
+    # as a stats-less LogicalRDD, so the planner stops broadcasting
+    # the small sides and the big verify join degrades to sort-merge.
+    # Recompute-with-AQE-broadcast beats materialize-without-stats.
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
     cand = (
