@@ -84,6 +84,18 @@ def test_load_normalizes_every_ts_encoding(spark, variant_dirs):
         )
 
 
+def test_no_table_surfaces_ntz(spark):
+    """orders.o_orderdate / lineitem.l_shipdate are timestamp[us] NTZ on
+    disk too — load() must normalize every NTZ column, not just
+    events.ts, so no query can hit the r3 DATATYPE_MISMATCH class."""
+    from zebra_spark.io import TABLES, load
+
+    for t in TABLES:
+        bad = [c for c, ty in load(spark, SF_SMOKE, t).dtypes
+               if ty == "timestamp_ntz"]
+        assert not bad, f"{t}: NTZ columns leaked through load(): {bad}"
+
+
 @pytest.mark.parametrize("qname", EVENT_TIME_QUERIES)
 def test_event_time_queries_dtype_invariant(spark, variant_dirs, qname):
     """Every event-time query returns bit-identical rows regardless of

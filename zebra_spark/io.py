@@ -38,22 +38,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_dtype = dict(df.dtypes).get("ts")
-        if ts_dtype == "bigint":
-            # ts is TIMESTAMP(NANOS) on disk, surfaced as epoch-nanos long
-            # via spark.sql.legacy.parquet.nanosAsLong.  Truncate ns -> us
-            # with integer division (epoch-ns ~1.7e18 overflows double
-            # precision, so no float math) — matches DuckDB's ns -> us
-            # truncation.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_dtype == "timestamp_ntz":
-            # ts is timestamp[us] without UTC adjustment -> TIMESTAMP_NTZ.
-            # Session TZ is UTC (ensure_session_confs), so casting to the
-            # instant type preserves the wall-clock values exactly and keeps
-            # parity with DuckDB's epoch_us().  Every downstream consumer
-            # (unix_micros, window(), session_window) requires TIMESTAMP.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is TIMESTAMP(NANOS) on disk, surfaced as epoch-nanos long
+        # via spark.sql.legacy.parquet.nanosAsLong.  Truncate ns -> us
+        # with integer division (epoch-ns ~1.7e18 overflows double
+        # precision, so no float math) — matches DuckDB's ns -> us
+        # truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize EVERY remaining TIMESTAMP_NTZ column to the instant type.
+    # The fixtures regenerated between rounds as timestamp[us] without
+    # UTC adjustment (Spark TIMESTAMP_NTZ), which unix_micros / window()
+    # / session_window reject at analysis time (the r3 regression).
+    # Session TZ is UTC (ensure_session_confs), so the cast preserves
+    # wall-clock values exactly and keeps DuckDB epoch_us parity; the
+    # engine then presents ONE timestamp semantics everywhere.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
