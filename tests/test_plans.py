@@ -137,3 +137,42 @@ def test_tpch_exists_shapes_are_semi_anti(spark):
     assert "LeftSemi" in p21 and "LeftAnti" in p21
     p22 = plan_of(spark, "q_tpch_q22")
     assert "LeftAnti" in p22
+
+
+def scan_count(plan: str) -> int:
+    """Number of parquet scans in the physical plan (the formatted
+    explain prints every operator twice: tree + detail section)."""
+    import re
+
+    return len([l for l in plan.splitlines()
+                if re.match(r"^\s*\(\d+\) Scan parquet", l)])
+
+
+def test_emb_covariance_single_corpus_scan(spark):
+    """The one-pass moment-stats design: exactly ONE embeddings scan.
+    A self-join finish step planned 4 (idx filters pushed below the
+    stats exchange defeat ReuseExchange — see _emb_moment_stats)."""
+    assert scan_count(plan_of(spark, "q_emb_covariance")) == 1
+
+
+def test_surprisal_two_corpus_scans_and_broadcast(spark):
+    """tok + vocabulary build = 2 scans (the grand total is a plan-time
+    scalar, not a third scan); the vocabulary join is a broadcast."""
+    p = plan_of(spark, "q_text_surprisal")
+    assert scan_count(p) == 2, p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_funnel_pushes_event_type_filters(spark):
+    """Each funnel stage scans only its event type (pushdown), and the
+    shrinking stage frames join by broadcast, never sort-merge."""
+    p = plan_of(spark, "q_events_funnel")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("event_type" in l for l in pushed), p
+    assert "SortMergeJoin" not in p
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    p = plan_of(spark, "q_dedup_incremental")
+    assert "CartesianProduct" not in p

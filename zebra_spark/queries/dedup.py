@@ -83,7 +83,7 @@ def _minhash_sigs(
     )
 
 
-_SQL_MINHASH_CORE = f"""
+_SQL_SIGS = f"""
     mh AS (
       SELECT doc_id, j, min((a * tid + b) % {P}) AS mh
       FROM t2 CROSS JOIN params
@@ -93,7 +93,11 @@ _SQL_MINHASH_CORE = f"""
       SELECT doc_id, CAST(floor(j / {N_HASHES // N_BANDS}) AS INTEGER) AS band,
              string_agg(mh::VARCHAR, ',' ORDER BY j) AS key
       FROM mh GROUP BY doc_id, band
-    ),
+    )
+"""
+
+_SQL_MINHASH_CORE = f"""
+    {_SQL_SIGS.strip()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sigs a JOIN sigs b
@@ -211,6 +215,124 @@ def q_dedup_minhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     same parameterized machinery as q_dedup_minhash; the cost delta is
     one wider (tokens x 128) map-side aggregation."""
     return _minhash_pairs(spark, sf_dir, n_hashes=128, n_bands=32)
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_SIGS.strip()},
+    bs AS (SELECT * FROM sigs WHERE doc_id % 10 = 0),
+    cs AS (SELECT * FROM sigs WHERE doc_id % 10 <> 0),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_b, c.doc_id AS doc_c
+      FROM bs b JOIN cs c ON b.band = c.band AND b.key = c.key
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_b, c.doc_c, count(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_b
+      JOIN tok tb ON tb.doc_id = c.doc_c AND tb.word = ta.word
+      GROUP BY c.doc_b, c.doc_c
+    ),
+    scored AS (
+      SELECT i.doc_b, i.doc_c,
+             i.n_common * 1.0 / (sa.n + sb.n - i.n_common) AS j
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_b
+      JOIN sz sb ON sb.doc_id = i.doc_c
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
+            >= {MINHASH_THRESHOLD}
+    ),
+    best AS (
+      SELECT doc_b, doc_c, j,
+             row_number() OVER (PARTITION BY doc_b
+                                ORDER BY j DESC, doc_c) AS rk
+      FROM scored
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN b.doc_c IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS is_dup,
+           coalesce(b.doc_c, -1) AS dup_of,
+           {sql_rnd("coalesce(b.j, 0.0)")} AS jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.doc_b = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dedup: screen a NEW batch (doc_id % 10
+    == 0, ~10% of the corpus) against the EXISTING corpus (the other
+    90%) and flag each new doc as a near-dup of its best corpus match
+    (Jaccard >= 0.5) or as novel.
+
+    The production shape for continuous pipelines: the corpus side's
+    signatures are a precomputed index you append to (here recomputed
+    from the fixture for oracle parity), and the batch side is small —
+    so the band join is batch-sigs x corpus-index, NOT corpus x corpus.
+    At 100 TB the corpus signature table is date-partitioned parquet
+    and each ingest batch joins against it; cost scales with batch
+    size, never with corpus size squared.  The per-batch-doc argmax is
+    a window over candidate groups (bounded by band collisions)."""
+    sigs = _minhash_sigs(spark, sf_dir, N_HASHES, N_BANDS)
+    batch = sigs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    corpus = sigs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("doc_c"),
+        F.col("band").alias("band_c"),
+        F.col("key").alias("key_c"),
+    )
+    cand = (
+        batch.join(
+            corpus,
+            (F.col("band") == F.col("band_c")) & (F.col("key") == F.col("key_c")),
+        )
+        .select("doc_b", "doc_c")
+        .distinct()
+    )
+    tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
+    toksets = tok.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("word")).alias("words")
+    )
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    tc = toksets.select(F.col("doc_id").alias("doc_c"), F.col("words").alias("wc"))
+    jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
+    scored = (
+        cand.join(tb, "doc_b")
+        .join(tc, "doc_c")
+        .select(
+            "doc_b",
+            "doc_c",
+            F.size(F.array_intersect("wb", "wc")).cast("bigint").alias("n_common"),
+            F.size("wb").alias("nb"),
+            F.size("wc").alias("nc"),
+        )
+        .withColumn("j", jac)
+        .filter(F.col("j") >= MINHASH_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_b").orderBy(F.col("j").desc(), F.col("doc_c"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_b", "doc_c", "j")
+    )
+    from zebra_spark.io import load
+
+    new_docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return new_docs.join(best, new_docs.doc_id == best.doc_b, "left").select(
+        "doc_id",
+        F.when(F.col("doc_c").isNull(), 0).otherwise(1).cast("int").alias("is_dup"),
+        F.coalesce(F.col("doc_c"), F.lit(-1).cast("bigint")).alias("dup_of"),
+        rnd(F.coalesce(F.col("j"), F.lit(0.0))).alias("jaccard"),
+    )
 
 
 @query(

@@ -173,3 +173,83 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view,
+           coalesce(c.t_click, -1) AS t_click,
+           coalesce(p.t_purchase, -1) AS t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user,
+    the first view, the first click AT OR AFTER that view, and the
+    first purchase at or after that click, with the stage reached.
+
+    Three user-keyed aggregations chained by equi-joins — each stage
+    reuses the user_id partitioning, and the stage frames only shrink
+    (funnels are monotone), so at scale every join after the first is
+    a small-side broadcast against the raw events scan."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            F.coalesce("t_click", F.lit(-1).cast("bigint")).alias("t_click"),
+            F.coalesce("t_purchase", F.lit(-1).cast("bigint")).alias(
+                "t_purchase"
+            ),
+            F.when(F.col("t_purchase") != -1, 3)
+            .when(F.col("t_click") != -1, 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+    )

@@ -398,3 +398,153 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", lane(1), lane(2), lane(3), lane(4),
         rnd(F.col("amax")).alias("scale"),
     )
+
+
+# --- embedding dimensionality reduction (covariance + PCA) ------------------
+
+
+def _emb_moment_stats(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+    """One corpus pass -> the sufficient statistics for mean/covariance:
+    a (idx, v) frame holding [n, sum(x_j)..., sum(x_j*x_k)...] laid out
+    as idx 0, 1..D, D+1..D+D^2.
+
+    mapInPandas computes per-Arrow-batch partials (count, sum vector,
+    X^T X via one BLAS matmul) so the shuffle is O(batches x D^2), never
+    O(rows): at 100 TB the corpus is read once, each task emits a few
+    KB, and the final combine is a 4k-row aggregation.  Consumers must
+    NOT branch off this frame with idx filters: Catalyst pushes each
+    branch's filter below the aggregation exchange, the exchanges stop
+    being identical, ReuseExchange no longer applies, and the corpus
+    gets scanned once per branch (observed: a 4-branch covariance
+    formulation planned 4 full scans).  Consume it linearly (a
+    single-partition finisher, or one driver collect)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [np.matmul(X.T, X).ravel().tolist()],
+                }
+            )
+
+    p = (
+        embeddings_d(spark, sf_dir)
+        .select("emb")
+        .mapInPandas(partials, schema="n double, s array<double>, ss array<double>")
+    )
+    flat = p.select(
+        F.posexplode(
+            F.concat(F.array(F.col("n")), F.col("s"), F.col("ss"))
+        ).alias("idx", "v")
+    )
+    return flat.groupBy("idx").agg(F.sum("v").alias("v"))
+
+
+@query(
+    "q_emb_covariance",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT CAST(a.j AS INTEGER) AS j, CAST(b.j AS INTEGER) AS k,
+           {sql_rnd("covar_pop(a.v, b.v)")} AS cov
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.j <= b.j
+    GROUP BY a.j, b.j
+    """,
+)
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding corpus (upper
+    triangle, D(D+1)/2 rows) — the first stage of PCA / whitening /
+    drift monitoring over an embedding column.
+
+    Spark side is the scalable one-pass shape (_emb_moment_stats):
+    per-batch X^T X partials, O(D^2) shuffle, then a single-partition
+    Arrow finisher turns the 1+D+D^2 sums into the D(D+1)/2 upper
+    triangle — the corpus is scanned exactly ONCE (a self-join
+    formulation of the finish step planned 4 full scans; see
+    _emb_moment_stats).  The oracle's quadratic unnest self-join
+    (rows x D^2) is fine for DuckDB at sf scale but is exactly the
+    shape the Spark plan avoids."""
+    import numpy as np
+    import pandas as pd
+
+    emb = embeddings_d(spark, sf_dir)
+    dim = len(emb.select("emb").first()[0])
+    stats = _emb_moment_stats(spark, sf_dir, dim)
+
+    def finish(it):
+        flat = np.zeros(1 + dim + dim * dim)
+        for pdf in it:
+            flat[pdf["idx"].to_numpy()] += pdf["v"].to_numpy()
+        n, s = flat[0], flat[1 : 1 + dim]
+        ss = flat[1 + dim :].reshape(dim, dim)
+        mean = s / n
+        cov = ss / n - np.outer(mean, mean)
+        j, k = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"j": j.astype("int32"), "k": k.astype("int32"), "cov": cov[j, k]}
+        )
+
+    tri = stats.repartition(1).mapInPandas(
+        finish, schema="j int, k int, cov double"
+    )
+    return tri.select("j", "k", rnd(F.col("cov")).alias("cov"))
+
+
+PCA_K = 8
+
+
+@query("q_emb_pca")  # rows-only: eigendecomposition is not SQL-expressible
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-{PCA_K} principal
+    components of the corpus covariance.
+
+    Scale split: the sufficient statistics are the one-pass
+    _emb_moment_stats frame; only the D x D matrix (a few thousand
+    doubles) is collected to the driver for np.linalg.eigh — the same
+    bounded-collect pattern as the LSH hyperplane samples.  The
+    projection matrix is then broadcast back and applied with one
+    Arrow-batched matmul per batch; no corpus-sized shuffle at all.
+    Sign convention: each component is flipped so its largest-magnitude
+    coefficient is positive (eigh's sign is otherwise arbitrary).
+    Invariants (variance ordering, orthogonality, trace) are asserted
+    in tests/test_pca.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    emb = embeddings_d(spark, sf_dir)
+    dim = len(emb.select("emb").first()[0])
+    rows = _emb_moment_stats(spark, sf_dir, dim).collect()
+    flat = np.zeros(1 + dim + dim * dim)
+    for r in rows:
+        flat[r["idx"]] = r["v"]
+    n, s, ss = flat[0], flat[1 : 1 + dim], flat[1 + dim :].reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order]  # D x K
+    signs = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(PCA_K)])
+    signs[signs == 0] = 1.0
+    comps = comps * signs
+    bc = spark.sparkContext.broadcast((mean, comps))
+
+    def _project(embs):
+        m, c = bc.value
+        X = np.asarray(embs.tolist(), dtype=np.float64) - m
+        return pd.Series(list(np.matmul(X, c)))
+
+    project = pandas_udf(_project, "array<double>")
+
+    return emb.select("vec_id", project(F.col("emb")).alias("pc"))
