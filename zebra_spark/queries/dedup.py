@@ -153,14 +153,20 @@ def _minhash_pairs(
     # as a stats-less LogicalRDD, so the planner stops broadcasting
     # the small sides and the big verify join degrades to sort-merge.
     # Recompute-with-AQE-broadcast beats materialize-without-stats.
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
+    #
+    # The join key is xxhash64(band, key) — a bigint — instead of the
+    # ~40-char signature string: less shuffle volume and cheaper
+    # compares (r4 interleaved A/B at sf0.1: candidates 12-15.7 s ->
+    # 10.3 s).  A 2^-64 hash collision can only ADD a false candidate,
+    # which the exact-Jaccard verify below then drops — correctness is
+    # unaffected by construction.
+    keyed = sigs.select("doc_id", F.xxhash64("band", "key").alias("bk"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("bk").alias("bk_b"))
     cand = (
         a.join(
             b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("key") == F.col("key_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            (F.col("bk") == F.col("bk_b")) & (F.col("doc_a") < F.col("doc_b")),
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -275,20 +281,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each ingest batch joins against it; cost scales with batch
     size, never with corpus size squared.  The per-batch-doc argmax is
     a window over candidate groups (bounded by band collisions)."""
-    sigs = _minhash_sigs(spark, sf_dir, N_HASHES, N_BANDS)
+    # same hashed-band-key trick as _minhash_pairs: bigint equi-join,
+    # false candidates (2^-64) are dropped by the exact verify
+    sigs = _minhash_sigs(spark, sf_dir, N_HASHES, N_BANDS).select(
+        "doc_id", F.xxhash64("band", "key").alias("bk")
+    )
     batch = sigs.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("doc_b"), "band", "key"
+        F.col("doc_id").alias("doc_b"), "bk"
     )
     corpus = sigs.filter(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("doc_c"),
-        F.col("band").alias("band_c"),
-        F.col("key").alias("key_c"),
+        F.col("doc_id").alias("doc_c"), F.col("bk").alias("bk_c")
     )
     cand = (
-        batch.join(
-            corpus,
-            (F.col("band") == F.col("band_c")) & (F.col("key") == F.col("key_c")),
-        )
+        batch.join(corpus, F.col("bk") == F.col("bk_c"))
         .select("doc_b", "doc_c")
         .distinct()
     )
