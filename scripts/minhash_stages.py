@@ -38,20 +38,16 @@ def main() -> None:
     n_sigs = sigs.count()
     t_sigs = time.perf_counter() - t0
 
-    # candidates only (band equi-join, no verify)
+    # candidates only (hashed band-key equi-join as in _minhash_pairs,
+    # no verify)
     t0 = time.perf_counter()
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band").alias("band_b"),
-        F.col("key").alias("key_b"),
-    )
+    keyed = sigs.select("doc_id", F.xxhash64("band", "key").alias("bk"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("bk").alias("bk_b"))
     cand = (
         a.join(
             b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("key") == F.col("key_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            (F.col("bk") == F.col("bk_b")) & (F.col("doc_a") < F.col("doc_b")),
         )
         .select("doc_a", "doc_b")
         .distinct()

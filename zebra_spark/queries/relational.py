@@ -172,6 +172,34 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_grouping_sets",
+    oracle=_ROLLUP_SELECT
+    + "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize: here the
+    two single-column marginals in ONE pass (Catalyst plans one Expand +
+    one hash agg, vs two scans for the UNION ALL a user would hand-write
+    at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            rnd(_dsum(F.col("l_quantity"))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
 # --- joins ------------------------------------------------------------------
 
 
