@@ -6,6 +6,7 @@ vs its DuckDB oracle at sf0.01 — mirrors the driver's CORRECTNESS gate
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 import pytest
@@ -15,7 +16,16 @@ from tests.conftest import SF_ORACLE
 
 zebra_spark.load_all_queries()
 
-NAMES = sorted(zebra_spark.ORACLES)
+# Comma-separated names to skip — used by the sf0.1 sweep
+# (ZEBRA_TEST_SF_ORACLE=/root/testdata/sf0.1) to exclude
+# q_dedup_clusters, whose recursive-CTE oracle is saturation-bound on
+# the 6.45M-edge fixture graph on the DuckDB side (SCALING.md).
+_EXCLUDE = {
+    s.strip()
+    for s in os.environ.get("ZEBRA_PARITY_EXCLUDE", "").split(",")
+    if s.strip()
+}
+NAMES = sorted(n for n in zebra_spark.ORACLES if n not in _EXCLUDE)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
