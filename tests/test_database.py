@@ -367,3 +367,27 @@ def test_load_round1_format_index(spark, tmp_path):
     assert len(res) == 10
     want = idx.search_ids([0, 1], k=5).toPandas()
     assert res.equals(want)
+
+
+def test_documents_partitioned_by_modality(spark, db):
+    """The document store is hive-partitioned by modality, a
+    modality-filtered scan prunes at the partition level, and the
+    layout survives a delete-rewrite."""
+    import io as _io
+    import os
+    from contextlib import redirect_stdout
+
+    db.insert_texts(TEXTS)
+    root = f"{db.path}/documents"
+    assert any(d.startswith("modality=") for d in os.listdir(root))
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        db.documents().filter("modality = 'text'").explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "modality" in plan
+
+    ids = [r.vec_id for r in db.embeddings().select("vec_id").collect()]
+    db.remove(ids[:1])
+    assert any(d.startswith("modality=") for d in os.listdir(root))
+    assert db.count() == len(TEXTS) - 1

@@ -335,9 +335,14 @@ class ZebraDatabase:
         with_ids.select("vec_id", "embedding").write.mode("append").parquet(
             f"{self.path}/embeddings"
         )
-        with_ids.select("vec_id", "doc", "modality").write.mode("append").parquet(
-            f"{self.path}/documents"
-        )
+        # documents are hive-partitioned by modality: a text-only query
+        # (the common case — each CLI database is single-modality) scans
+        # only its partition directories, and at lake scale the listing
+        # itself is pruned.  Spark surfaces `modality` back as a normal
+        # column on read, so consumers are unchanged.
+        with_ids.select("vec_id", "doc", "modality").write.mode(
+            "append"
+        ).partitionBy("modality").parquet(f"{self.path}/documents")
         # commit point: manifest rename AFTER both appends (atomic on
         # POSIX; on a cluster use the object store's atomic put)
         bdir = f"{self.path}/_batches"
@@ -394,7 +399,11 @@ class ZebraDatabase:
             kept = self._read(table).join(
                 ids_df.select("vec_id"), "vec_id", "left_anti"
             )
-            kept.write.mode("overwrite").parquet(f"{self.path}/{table}_tmp")
+            w = kept.write.mode("overwrite")
+            if table == "documents" and "modality" in kept.columns:
+                # preserve the modality hive-partitioning across rewrites
+                w = w.partitionBy("modality")
+            w.parquet(f"{self.path}/{table}_tmp")
         # invalidate any persisted index BEFORE the commit marker: once
         # the marker exists the delete is durable, so the index-stale
         # flag must already be durable too (a crash after the marker but
