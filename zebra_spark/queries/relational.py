@@ -315,6 +315,45 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_skew_salted",
+    oracle=f"""
+    WITH ua AS (
+      SELECT user_id, avg(value) AS av FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_type,
+           count(*) AS n,
+           CAST(count(*) FILTER (WHERE e.value > ua.av) AS BIGINT)
+             AS n_above,
+           {sql_rnd("avg(e.value - ua.av)")} AS avg_delta
+    FROM events e JOIN ua ON ua.user_id = e.user_id
+    GROUP BY e.user_id, e.event_type
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-to-dim join, hash-checked IDENTICAL to the plain
+    join the oracle computes: each event joined to its user's average
+    value, then per-(user, type) above-average stats.
+
+    zebra_spark.skew.salted_join spreads each hot user key over 8
+    sub-keys (the fixture concentrates whole users onto single keys;
+    at 100 TB one user can be 10%% of events) and replicates the
+    150-row dim once per salt — no task ever owns a whole hot key,
+    and the result is provably the plain inner join."""
+    from zebra_spark.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.avg("value").alias("av"))
+    joined = salted_join(ev, ua, on="user_id", n_salts=8)
+    return joined.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") > F.col("av"), 1)).cast("bigint").alias(
+            "n_above"
+        ),
+        rnd(F.avg(F.col("value") - F.col("av"))).alias("avg_delta"),
+    )
+
+
+@query(
     "q_join_range",
     oracle="""
     SELECT a.event_id AS id_a, b.event_id AS id_b,

@@ -403,7 +403,7 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding dimensionality reduction (covariance + PCA) ------------------
 
 
-def _emb_moment_stats(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+def _emb_moment_stats(emb: DataFrame) -> DataFrame:
     """One corpus pass -> the sufficient statistics for mean/covariance:
     a (idx, v) frame holding [n, sum(x_j)..., sum(x_j*x_k)...] laid out
     as idx 0, 1..D, D+1..D+D^2.
@@ -434,10 +434,8 @@ def _emb_moment_stats(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
                 }
             )
 
-    p = (
-        embeddings_d(spark, sf_dir)
-        .select("emb")
-        .mapInPandas(partials, schema="n double, s array<double>, ss array<double>")
+    p = emb.select("emb").mapInPandas(
+        partials, schema="n double, s array<double>, ss array<double>"
     )
     flat = p.select(
         F.posexplode(
@@ -480,7 +478,7 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = embeddings_d(spark, sf_dir)
     dim = len(emb.select("emb").first()[0])
-    stats = _emb_moment_stats(spark, sf_dir, dim)
+    stats = _emb_moment_stats(emb)
 
     def finish(it):
         flat = np.zeros(1 + dim + dim * dim)
@@ -525,7 +523,7 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = embeddings_d(spark, sf_dir)
     dim = len(emb.select("emb").first()[0])
-    rows = _emb_moment_stats(spark, sf_dir, dim).collect()
+    rows = _emb_moment_stats(emb).collect()
     flat = np.zeros(1 + dim + dim * dim)
     for r in rows:
         flat[r["idx"]] = r["v"]
