@@ -299,3 +299,50 @@ def test_stream_stream_join_matches_batch(spark, chunked_events):
     )
     assert len(got) > 0  # the fixture does contain attributable purchases
     assert got.equals(want)
+
+
+def test_stream_neardup_screen_matches_batch(spark, tmp_path):
+    """Streaming incremental-dedup screen: (a) stream == batch on the
+    screen itself, (b) the distinct flagged doc set equals the batch
+    q_dedup_incremental is_dup=1 set (the screen emits ALL matches >=
+    threshold; the batch query keeps the argmax — same doc coverage)."""
+    import zebra_spark
+    from zebra_spark.io import load
+    from zebra_spark.streaming import (
+        build_screen_index,
+        run_to_completion,
+        screen_neardups,
+    )
+
+    zebra_spark.load_all_queries()
+
+    # the "new batch": doc_id % 10 == 0, written as 3 micro-batch files
+    src = str(tmp_path / "doc_chunks")
+    batch_docs = (
+        load(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    batch_docs.withColumn("chunk", F.pmod("doc_id", F.lit(3))).repartition(
+        3, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(src)
+
+    index = build_screen_index(spark, SF_SMOKE)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_to_completion(
+        screen_neardups(stream, index), "t_neardup_screen", output_mode="append"
+    ).toPandas()
+    want = screen_neardups(
+        spark.read.parquet(src), index
+    ).toPandas()
+    assert _canon(got).equals(_canon(want))
+
+    flagged = set(got["doc_id"])
+    inc = zebra_spark.QUERIES["q_dedup_incremental"](spark, SF_SMOKE).toPandas()
+    batch_dups = set(inc[inc["is_dup"] == 1]["doc_id"])
+    assert flagged == batch_dups
