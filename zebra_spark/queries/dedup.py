@@ -859,3 +859,153 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- end-to-end curation pipeline (flagship composition) --------------------
+
+CUR_MIN_TOKENS = 25
+CUR_MIN_TTR = 0.33
+CUR_DOMAIN_CAP = 15
+
+_SQL_SIMHASH_FP = f"""
+    bits AS (
+      SELECT t2.doc_id, params.j,
+             CASE WHEN sum(CASE WHEN ((a * tid + b) % {P}) % 2 = 1
+                               THEN 1 ELSE -1 END) > 0
+                  THEN CAST(power(2, params.j) AS BIGINT) ELSE 0 END AS w
+      FROM t2 CROSS JOIN params
+      GROUP BY t2.doc_id, params.j
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_SIMHASH_FP.strip()},
+    tokn AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    q AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT word) AS n_distinct
+      FROM tokn GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, d.source, d.n_chars, q.n_tokens,
+             CASE WHEN q.n_tokens < {CUR_MIN_TOKENS} THEN 1 ELSE 0 END
+               AS f_short,
+             CASE WHEN q.n_distinct * 1.0 / q.n_tokens < {CUR_MIN_TTR}
+                  THEN 1 ELSE 0 END AS f_lowq
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    p12 AS (
+      SELECT b.doc_id, b.source, b.n_chars, f.simhash
+      FROM base b JOIN fp f ON f.doc_id = b.doc_id
+      WHERE b.f_short = 0 AND b.f_lowq = 0
+    ),
+    dd AS (
+      SELECT doc_id, row_number() OVER (
+               PARTITION BY simhash ORDER BY n_chars DESC, doc_id) AS rk
+      FROM p12
+    ),
+    p3 AS (
+      SELECT p12.doc_id, p12.source, p12.n_chars
+      FROM p12 JOIN dd ON dd.doc_id = p12.doc_id WHERE dd.rk = 1
+    ),
+    cap AS (
+      SELECT doc_id, row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      FROM p3
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.f_short = 1 THEN 'short'
+                WHEN b.f_lowq = 1 THEN 'low_quality'
+                WHEN dd.rk > 1 THEN 'dup'
+                WHEN cap.rk > {CUR_DOMAIN_CAP} THEN 'domain_cap'
+                ELSE 'ok' END AS reason,
+           CAST(CASE WHEN b.f_short = 0 AND b.f_lowq = 0 AND dd.rk = 1
+                      AND cap.rk <= {CUR_DOMAIN_CAP}
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM base b
+    LEFT JOIN dd ON dd.doc_id = b.doc_id
+    LEFT JOIN cap ON cap.doc_id = b.doc_id
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation query: length filter -> quality (TTR)
+    filter -> SimHash keep-best dedup -> per-source domain cap, emitting
+    every document with its kept flag and FIRST failing stage as the
+    reason — the whole corpus-curation decision as one declarative
+    plan.
+
+    Composition of already-verified stages (q_text_quality's stats,
+    q_dedup_simhash's fingerprint, q_dedup_keep_best's window,
+    q_domain_cap's rank), so Catalyst sees one DAG: the token pass is
+    shared, the two ranking windows partition by bounded keys
+    (fingerprint groups, sources), and nothing is quadratic.  At 100 TB
+    this is the plan you run nightly: one corpus scan + vocabulary-
+    bounded joins + two windows."""
+    from pyspark.sql import Window
+
+    from zebra_spark.io import load
+
+    fp = QUERIES["q_dedup_simhash"](spark, sf_dir)
+    tok = tokens(spark, sf_dir, distinct=False).select("doc_id", "word")
+    q = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    base = d.join(q, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("n_tokens") < CUR_MIN_TOKENS, 1).otherwise(0).alias(
+            "f_short"
+        ),
+        F.when(
+            F.col("n_distinct") / F.col("n_tokens") < CUR_MIN_TTR, 1
+        ).otherwise(0).alias("f_lowq"),
+    )
+    p12 = (
+        base.filter((F.col("f_short") == 0) & (F.col("f_lowq") == 0))
+        .join(fp, "doc_id")
+        .select("doc_id", "source", "n_chars", "simhash")
+    )
+    wd = Window.partitionBy("simhash").orderBy(F.col("n_chars").desc(), "doc_id")
+    dd = p12.withColumn("rk", F.row_number().over(wd)).select(
+        "doc_id", "source", "n_chars", F.col("rk").alias("dd_rk")
+    )
+    wc = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    cap = (
+        dd.filter(F.col("dd_rk") == 1)
+        .withColumn("cap_rk", F.row_number().over(wc))
+        .select("doc_id", "cap_rk")
+    )
+    out = base.join(
+        dd.select("doc_id", "dd_rk"), "doc_id", "left"
+    ).join(cap, "doc_id", "left")
+    reason = (
+        F.when(F.col("f_short") == 1, "short")
+        .when(F.col("f_lowq") == 1, "low_quality")
+        .when(F.col("dd_rk") > 1, "dup")
+        .when(F.col("cap_rk") > CUR_DOMAIN_CAP, "domain_cap")
+        .otherwise("ok")
+    )
+    kept = (
+        (F.col("f_short") == 0)
+        & (F.col("f_lowq") == 0)
+        & (F.col("dd_rk") == 1)
+        & (F.col("cap_rk") <= CUR_DOMAIN_CAP)
+    )
+    return out.select(
+        "doc_id",
+        reason.alias("reason"),
+        F.when(kept, 1).otherwise(0).cast("int").alias("kept"),
+    )
