@@ -584,9 +584,55 @@ def neardup_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_cosine(spark, sf_dir, vectorized=True)
 
 
+def _score_pairs(cand: DataFrame, e: DataFrame, vectorized: bool) -> DataFrame:
+    """(id_a, id_b) candidate pairs -> (id_a, id_b, dist): exact cosine.
+    Native path precomputes per-vector norms once so the verify kernel is
+    ONE sequential dot per pair; vectorized path is the Arrow/numpy
+    kernel (bulk scoring, not the oracle gate)."""
+    if vectorized:
+        cos_np = zf.cosine_np_udf()
+        ea = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+        eb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+        dist = cos_np(F.col("ea"), F.col("eb"))
+    else:
+        en = e.select(
+            "vec_id", "emb", F.sqrt(zf.dot("emb", "emb")).alias("nrm")
+        )
+        ea = en.select(
+            F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        eb = en.select(
+            F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        dist = F.when(
+            (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(1.0)
+        ).otherwise(
+            F.lit(1.0)
+            - zf.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+    return cand.join(ea, "id_a").join(eb, "id_b").select(
+        "id_a", "id_b", dist.alias("dist")
+    )
+
+
 def _neardup_cosine(
     spark: SparkSession, sf_dir: str, vectorized: bool
 ) -> DataFrame:
+    cand, e = _cosine_candidates(spark, sf_dir)
+    return (
+        _score_pairs(cand, e, vectorized)
+        .orderBy("dist", "id_a", "id_b")
+        .limit(100)
+        .select("id_a", "id_b", rnd(F.col("dist")).alias("dist"))
+    )
+
+
+def _cosine_candidates(spark: SparkSession, sf_dir: str):
+    """IVF multi-assign blocking shared by the cosine near-dup surface:
+    returns (cand, e) — the within-cell candidate pairs and the corpus
+    projection they score against."""
     e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
     n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
     seeds = e.filter(F.col("vec_id") < n_cells).select(
@@ -621,37 +667,7 @@ def _neardup_cosine(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    if vectorized:
-        cos_np = zf.cosine_np_udf()
-        ea = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-        eb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
-        dist = cos_np(F.col("ea"), F.col("eb"))
-    else:
-        en = e.select(
-            "vec_id", "emb", F.sqrt(zf.dot("emb", "emb")).alias("nrm")
-        )
-        ea = en.select(
-            F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-        eb = en.select(
-            F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-        dist = F.when(
-            (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(1.0)
-        ).otherwise(
-            F.lit(1.0)
-            - zf.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-        )
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", dist.alias("dist"))
-        .orderBy("dist", "id_a", "id_b")
-        .limit(100)
-        .select("id_a", "id_b", rnd(F.col("dist")).alias("dist"))
-    )
+    return cand, e
 
 
 # --- cluster dedup: connected components over the near-dup graph -----------
@@ -714,6 +730,91 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(docs, pairs)
     return comp.select(
         F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.when(F.col("component") == F.col("id"), 1).otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+SEMC_TH = 0.65  # cosine-distance edge threshold for semantic clustering
+
+
+@query(
+    "q_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
+              WHERE vec_id < greatest({NDUP_CELLS},
+                CAST(floor((SELECT count(*) FROM e) / {NDUP_PER_CELL}.0)
+                     AS BIGINT))),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {zf.sql_metric("l2sq", a="e.emb", b="s.ce", dim=64)}, s.cell_id)
+                 AS rk
+        FROM e CROSS JOIN seeds s
+      ) WHERE rk <= {NDUP_ASSIGN}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    edges AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b
+      WHERE {zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64)}
+            <= {SEMC_TH}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+      SELECT a AS vec_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    )
+    SELECT v.vec_id,
+           coalesce(l.cluster, v.vec_id) AS cluster,
+           CAST(CASE WHEN coalesce(l.cluster, v.vec_id) = v.vec_id
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM e v LEFT JOIN labels l ON l.vec_id = v.vec_id
+    """,
+)
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC cluster dedup: connected components over the
+    embedding-cosine near-dup graph (edges = IVF-blocked candidate
+    pairs with exact cosine distance <= {SEMC_TH}), keep the min-id
+    representative per component.
+
+    The embedding-space twin of q_dedup_clusters: same pointer-doubling
+    CC engine (zebra_spark.graph), different edge generator — IVF
+    multi-assign blocking keeps candidate generation ~R^2 n^2 / 2C with
+    C growing with n, so the edge stage never goes quadratic at scale.
+    Together with the lexical pipeline this is the two-view dedup a
+    training corpus needs: MinHash catches copies, cosine catches
+    paraphrases."""
+    from zebra_spark.graph import connected_components
+
+    cand, e = _cosine_candidates(spark, sf_dir)
+    edges = (
+        _score_pairs(cand, e, vectorized=False)
+        .filter(F.col("dist") <= SEMC_TH)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(e.select(F.col("vec_id").alias("id")), edges)
+    return comp.select(
+        F.col("id").alias("vec_id"),
         F.col("component").alias("cluster"),
         F.when(F.col("component") == F.col("id"), 1).otherwise(0)
         .cast("int")
