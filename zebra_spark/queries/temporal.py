@@ -45,6 +45,64 @@ def q_events_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit(ts_dtype).alias("ts_dtype"), "min_us", "max_us", "n")
 
 
+# The normalized (post-io.load) schema contract for every fixture
+# table: sorted col:dtype pairs.  A fixture regeneration that changes
+# any dtype or adds/drops a column turns into ONE red driver row.
+EXPECTED_SCHEMAS = {
+    "region": "r_name:string,r_regionkey:int",
+    "nation": "n_name:string,n_nationkey:int,n_regionkey:int",
+    "customer": "c_acctbal:double,c_custkey:bigint,c_mktsegment:string,"
+                "c_name:string,c_nationkey:int",
+    "supplier": "s_acctbal:double,s_name:string,s_nationkey:int,"
+                "s_suppkey:bigint",
+    "part": "p_brand:string,p_name:string,p_partkey:bigint,"
+            "p_retailprice:double,p_size:int,p_type:string",
+    "orders": "o_custkey:bigint,o_orderdate:timestamp,o_orderkey:bigint,"
+              "o_orderpriority:string,o_orderstatus:string,"
+              "o_totalprice:double",
+    "lineitem": "l_discount:double,l_extendedprice:double,l_linenumber:int,"
+                "l_linestatus:string,l_orderkey:bigint,l_partkey:bigint,"
+                "l_quantity:double,l_returnflag:string,l_shipdate:timestamp,"
+                "l_suppkey:bigint,l_tax:double",
+    "events": "event_id:bigint,event_type:string,props:string,ts:timestamp,"
+              "user_id:bigint,value:double",
+    "documents": "doc_id:bigint,lang:string,n_chars:bigint,source:string,"
+                 "text:string",
+    "embeddings": "embedding:array<float>,label:int,vec_id:bigint",
+}
+
+
+@query(
+    "q_schema_canary",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, '{s}' AS schema_str, count(*) AS n"
+        f" FROM {t}"
+        for t, s in sorted(EXPECTED_SCHEMAS.items())
+    ),
+)
+def q_schema_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-fixture schema canary (generalizes q_events_schema): one
+    row per table with its ACTUAL normalized schema string and row
+    count; the oracle hardcodes the EXPECTED schema.  Any dtype drift
+    the engine fails to normalize (the r3 NTZ incident) or a
+    column-set change hash-mismatches exactly one obvious row."""
+    frames = []
+    for t in sorted(EXPECTED_SCHEMAS):
+        df = load(spark, sf_dir, t)
+        schema_str = ",".join(f"{c}:{d}" for c, d in sorted(df.dtypes))
+        frames.append(
+            df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(t).alias("table_name"),
+                F.lit(schema_str).alias("schema_str"),
+                "n",
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionAll(f2)
+    return out
+
+
 @query(
     "q_window_tumbling",
     oracle=f"""
