@@ -702,3 +702,37 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(_dsum(F.col("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+Q11_FRACTION = 0.0002
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, {_sql_dsum(_REV)} AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, {sql_rnd("value")} AS value
+    FROM pv
+    WHERE value > {Q11_FRACTION} * (SELECT sum(value) FROM pv)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important-stock scan): per-part value vs a global
+    scalar threshold.  Adaptation: no partsupp table, so part value =
+    lineitem revenue per partkey (the ps_supplycost * ps_availqty sum
+    swaps to the same group-then-filter-by-global-fraction structure).
+    The grand total is resolved at plan-build time from the SAME
+    aggregated frame (one corpus scan at execution; a lazy scalar
+    subquery re-plans the whole per-part aggregation as a second scan
+    — the q_text_surprisal lesson)."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(_dsum(_rev()).alias("value"))
+    total = pv.agg(F.sum("value").alias("t")).first()[0]
+    return (
+        pv.filter(F.col("value") > float(total) * Q11_FRACTION)
+        .select(F.col("l_partkey").alias("p_partkey"),
+                rnd(F.col("value")).alias("value"))
+    )
