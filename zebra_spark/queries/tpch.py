@@ -1,8 +1,8 @@
 """TPC-H query-shape completion (SURVEY §2.B extension surface).
 
 relational.py carries Q1 (as q_agg_hash), Q2 (q_tpch_q2_min_cost), Q3,
-Q4, Q5, Q6, Q12, Q14; this module adds the remaining 13 shapes — Q7,
-Q8, Q9, Q10, Q13, Q15..Q22 — adapted where the fixture schema lacks a
+Q4, Q5, Q6, Q12, Q14; this module adds the remaining 14 shapes — Q7,
+Q8, Q9, Q10, Q11, Q13, Q15..Q22 — adapted where the fixture schema lacks a
 TPC-H column (no partsupp table, no l_commitdate / l_receiptdate /
 l_shipmode / p_container / c_phone / comments).  Each adaptation keeps
 the *query shape* (the join/subquery/aggregation structure Catalyst has
