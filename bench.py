@@ -82,6 +82,14 @@ def main() -> None:
         # round-2 TPC-H completion: heaviest join shape + semi/anti shape
         "q_tpch_q9",
         "q_tpch_q21",
+        # round-4 flagship pipeline ops: end-to-end curation, incremental
+        # ingest screen, semantic (cosine-CC) clustering, one-pass
+        # covariance, corpus-LM quality scoring
+        "q_curation_pipeline",
+        "q_dedup_incremental",
+        "q_semantic_clusters",
+        "q_emb_covariance",
+        "q_text_surprisal",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
