@@ -1,10 +1,28 @@
 """connected_components invariants: correct labels vs a driver-side
 union-find oracle on random graphs, log-round convergence on long
-chains (the case that would starve pure neighbor propagation)."""
+chains (the case that would starve pure neighbor propagation).
+
+Every test runs against BOTH execution paths: the single-task
+union-find fast path (default for these tiny fixtures) and the
+iterative pointer-doubling path (forced by shrinking the threshold to
+0) — the iterative path is what q_dedup_clusters uses at sf0.1 and
+must not lose coverage to the fast path.
+"""
 
 from __future__ import annotations
 
 import random
+
+import pytest
+
+
+@pytest.fixture(params=["fast_path", "iterative"], autouse=True)
+def cc_path(request, monkeypatch):
+    if request.param == "iterative":
+        import zebra_spark.graph as g
+
+        monkeypatch.setattr(g, "SMALL_GRAPH_EDGES", -1)
+    return request.param
 
 
 def _uf_components(n_nodes, edges):
