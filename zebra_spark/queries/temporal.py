@@ -311,3 +311,47 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+@query(
+    "q_rollup_time",
+    oracle=f"""
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL')
+             AS day,
+           coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                    'ALL') AS hour,
+           count(*) AS n,
+           {sql_rnd("sum(CAST(value AS DECIMAL(18,6)))")} AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: hour- AND day-grain continuous
+    aggregates plus the grand total from ONE pass over the events
+    (ROLLUP on the truncation hierarchy plans a single Expand + hash
+    agg — the one-scan replacement for maintaining per-granularity
+    materialized views).  Streaming twin: the tumbling-window agg at
+    the finest grain, with coarser grains derived downstream."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        ev.rollup(day.alias("d"), hour.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias(
+                "day"
+            ),
+            F.coalesce(
+                F.date_format("h", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")
+            ).alias("hour"),
+            "n",
+            "total_value",
+        )
+    )
