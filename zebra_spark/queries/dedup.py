@@ -1047,11 +1047,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition of already-verified stages (q_text_quality's stats,
     q_dedup_simhash's fingerprint, q_dedup_keep_best's window,
-    q_domain_cap's rank), so Catalyst sees one DAG: the token pass is
-    shared, the two ranking windows partition by bounded keys
-    (fingerprint groups, sources), and nothing is quadratic.  At 100 TB
-    this is the plan you run nightly: one corpus scan + vocabulary-
-    bounded joins + two windows."""
+    q_domain_cap's rank) in one DAG: a bounded handful of
+    column-pruned corpus scans (token stats, fingerprint, doc
+    metadata — each branch reads only its columns), two ranking
+    windows over bounded keys (fingerprint groups, sources), and
+    nothing quadratic.  At 100 TB you'd additionally materialize the
+    per-doc token stats as a maintained table to collapse the scans;
+    the decision logic is unchanged."""
     from pyspark.sql import Window
 
     from zebra_spark.io import load
