@@ -122,10 +122,15 @@ def connected_components(
         return _cc_single_task(nodes, edges_m)
     # static through all rounds: one localCheckpoint (no chaining — the
     # blowup above only affects iterated checkpoints of checkpoints)
+    # No distinct: min-label propagation is idempotent to duplicate
+    # edges (they only re-feed the same value into a min), and for the
+    # common unique-(a<b)-pair input the two union directions are
+    # disjoint anyway — the dedup was a pure no-op shuffle of the
+    # full symmetrized edge list (12.9M rows for q_dedup_clusters at
+    # sf0.1) before every run.
     sym = (
         edges_m.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges_m.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
         .localCheckpoint()
     )
     labels = cut(nodes.select(F.col("id"), F.col("id").alias("label")), 0)
