@@ -146,13 +146,20 @@ def _minhash_pairs(
     # saturation-dense fixture).  The join recomputes the signature
     # chain once per side, but signatures are the cheap stage (~2.5 s
     # of 21 s at sf0.1) — parallelism of the expensive stage wins.
-    # r4 A/B (sf0.1, 3+ runs each): localCheckpoint()ing sigs and/or
-    # toksets to avoid the per-side recompute made things WORSE —
-    # both-checkpointed: minhash 30.6->28.8-30.5 (noise), clusters
-    # 35->41-47; sigs-only: minhash 37.8.  A checkpointed frame scans
-    # as a stats-less LogicalRDD, so the planner stops broadcasting
-    # the small sides and the big verify join degrades to sort-merge.
-    # Recompute-with-AQE-broadcast beats materialize-without-stats.
+    # Materialization strategy for the twice-referenced frames (sigs
+    # here, toksets below), measured at sf0.1, interleaved runs:
+    #   - localCheckpoint(): REJECTED — plans as a stats-less
+    #     LogicalRDD, the planner stops broadcasting the small sides,
+    #     the verify join degrades to sort-merge (clusters 35->41-47 s).
+    #   - recompute-per-side (r3 shipped): correct plans, but the
+    #     signature chain runs twice (~8 s of an 18 s query).
+    #   - persist(): ADOPTED — keeps the full logical plan, so every
+    #     join-strategy decision is unchanged, while the second
+    #     reference reads the materialized blocks: q_dedup_minhash
+    #     18.3-19.4 -> 9.0-11.2 s.  Spark's cache manager keys entries
+    #     by canonicalized plan, so repeated calls reuse one entry (no
+    #     leak); at extreme corpus scale swap toksets' cache for a
+    #     maintained parquet table — the decision logic is unchanged.
     #
     # The join key is xxhash64(band, key) — a bigint — instead of the
     # ~40-char signature string: less shuffle volume and cheaper
@@ -160,6 +167,7 @@ def _minhash_pairs(
     # 10.3 s).  A 2^-64 hash collision can only ADD a false candidate,
     # which the exact-Jaccard verify below then drops — correctness is
     # unaffected by construction.
+    sigs = sigs.persist()
     keyed = sigs.select("doc_id", F.xxhash64("band", "key").alias("bk"))
     a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("bk").alias("bk_b"))
@@ -179,7 +187,7 @@ def _minhash_pairs(
     tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
     toksets = tok.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("word")).alias("words")
-    )
+    ).persist()
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     scored = (
@@ -282,9 +290,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never with corpus size squared.  The per-batch-doc argmax is
     a window over candidate groups (bounded by band collisions)."""
     # same hashed-band-key trick as _minhash_pairs: bigint equi-join,
-    # false candidates (2^-64) are dropped by the exact verify
-    sigs = _minhash_sigs(spark, sf_dir, N_HASHES, N_BANDS).select(
-        "doc_id", F.xxhash64("band", "key").alias("bk")
+    # false candidates (2^-64) are dropped by the exact verify; same
+    # persist() strategy for the branch-shared signature frame
+    sigs = (
+        _minhash_sigs(spark, sf_dir, N_HASHES, N_BANDS)
+        .select("doc_id", F.xxhash64("band", "key").alias("bk"))
+        .persist()
     )
     batch = sigs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("doc_b"), "bk"
@@ -300,7 +311,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
     toksets = tok.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("word")).alias("words")
-    )
+    ).persist()
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     tc = toksets.select(F.col("doc_id").alias("doc_c"), F.col("words").alias("wc"))
     jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
