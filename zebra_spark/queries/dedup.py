@@ -946,7 +946,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" shiftright(simhash, blk * 4) % 16 AS key))"
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.blk", "b.key")
+    ).select("doc_id", "simhash", "b.blk", "b.key").persist()
+    # persist: both join sides below reference `blocks`, whose chain is
+    # the full 16-hash fingerprint aggregation (same plan-preserving
+    # materialization rationale as _minhash_pairs)
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
         "blk", "key",
