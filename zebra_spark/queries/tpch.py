@@ -704,19 +704,17 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q11_FRACTION = 0.0002
-
-
 @query(
     "q_tpch_q11",
     oracle=f"""
     WITH pv AS (
       SELECT l_partkey, {_sql_dsum(_REV)} AS value
       FROM lineitem GROUP BY l_partkey
-    )
+    ),
+    t AS (SELECT sum(value) AS total, count(*) AS n FROM pv)
     SELECT l_partkey AS p_partkey, {sql_rnd("value")} AS value
-    FROM pv
-    WHERE value > {Q11_FRACTION} * (SELECT sum(value) FROM pv)
+    FROM pv, t
+    WHERE 5 * value * t.n > 6 * t.total
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,15 +722,25 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar threshold.  Adaptation: no partsupp table, so part value =
     lineitem revenue per partkey (the ps_supplycost * ps_availqty sum
     swaps to the same group-then-filter-by-global-fraction structure).
-    The grand total is resolved at plan-build time from the SAME
-    aggregated frame (one corpus scan at execution; a lazy scalar
-    subquery re-plans the whole per-part aggregation as a second scan
-    — the q_text_surprisal lesson)."""
+
+    The threshold is SCALE-INVARIANT — keep parts with value > 1.2x
+    the mean part value, written as the all-integer/decimal comparison
+    5*value*n > 6*total so both engines evaluate it EXACTLY (a fixed
+    fraction of the total goes empty as the part count grows, and a
+    double threshold invites 1-ulp boundary flips).  The totals are
+    resolved at plan-build time from the SAME aggregated frame (one
+    corpus scan at execution; a lazy scalar subquery re-plans the
+    whole per-part aggregation as a second scan — the
+    q_text_surprisal lesson)."""
     li = load(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(_dsum(_rev()).alias("value"))
-    total = pv.agg(F.sum("value").alias("t")).first()[0]
+    total, n = pv.agg(
+        F.sum("value").alias("t"), F.count(F.lit(1)).alias("n")
+    ).first()
     return (
-        pv.filter(F.col("value") > float(total) * Q11_FRACTION)
+        pv.filter(
+            F.lit(5) * F.col("value") * F.lit(n) > F.lit(6) * F.lit(total)
+        )
         .select(F.col("l_partkey").alias("p_partkey"),
                 rnd(F.col("value")).alias("value"))
     )
