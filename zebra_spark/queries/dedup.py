@@ -56,7 +56,44 @@ def _minhash_sigs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """(doc_id, band, key): banded MinHash signatures."""
+    """(doc_id, band, key): banded MinHash signatures.
+
+    Two formulations, picked by permutation count (both measured at
+    sf0.1, bit-identical output):
+
+    - n_hashes <= 32: PER-ROW native array expressions (token-id array
+      materialized once per doc, then n_hashes array_min permutation
+      scans) — ZERO shuffle; 0.97-2.67 s -> 0.24-0.43 s for the 16/4
+      config.  Same expressions as the streaming screen, so batch and
+      stream signatures are one code path.
+    - wider configs: the explode -> crossJoin(params) -> two-groupBys
+      chain.  At 128 permutations the per-row expression re-scans the
+      token array 128 times per doc and LOSES to the shuffle it avoids
+      (q_dedup_minhash128: 29 -> 41 s per-row, reverted) — per-row
+      work scales with n_hashes x tokens, the grouped chain's shuffle
+      scales with tokens only.
+
+    The DuckDB oracle keeps the grouped formulation — same arithmetic,
+    same results either way."""
+    if n_hashes <= 32:
+        from zebra_spark.io import load
+        from zebra_spark.streaming import minhash_band_keys, token_ids_expr
+
+        docs = load(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", token_ids_expr("text").alias("tids"))
+            .select(
+                "doc_id",
+                F.explode(
+                    minhash_band_keys("tids", n_hashes, n_bands)
+                ).alias("b"),
+            )
+            .select(
+                "doc_id",
+                F.col("b.band").alias("band"),
+                F.col("b.key").alias("key"),
+            )
+        )
     t2 = _token_ids(spark, sf_dir)
     params = spark.createDataFrame(
         [(j, 2 * j + 1, 17 * j + 29) for j in range(n_hashes)],

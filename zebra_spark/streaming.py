@@ -243,30 +243,39 @@ def token_ids_expr(text_col: str = "text"):
     )
 
 
-def minhash_band_keys(tids_col: str = "tids"):
+def minhash_band_keys(
+    tids_col: str = "tids",
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
+):
     """Per-ROW banded MinHash band keys over a precomputed token-id
     array column — `array<struct<band int, key string>>`, same
     permutations and key format as queries.dedup._minhash_sigs
-    (16 hashes / 4 bands, explicit polynomial permutations).
+    (default 16 hashes / 4 bands, explicit polynomial permutations).
 
     Per-row means NO shuffle and NO state: the same expression works on
-    a stream (this module) and in batch (the hash-checked dedup suite is
-    the grouped formulation of the identical arithmetic).  The token-id
-    array is materialized ONCE per row (token_ids_expr) so the 16
-    permutation scans reference a column, not 16 copies of the hash."""
+    a stream (this module) and in batch (queries.dedup._minhash_sigs
+    IS this expression since r4 — bit-equality with the grouped
+    formulation is pinned by tests).  The token-id array is
+    materialized ONCE per row (token_ids_expr) so the permutation
+    scans reference a column, not n_hashes copies of the hash."""
     from zebra_spark.queries.dedup import N_BANDS, N_HASHES, P
 
-    rows = N_HASHES // N_BANDS
+    if n_hashes is None:
+        n_hashes = N_HASHES
+    if n_bands is None:
+        n_bands = N_BANDS
+    rows = n_hashes // n_bands
     mh = [
         f"array_min(transform({tids_col},"
         f" t -> ({2 * j + 1} * t + {17 * j + 29}) % {P}))"
-        for j in range(N_HASHES)
+        for j in range(n_hashes)
     ]
     bands = ", ".join(
         f"named_struct('band', CAST({b} AS INT), 'key', concat_ws(',', "
         + ", ".join(f"CAST({mh[b * rows + r]} AS STRING)" for r in range(rows))
         + "))"
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     return F.expr(f"array({bands})")
 
