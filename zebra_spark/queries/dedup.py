@@ -1163,3 +1163,64 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         F.when(kept, 1).otherwise(0).cast("int").alias("kept"),
     )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             coalesce(l.cluster, d.doc_id) AS cluster,
+             ((coalesce(l.cluster, d.doc_id) % 2147483648)
+              * 1103515245 + 12345) % 1000 AS h
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN h < 800 THEN 'train'
+                WHEN h < 900 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/valid/test assignment: split by the near-dup
+    CLUSTER representative's hash, not the document's — every member of
+    a near-dup cluster lands in the SAME split, so paraphrased copies
+    of a training document can never leak into the eval set (the
+    standard failure mode of per-document random splits on
+    near-duplicated corpora).
+
+    Composition: q_dedup_clusters' connected components (same CC
+    engine, same MinHash edge generator) + q_split_assign's
+    deterministic LCG bucketing applied to the cluster id.  Splits
+    remain a pure function of content: re-runs, re-partitioning, and
+    engine changes reproduce the identical assignment."""
+    from zebra_spark.queries.text import SPLIT_A, SPLIT_M
+
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster"
+    )
+    h = ((F.col("cluster") % SPLIT_M) * F.lit(SPLIT_A) + F.lit(12345)) % F.lit(
+        1000
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster",
+        F.when(h < 800, "train").when(h < 900, "valid").otherwise("test")
+        .alias("split"),
+    )
