@@ -106,6 +106,9 @@ def _ordered(mapping: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Each callable carries ``rows_only`` (bool): True means "no SQL
+    oracle by design" (the driver's rows-only check is the expected
+    terminal state), False means an oracle_sql() entry exists."""
     zebra_spark.load_all_queries()
     return _ordered(dict(zebra_spark.QUERIES))
 

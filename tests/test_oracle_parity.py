@@ -150,3 +150,50 @@ def test_parity(name, sweep_results):
             f"{name}: value mismatch, first diffs:\n"
             f"spark:\n{a[diff].head(5)}\nduck:\n{b[diff].head(5)}"
         )
+
+
+# --- driver-canon conformance (VERDICT r4 directive 2) ----------------------
+#
+# The driver canonicalizes EVERY query's output — rows-only ones included —
+# with pandas sort_values over all columns, which goes through
+# Categorical/factorize and raises TypeError on unhashable cells (ndarray,
+# list, dict).  q_emb_pca hit exactly this in CORRECTNESS_r04 by returning
+# an array<double> column.  This sweep runs the FULL registry (oracled +
+# rows-only) at smoke scale and replays the driver's sort so the failure
+# class can never recur for any future query.
+
+ALL_NAMES = sorted(zebra_spark.QUERIES)
+
+
+def test_rows_only_markers():
+    """The machine-readable rows_only marker on every registered callable
+    agrees with the presence of an oracle (VERDICT r4 directive 8)."""
+    for name, fn in zebra_spark.QUERIES.items():
+        assert fn.rows_only == (name not in zebra_spark.ORACLES), name
+
+
+@pytest.fixture(scope="session")
+def canon_sweep(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tests.conftest import SF_SMOKE
+
+    def run(name):
+        try:
+            return name, (zebra_spark.QUERIES[name](spark, SF_SMOKE).toPandas(), None)
+        except Exception as exc:  # noqa: BLE001 — re-raised per-test
+            return name, (None, exc)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(ex.map(run, ALL_NAMES))
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_driver_canon_conformance(name, canon_sweep):
+    pdf, exc = canon_sweep[name]
+    if exc is not None:
+        raise exc
+    assert len(pdf) > 0, f"{name}: empty result at smoke scale"
+    # the driver's _canon sorts by every output column; unhashable cells
+    # (ndarray/list/dict from array/map/struct columns) raise TypeError here
+    pdf.sort_values(by=list(pdf.columns), kind="mergesort")

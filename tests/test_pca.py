@@ -10,14 +10,23 @@ import pytest
 from tests.conftest import SF_SMOKE
 
 
+def _to_matrix(pdf):
+    """(vec_id, k, pc) exploded rows -> row-per-vector projection matrix."""
+    return (
+        pdf.pivot(index="vec_id", columns="k", values="pc")
+        .sort_index()
+        .to_numpy()
+    )
+
+
 @pytest.fixture(scope="module")
 def pca_frames(spark):
     import zebra_spark
 
     zebra_spark.load_all_queries()
-    proj = zebra_spark.QUERIES["q_emb_pca"](spark, SF_SMOKE).collect()
+    proj = zebra_spark.QUERIES["q_emb_pca"](spark, SF_SMOKE).toPandas()
     cov_rows = zebra_spark.QUERIES["q_emb_covariance"](spark, SF_SMOKE).collect()
-    P = np.array([r["pc"] for r in proj])
+    P = _to_matrix(proj)
     return P, cov_rows
 
 
@@ -63,7 +72,5 @@ def test_pca_deterministic_sign(pca_frames, spark):
     import zebra_spark
 
     P, _ = pca_frames
-    again = np.array(
-        [r["pc"] for r in zebra_spark.QUERIES["q_emb_pca"](spark, SF_SMOKE).collect()]
-    )
+    again = _to_matrix(zebra_spark.QUERIES["q_emb_pca"](spark, SF_SMOKE).toPandas())
     assert np.allclose(P, again, atol=1e-9)

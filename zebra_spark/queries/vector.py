@@ -516,7 +516,14 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sign convention: each component is flipped so its largest-magnitude
     coefficient is positive (eigh's sign is otherwise arbitrary).
     Invariants (variance ordering, orthogonality, trace) are asserted
-    in tests/test_pca.py."""
+    in tests/test_pca.py.
+
+    Output shape is exploded scalar rows (vec_id, k, pc) rather than an
+    array<double> column: the driver's pandas canonicalizer sorts every
+    output column, and ndarray cells are unhashable (CORRECTNESS_r04
+    `err`).  All registry queries must emit scalar columns — enforced
+    for the whole registry by tests/test_oracle_parity.py::
+    test_driver_canon_conformance."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
@@ -545,4 +552,6 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     project = pandas_udf(_project, "array<double>")
 
-    return emb.select("vec_id", project(F.col("emb")).alias("pc"))
+    return emb.select(
+        "vec_id", F.posexplode(project(F.col("emb"))).alias("k", "pc")
+    ).select("vec_id", "k", rnd(F.col("pc")).alias("pc"))

@@ -24,6 +24,10 @@ def query(name: str, oracle: str | None = None):
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
         fn.query_name = name
+        # machine-readable marker: True == "no_oracle by design" (driver
+        # records a rows-only check), distinguishing it from an oracle
+        # that is missing by accident (VERDICT r4 directive 8)
+        fn.rows_only = oracle is None
         return fn
 
     return deco
