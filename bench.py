@@ -113,6 +113,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
             print(f"warmup {warm} failed: {exc}", file=sys.stderr)
 
+    from zebra_spark.caching import release_caches
+
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in headline:
@@ -123,6 +125,11 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"query {name} failed: {exc}", file=sys.stderr)
             continue
+        finally:
+            # free query-internal persist()s once the terminal action is
+            # done, so cached partitions don't accumulate across the
+            # sweep and evict later queries' working set (ADVICE r4)
+            release_caches()
         times[name] = round(time.perf_counter() - t0, 3)
 
     if wanted("knn_exact_100"):
@@ -169,6 +176,36 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
     }
+
+    # B8: the FULL hash-checked suite (every oracled query) at sf0.01,
+    # one warm session — tracked by the artifact itself rather than
+    # inferred from pytest (VERDICT r4 directive 6).  Wall-clock with 8
+    # concurrent Spark actions (same shape as the parity sweep); skipped
+    # when a subset filter is active.
+    if only_set is None or "suite_sf001" in only_set:
+        from concurrent.futures import ThreadPoolExecutor
+
+        b8_dir = "/root/testdata/sf0.01"
+
+        def run_one(name: str) -> str | None:
+            try:
+                _consume(zebra_spark.QUERIES[name](spark, b8_dir))
+                return None
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                return f"{type(exc).__name__}: {exc}"[:200]
+
+        names = sorted(zebra_spark.ORACLES)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            failed = {
+                n: e for n, e in zip(names, ex.map(run_one, names)) if e
+            }
+        release_caches()
+        out["suite_sf001"] = round(time.perf_counter() - t0, 3)
+        out["suite_sf001_queries"] = len(names)
+        if failed:
+            errors.update({f"suite:{n}": e for n, e in failed.items()})
+
     if errors:
         # Partial failure still yields a comparable suite number; the
         # per-query error map makes the gap visible instead of silent.

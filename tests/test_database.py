@@ -391,3 +391,35 @@ def test_documents_partitioned_by_modality(spark, db):
     db.remove(ids[:1])
     assert any(d.startswith("modality=") for d in os.listdir(root))
     assert db.count() == len(TEXTS) - 1
+
+
+def test_legacy_flat_documents_append_stays_flat(spark, db):
+    """A store written before modality partitioning (flat part- files at
+    the documents/ root) must keep appending FLAT: a partitioned append
+    into a flat directory creates the mixed layout Spark's partition
+    discovery rejects ('Conflicting directory structures') — ADVICE r4.
+    The next full rewrite (remove goes through _tmp) upgrades the store
+    to the partitioned layout."""
+    import os
+    import shutil
+
+    db.insert_texts(TEXTS[:3])
+    root = f"{db.path}/documents"
+    # simulate a legacy store: rewrite the documents table as flat part-
+    # files with modality as a normal column
+    flat = db.documents().toPandas()
+    shutil.rmtree(root)
+    spark.createDataFrame(flat).select("vec_id", "doc", "modality").write.parquet(root)
+    assert db._documents_flat_layout()
+
+    db.insert_texts(TEXTS[3:])  # first post-upgrade append
+    assert not any(d.startswith("modality=") for d in os.listdir(root))
+    docs = db.documents()
+    assert docs.count() == len(TEXTS)
+    assert dict(docs.dtypes)["modality"] == "string"
+
+    ids = [r.vec_id for r in db.embeddings().select("vec_id").collect()]
+    db.remove(ids[:1])  # full rewrite -> partitioned layout upgrade
+    assert any(d.startswith("modality=") for d in os.listdir(root))
+    assert not db._documents_flat_layout()
+    assert db.documents().count() == len(TEXTS) - 1

@@ -82,3 +82,16 @@ def test_isolated_nodes_keep_own_label(spark):
     edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
     got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
+
+
+def test_out_of_node_endpoints_ignored(spark):
+    """Edges referencing ids absent from `nodes` are ignored — the SAME
+    result on both paths (ADVICE r4: unfiltered, the fast path labeled
+    node 5 with the non-node min id 3 while the iterative path kept 5;
+    the answer silently changed as the input crossed the threshold)."""
+    from zebra_spark.graph import connected_components
+
+    nodes = spark.createDataFrame([(5,), (6,)], "id bigint")
+    edges = spark.createDataFrame([(3, 5), (5, 6)], "src bigint, dst bigint")
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {5: 5, 6: 5}

@@ -115,6 +115,9 @@ def sweep_results(spark):
         duck_futs = [ex.submit(run_duck_chunk, c) for c in chunks]
         spark_side = dict(f.result() for f in spark_futs)
         duck_side = dict(kv for f in duck_futs for kv in f.result())
+    from zebra_spark.caching import release_caches
+
+    release_caches()  # free query-internal persists once materialized
     return spark_side, duck_side
 
 
@@ -185,7 +188,11 @@ def canon_sweep(spark):
             return name, (None, exc)
 
     with ThreadPoolExecutor(max_workers=8) as ex:
-        return dict(ex.map(run, ALL_NAMES))
+        out = dict(ex.map(run, ALL_NAMES))
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    return out
 
 
 @pytest.mark.parametrize("name", ALL_NAMES)

@@ -189,6 +189,12 @@ class ZebraDatabase:
         if not os.path.exists(p):
             return None
         df = self.spark.read.parquet(p)
+        if table == "documents" and "modality" in df.columns:
+            # partition discovery type-infers the modality= directory
+            # value, so a numeric-looking modality ("modality=123") would
+            # come back as int and break unions with the flat-layout /
+            # in-memory string schema; pin it (ADVICE r4)
+            df = df.withColumn("modality", F.col("modality").cast("string"))
         if committed_only:
             bases = self._committed_bases()
             if bases is not None:
@@ -200,6 +206,20 @@ class ZebraDatabase:
                     .isin([b >> _BATCH_SHIFT for b in bases])
                 )
         return df
+
+    def _documents_flat_layout(self) -> bool:
+        """True when the documents table uses the legacy flat layout —
+        parquet part- files at the documents/ root instead of modality=
+        partition directories.  Appends must then stay flat: Spark's
+        partition discovery rejects a directory mixing both shapes
+        ('Conflicting directory structures')."""
+        p = f"{self.path}/documents"
+        if not os.path.isdir(p):
+            return False
+        return any(
+            n.startswith("part-") and not n.endswith(".crc")
+            for n in os.listdir(p)
+        )
 
     def documents(self) -> DataFrame:
         df = self._read("documents")
@@ -339,10 +359,16 @@ class ZebraDatabase:
         # (the common case — each CLI database is single-modality) scans
         # only its partition directories, and at lake scale the listing
         # itself is pruned.  Spark surfaces `modality` back as a normal
-        # column on read, so consumers are unchanged.
-        with_ids.select("vec_id", "doc", "modality").write.mode(
-            "append"
-        ).partitionBy("modality").parquet(f"{self.path}/documents")
+        # column on read, so consumers are unchanged.  Stores written
+        # before the partitioned layout keep their flat layout on append:
+        # mixing part- files and modality= dirs in one directory makes
+        # partition discovery throw 'Conflicting directory structures'
+        # (ADVICE r4).  Such stores upgrade to the partitioned layout at
+        # the next full rewrite (remove/deduplicate go through _tmp).
+        doc_w = with_ids.select("vec_id", "doc", "modality").write.mode("append")
+        if not self._documents_flat_layout():
+            doc_w = doc_w.partitionBy("modality")
+        doc_w.parquet(f"{self.path}/documents")
         # commit point: manifest rename AFTER both appends (atomic on
         # POSIX; on a cluster use the object store's atomic put)
         bdir = f"{self.path}/_batches"

@@ -42,8 +42,20 @@ def _cc_single_task(nodes: DataFrame, edges_m: DataFrame) -> DataFrame:
     mapInPandas — executor-side, not a driver collect — then the labels
     join back to the full node list (nodes without edges label
     themselves).  Same min-id-per-component contract as the iterative
-    path; path-compressed union-by-attach keeps it linear-ish."""
+    path; path-compressed union-by-attach keeps it linear-ish.
+
+    Edges touching ids absent from `nodes` are filtered out first
+    (two left_semi joins — cheap at <=5M edges) so both paths share one
+    contract: out-of-node endpoints are ignored.  Unfiltered, union-find
+    could name a component after a NON-node id (nodes={5}, edge (3,5)
+    -> component 3) while the iterative path's label join silently drops
+    the edge -> component 5 — the same input would change results as it
+    crossed the size threshold (ADVICE r4)."""
     import pandas as pd
+
+    edges_m = edges_m.join(
+        nodes.select(F.col("id").alias("src")), "src", "left_semi"
+    ).join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
 
     def uf(it):
         parent: dict = {}
@@ -87,6 +99,12 @@ def connected_components(
 
     nodes: one column `id`; edges: columns (`src`, `dst`), treated as
     undirected (symmetrized here).  Returns (id, component).
+
+    Edges referencing ids absent from `nodes` are IGNORED — the
+    iterative path drops them naturally (no label to join), and the
+    single-task path filters them explicitly — so results are identical
+    on either side of the fast-path threshold (pinned by
+    tests/test_graph.py::test_out_of_node_endpoints_ignored).
 
     The returned DataFrame reads the final round's spill files; they
     stay on disk until interpreter exit (atexit) unless `spill_dir` is

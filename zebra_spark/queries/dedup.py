@@ -25,6 +25,7 @@ from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
 from zebra_spark.queries.text import sql_word_hash, tokens, word_hash_expr
+from zebra_spark.caching import tracked_persist
 from zebra_spark.registry import QUERIES, query, sql_rnd
 
 P = 2_147_483_647  # 2^31 - 1
@@ -204,7 +205,7 @@ def _minhash_pairs(
     # 10.3 s).  A 2^-64 hash collision can only ADD a false candidate,
     # which the exact-Jaccard verify below then drops — correctness is
     # unaffected by construction.
-    sigs = sigs.persist()
+    sigs = tracked_persist(sigs)
     keyed = sigs.select("doc_id", F.xxhash64("band", "key").alias("bk"))
     a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("bk").alias("bk_b"))
@@ -222,9 +223,11 @@ def _minhash_pairs(
     # word) rows into a shuffle (the fixture has ~100 shared words per
     # pair, so that explode would be two orders of magnitude more rows)
     tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
-    toksets = tok.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("word")).alias("words")
-    ).persist()
+    toksets = tracked_persist(
+        tok.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("word")).alias("words")
+        )
+    )
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     scored = (
@@ -329,10 +332,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same hashed-band-key trick as _minhash_pairs: bigint equi-join,
     # false candidates (2^-64) are dropped by the exact verify; same
     # persist() strategy for the branch-shared signature frame
-    sigs = (
+    sigs = tracked_persist(
         _minhash_sigs(spark, sf_dir, N_HASHES, N_BANDS)
         .select("doc_id", F.xxhash64("band", "key").alias("bk"))
-        .persist()
     )
     batch = sigs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("doc_b"), "bk"
@@ -346,9 +348,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
-    toksets = tok.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("word")).alias("words")
-    ).persist()
+    toksets = tracked_persist(
+        tok.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("word")).alias("words")
+        )
+    )
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     tc = toksets.select(F.col("doc_id").alias("doc_c"), F.col("words").alias("wc"))
     jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
@@ -983,7 +987,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" shiftright(simhash, blk * 4) % 16 AS key))"
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.blk", "b.key").persist()
+    ).select("doc_id", "simhash", "b.blk", "b.key")
+    blocks = tracked_persist(blocks)
     # persist: both join sides below reference `blocks`, whose chain is
     # the full 16-hash fingerprint aggregation (same plan-preserving
     # materialization rationale as _minhash_pairs)

@@ -724,10 +724,16 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps to the same group-then-filter-by-global-fraction structure).
 
     The threshold is SCALE-INVARIANT — keep parts with value > 1.2x
-    the mean part value, written as the all-integer/decimal comparison
-    5*value*n > 6*total so both engines evaluate it EXACTLY (a fixed
-    fraction of the total goes empty as the part count grows, and a
-    double threshold invites 1-ulp boundary flips).  The totals are
+    the mean part value (a fixed fraction of the total goes empty as
+    the part count grows), written as the decimal comparison
+    5*value*n > 6*total.  NOT bit-exact on Spark's side: decimal(28,6)
+    * bigint exceeds the precision-38 cap, so Spark (with
+    allowPrecisionLoss=true) reduces the scale and rounds at ~1e-5
+    relative, while DuckDB evaluates the product exactly — safe here
+    because no per-part value sits within ~1e-4 of its threshold at
+    any tested SF (the decision margin dominates the rounding margin;
+    ADVICE r4), and far safer than a double threshold's 1-ulp boundary
+    flips.  The totals are
     resolved at plan-build time from the SAME aggregated frame (one
     corpus scan at execution; a lazy scalar subquery re-plans the
     whole per-part aggregation as a second scan — the
