@@ -155,6 +155,53 @@ def test_stream_ingest_texts(spark, tmp_path):
     assert res.iloc[0]["doc"].strip() == "red fox jumps"
 
 
+def test_stream_ingest_maintains_lsh_index(spark, tmp_path):
+    """Composition of streaming ingest x incremental index maintenance
+    (VERDICT r4 directive 7): stream_ingest_texts appends through
+    insert_records, whose sink-side LSHIndex.add keeps the live index
+    fresh without a rebuild — post-stream ANN search must match both a
+    batch-built index over the same corpus and the exact oracle."""
+    import numpy as np
+
+    from zebra_spark.database import ZebraDatabase
+    from zebra_spark.streaming import stream_ingest_texts
+
+    initial = ["red fox jumps", "blue whale sings", "green turtle swims"]
+    streamed = ["orange cat naps", "purple squid inks", "yellow finch calls"]
+
+    sdb = ZebraDatabase.create(spark, str(tmp_path / "sdb"), dim=32)
+    sdb.insert_texts(initial)
+    sdb.index()  # build NOW: later inserts must maintain it incrementally
+    appends_before = sdb._index.appends
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i, body in enumerate(streamed):
+        (src / f"d{i}.txt").write_text(body)
+    q = stream_ingest_texts(spark, str(src), sdb, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sdb.count() == len(initial) + len(streamed)
+    # each micro-batch went through LSHIndex.add, never a rebuild
+    assert sdb._index.appends > appends_before
+
+    bdb = ZebraDatabase.create(spark, str(tmp_path / "bdb"), dim=32)
+    bdb.insert_texts(initial)
+    for t in streamed:  # one batch per text == one stream epoch per file
+        bdb.insert_texts([t])
+
+    queries = ["red fox", "purple squid", "yellow finch"]
+    got = sdb.query_texts(queries, k=3).toPandas()
+    want = bdb.query_texts(queries, k=3).toPandas()
+    exact = sdb.query_texts(queries, k=3, exact=True).toPandas()
+    for frame in (got, want, exact):
+        frame.sort_values(["query_id", "rank"], inplace=True, ignore_index=True)
+    assert list(got["doc"]) == list(want["doc"]) == list(exact["doc"])
+    assert np.allclose(got["dist"], exact["dist"])
+
+
 def test_insert_rejects_wrong_dimension(spark, tmp_path):
     from zebra_spark.database import ZebraDatabase
 
