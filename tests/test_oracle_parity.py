@@ -183,7 +183,13 @@ def canon_sweep(spark):
 
     def run(name):
         try:
-            return name, (zebra_spark.QUERIES[name](spark, SF_SMOKE).toPandas(), None)
+            pdf = zebra_spark.QUERIES[name](spark, SF_SMOKE).toPandas()
+            if len(pdf) == 0:
+                # legitimately empty at sf0.001 (q_tpch_q7's nation-pair x
+                # date filter) — the driver gate runs at sf0.01, so replay
+                # the canon check at that scale instead
+                pdf = zebra_spark.QUERIES[name](spark, SF_ORACLE).toPandas()
+            return name, (pdf, None)
         except Exception as exc:  # noqa: BLE001 — re-raised per-test
             return name, (None, exc)
 
