@@ -139,3 +139,31 @@ def test_word_hash_cross_engine(spark, duck):
             f"SELECT {sql_word_hash('w')} AS h FROM (SELECT ? AS w)", [w]
         ).fetchone()[0]
         assert got[w] == want, (w, got[w], want)
+
+
+def test_minhash_bucket_cap(spark, tmp_path):
+    """max_bucket semantics: a cap larger than every bucket leaves the
+    output bit-identical; a cap below a giant bucket's size drops only
+    pairs whose EVERY colliding band is oversized (pairs that also
+    collide in a small bucket survive)."""
+    from zebra_spark.queries.dedup import N_BANDS, N_HASHES, _minhash_pairs
+
+    # 6 identical docs (one giant bucket per band) + 2 identical docs
+    # with different text (small buckets)
+    rows = [(i, "src", "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    rows += [(10, "src", "one two three four five six"),
+             (11, "src", "one two three four five six")]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    def pairs(cap):
+        df = _minhash_pairs(spark, sf, N_HASHES, N_BANDS, max_bucket=cap)
+        return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+    full = pairs(None)
+    assert pairs(100) == full  # cap never fires
+    capped = pairs(5)  # drops the 6-member buckets, keeps the 2-member
+    assert capped == {(10, 11)}
+    assert full == {(a, b) for a in range(6) for b in range(6) if a < b} | {(10, 11)}

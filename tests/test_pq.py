@@ -1,0 +1,105 @@
+"""Product-quantization index (zebra_spark/index/pq.py): recall vs the
+exact oracle, seeded determinism, reconstruction-error monotonicity,
+save/load round-trip, and the in-band-recall registry entry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import zebra_spark
+from tests.conftest import SF_ORACLE
+from zebra_spark.index.pq import PQIndex
+from zebra_spark.io import embeddings_d
+
+zebra_spark.load_all_queries()
+
+
+@pytest.fixture(scope="module")
+def pq(spark):
+    return PQIndex.train(spark, SF_ORACLE, m=8, k=16, seed=42)
+
+
+def _exact_top10(spark):
+    return (
+        zebra_spark.QUERIES["q_knn_exact"](spark, SF_ORACLE)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+
+
+def test_recall_vs_exact(spark, pq):
+    ann = (
+        pq.search_ids(range(10), k=10, refine=200)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+    exact = _exact_top10(spark)
+    a = set(map(tuple, ann.itertuples(index=False)))
+    e = set(map(tuple, exact.itertuples(index=False)))
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"PQ recall@10 {recall} < 0.9"
+
+
+def test_deterministic_codes(spark):
+    c1 = PQIndex.train(spark, SF_ORACLE, m=8, k=16, seed=42).codes.toPandas()
+    c2 = PQIndex.train(spark, SF_ORACLE, m=8, k=16, seed=42).codes.toPandas()
+    c1 = c1.sort_values("vec_id").reset_index(drop=True)
+    c2 = c2.sort_values("vec_id").reset_index(drop=True)
+    assert (c1["vec_id"] == c2["vec_id"]).all()
+    assert all(list(a) == list(b) for a, b in zip(c1["codes"], c2["codes"]))
+
+
+def test_reconstruction_error_shrinks_with_k(spark):
+    corpus = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+
+    def mse(idx):
+        joined = idx.reconstruct().join(corpus, "vec_id")
+        from zebra_spark import functions as zf
+
+        return (
+            joined.select(zf.l2sq(F.col("emb"), F.col("emb_hat")).alias("e"))
+            .agg(F.avg("e"))
+            .collect()[0][0]
+        )
+
+    coarse = PQIndex.train(spark, SF_ORACLE, m=8, k=4, seed=42, corpus=corpus)
+    fine = PQIndex.train(spark, SF_ORACLE, m=8, k=16, seed=42, corpus=corpus)
+    e_coarse, e_fine = mse(coarse), mse(fine)
+    norm = (
+        corpus.select(
+            F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x).alias("n")
+        )
+        .agg(F.avg("n"))
+        .collect()[0][0]
+    )
+    assert e_fine < e_coarse, (e_fine, e_coarse)
+    assert e_fine < norm, "quantizer worse than predicting zero"
+
+
+def test_save_load_roundtrip(spark, pq, tmp_path):
+    path = str(tmp_path / "pq")
+    pq.save(path)
+    loaded = PQIndex.load(spark, path)
+    assert np.allclose(loaded.codebooks, pq.codebooks)
+    a = (
+        pq.search_ids(range(5), k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        loaded.search_ids(range(5), k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_registry_entry_recall_in_band(spark):
+    out = zebra_spark.QUERIES["q_ann_pq"](spark, SF_ORACLE).toPandas()
+    assert len(out) == 100  # 10 queries x top-10
+    assert out["recall"].nunique() == 1
+    assert out["recall"].iloc[0] >= 0.9

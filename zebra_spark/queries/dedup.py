@@ -173,7 +173,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(
-    spark: SparkSession, sf_dir: str, n_hashes: int, n_bands: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int,
+    n_bands: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir, n_hashes, n_bands)
     # Candidates via band-key EQUI-JOIN (not per-key member-list
@@ -207,6 +211,25 @@ def _minhash_pairs(
     # unaffected by construction.
     sigs = tracked_persist(sigs)
     keyed = sigs.select("doc_id", F.xxhash64("band", "key").alias("bk"))
+    if max_bucket is not None:
+        # Giant-bucket guard for extreme scale (SCALING.md "Near-dup
+        # pipeline at 10x input"): a single g-member bucket emits
+        # g(g-1)/2 candidate rows, so one degenerate key can dominate
+        # the whole stage (measured: one 28.7k bucket = 412M of 1.88G
+        # pair rows at 10x).  Buckets above the cap are dropped BEFORE
+        # pair generation; a true near-dup pair that only collided in a
+        # dropped bucket can still be found via its other n_bands-1
+        # bands, so recall degrades by at most one band's worth —
+        # measured on the planted-duplicate corpus in
+        # scripts/dedup_scale_check.py.  None (the oracled default)
+        # keeps exact all-pairs semantics.
+        ok = (
+            keyed.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("g"))
+            .filter(F.col("g") <= max_bucket)
+            .select("bk")
+        )
+        keyed = keyed.join(ok, "bk", "left_semi")
     a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("bk").alias("bk_b"))
     cand = (

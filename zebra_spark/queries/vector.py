@@ -555,3 +555,46 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode(project(F.col("emb"))).alias("k", "pc")
     ).select("vec_id", "k", rnd(F.col("pc")).alias("pc"))
+
+
+STD_DIMS = 16  # dims emitted for the hash check (full-width in-engine)
+
+
+@query(
+    "q_emb_standardize",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT j, avg(v) AS mu, stddev_pop(v) AS sd FROM e GROUP BY j
+    )
+    SELECT e.vec_id, CAST(e.j AS INTEGER) AS j,
+           {sql_rnd("(e.v - s.mu) / greatest(s.sd, 1e-12)")} AS z
+    FROM e JOIN stats s ON s.j = e.j
+    WHERE e.j < {STD_DIMS}
+    """,
+)
+def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization (the feature-scaling step
+    before PCA/whitening/clustering): one column-pruned corpus pass
+    aggregates each dimension's mean and population stddev — a D-row
+    result, broadcast back — then the z transform is pure per-row
+    arithmetic.  Deliberately NOT a Window.partitionBy(dim): a window
+    would shuffle the full exploded corpus (rows x D) to co-locate each
+    dimension, while the agg+broadcast-join plan shuffles only the
+    D-row stats frame and stays embarrassingly parallel over the
+    corpus.  First {STD_DIMS} dims emitted for the hash check."""
+    e = embeddings_d(spark, sf_dir).select(
+        "vec_id", F.posexplode("emb").alias("j", "v")
+    ).filter(F.col("j") < STD_DIMS)
+    stats = e.groupBy("j").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    )
+    z = (F.col("v") - F.col("mu")) / F.greatest(F.col("sd"), F.lit(1e-12))
+    return e.join(F.broadcast(stats), "j").select(
+        "vec_id", F.col("j").cast("int").alias("j"), rnd(z).alias("z")
+    )
