@@ -90,6 +90,9 @@ def main() -> None:
         "q_semantic_clusters",
         "q_emb_covariance",
         "q_text_surprisal",
+        # round-5: PQ ANN (train+encode+ADC search) and n-gram novelty
+        "q_ann_pq",
+        "q_ngram_novelty",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
