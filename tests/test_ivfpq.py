@@ -1,0 +1,74 @@
+"""IVF-PQ composition (zebra_spark/index/ivfpq.py): recall vs exact,
+cell-pruning coverage, save/load with partition layout, and the
+registry entry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import zebra_spark
+from tests.conftest import SF_ORACLE
+from zebra_spark.index.ivfpq import IVFPQIndex
+
+zebra_spark.load_all_queries()
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return IVFPQIndex.train(spark, SF_ORACLE, k_coarse=16, m=8, k=16, seed=42)
+
+
+def test_recall_vs_exact(spark, idx):
+    ann = (
+        idx.search_ids(range(10), k=10, nprobe=12, refine=400)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+    exact = (
+        zebra_spark.QUERIES["q_knn_exact"](spark, SF_ORACLE)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+    a = set(map(tuple, ann.itertuples(index=False)))
+    e = set(map(tuple, exact.itertuples(index=False)))
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"IVF-PQ recall@10 {recall} < 0.9"
+
+
+def test_every_vector_coded_once(spark, idx):
+    n_corpus = idx.corpus.count()
+    assert idx.coded.count() == n_corpus
+    assert idx.coded.select("vec_id").distinct().count() == n_corpus
+
+
+def test_save_load_partition_pruning(spark, idx, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = IVFPQIndex.load(spark, path)
+    assert np.allclose(loaded.centroids, idx.centroids)
+    assert np.allclose(loaded.codebooks, idx.codebooks)
+    # partitioned layout: probing one cell plans a pruned scan
+    one = loaded.coded.filter(F.col("cell_id") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell_id" in plan or "cell_id#" in plan
+    a = (
+        idx.search_ids(range(5), k=5, nprobe=12, refine=400)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        loaded.search_ids(range(5), k=5, nprobe=12, refine=400)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_registry_entry(spark):
+    out = zebra_spark.QUERIES["q_ann_ivfpq"](spark, SF_ORACLE).toPandas()
+    assert len(out) == 100
+    assert out["recall"].iloc[0] >= 0.9

@@ -1,0 +1,298 @@
+"""IVF-PQ: the billion-scale ANN composition (FAISS IVFADC, Jegou et
+al. TPAMI 2011) — a coarse IVF quantizer prunes the corpus to `nprobe`
+cells, and product-quantized RESIDUALS (vector minus cell centroid)
+make the scan read 4-8 B codes instead of full vectors.
+
+This composes the two standalone indexes (index/ivf.py's trained coarse
+quantizer, index/pq.py's codebooks/ADC) into the layout actually used
+at 10^9-10^12 vectors:
+
+- cells bound the scan: only nprobe of k_coarse partitions are read
+  (the codes table is written partitioned by cell_id, so Spark's
+  partition pruning turns probes into file skips — same layout as the
+  LSH bucket table, reference src/db/lsh.rs bucket files);
+- residual PQ bounds the bytes: within a probed cell the scan is
+  numpy take+sum over (n, m) uint8-sized codes;
+- exactness is restored at the end: top-`refine` ADC candidates
+  re-rank against the full vectors, so quantization affects recall
+  only, never emitted distances.
+
+Driver state: k_coarse x dim centroids + m x k x (dim/m) codebooks —
+constants independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zebra_spark import functions as zf
+from zebra_spark.functions import rnd
+from zebra_spark.io import embeddings_d
+from zebra_spark.index.ivf import IVFIndex
+from zebra_spark.index.pq import _kmeans_np
+
+
+class IVFPQIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        centroids: np.ndarray,  # (k_coarse, dim)
+        codebooks: np.ndarray,  # (m, k, dim/m), trained on residuals
+        coded: DataFrame,  # (cell_id, vec_id, codes array<int>)
+    ):
+        self.spark = spark
+        self.corpus = corpus
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.coded = coded
+
+    @classmethod
+    def train(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        k_coarse: int = 16,
+        m: int = 8,
+        k: int = 16,
+        iters: int = 5,
+        seed: int = 42,
+        sample_rows: int = 16_384,
+        corpus: DataFrame | None = None,
+    ) -> "IVFPQIndex":
+        corpus = (
+            corpus
+            if corpus is not None
+            else embeddings_d(spark, sf_dir).select("vec_id", "emb")
+        )
+        ivf = IVFIndex.train(
+            spark, sf_dir, k=k_coarse, iters=iters, seed=seed, corpus=corpus
+        )
+        centroids = ivf.centroids
+        dim = centroids.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+
+        # residuals = emb - centroid[cell]; computed distributed, the
+        # centroid matrix rides the closure
+        cents = centroids.copy()
+
+        def residual_op(batches):
+            for pdf in batches:
+                X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                cells = np.asarray(pdf["cell_id"], dtype=np.int64)
+                R = X - cents[cells]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.asarray(pdf["vec_id"], dtype=np.int64),
+                        "cell_id": cells,
+                        "res": list(R),
+                    }
+                )
+
+        assigned = corpus.join(ivf.assignments, "vec_id")
+        residuals = assigned.mapInPandas(
+            residual_op, "vec_id bigint, cell_id int, res array<double>"
+        )
+
+        # PQ codebooks trained on a bounded seeded residual sample
+        sample = (
+            residuals.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+            .limit(sample_rows)
+            .select("res")
+            .toPandas()
+        )
+        R = np.array(sample["res"].tolist(), dtype=np.float64)
+        codebooks = np.stack(
+            [
+                _kmeans_np(R[:, s * dsub : (s + 1) * dsub], k, 10, seed + s)
+                for s in range(m)
+            ]
+        )
+        cb = codebooks.copy()
+
+        def encode_op(batches):
+            for pdf in batches:
+                R = np.array(pdf["res"].tolist(), dtype=np.float64)
+                n = len(R)
+                out = np.empty((n, m), dtype=np.int32)
+                for s in range(m):
+                    sub = R[:, s * dsub : (s + 1) * dsub]
+                    d2 = (
+                        (sub * sub).sum(axis=1, keepdims=True)
+                        - 2.0 * sub @ cb[s].T
+                        + (cb[s] * cb[s]).sum(axis=1)
+                    )
+                    out[:, s] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "cell_id": np.asarray(pdf["cell_id"], dtype=np.int64),
+                        "vec_id": np.asarray(pdf["vec_id"], dtype=np.int64),
+                        "codes": list(out),
+                    }
+                )
+
+        coded = residuals.mapInPandas(
+            encode_op, "cell_id int, vec_id bigint, codes array<int>"
+        ).localCheckpoint()
+        return cls(spark, corpus, centroids, codebooks, coded)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.coded = self.coded.localCheckpoint()
+        self.corpus = self.corpus.localCheckpoint()
+        # partitionBy(cell_id): probes become partition-pruned file skips
+        self.coded.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/codes"
+        )
+        self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
+        with open(f"{path}/metadata.json", "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "codebooks": self.codebooks.tolist(),
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
+        import json
+
+        with open(f"{path}/metadata.json") as f:
+            meta = json.load(f)
+        return cls(
+            spark,
+            spark.read.parquet(f"{path}/embeddings"),
+            np.array(meta["centroids"]),
+            np.array(meta["codebooks"]),
+            spark.read.parquet(f"{path}/codes"),
+        )
+
+    def search_ids(
+        self,
+        ids,
+        k: int = 10,
+        nprobe: int = 4,
+        refine: int = 100,
+    ) -> DataFrame:
+        ids = [int(i) for i in ids]
+        rows = (
+            self.corpus.filter(F.col("vec_id").isin(ids))
+            .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+            .collect()
+        )
+        if not rows:
+            raise ValueError("no query vectors found")
+        qids = np.array([r.query_id for r in rows], dtype=np.int64)
+        Q = np.array([r.qe for r in rows], dtype=np.float64)
+        return self._search(qids, Q, k=k, nprobe=nprobe, refine=refine)
+
+    def _search(
+        self,
+        qids: np.ndarray,
+        Q: np.ndarray,
+        k: int,
+        nprobe: int,
+        refine: int,
+    ) -> DataFrame:
+        cents, cb = self.centroids, self.codebooks
+        m, kk, dsub = cb.shape
+        nq = len(qids)
+
+        # nprobe nearest cells per query (numpy over the small centroid
+        # matrix), then per-(query, probed-cell) residual LUTs — size
+        # nq x nprobe x m x kk doubles, bounded by the query batch
+        d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        probe = np.argsort(d2, axis=1)[:, :nprobe]  # (nq, nprobe)
+        luts: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for qi in range(nq):
+            for c in probe[qi]:
+                r = Q[qi] - cents[c]
+                lut = np.stack(
+                    [
+                        (
+                            (r[s * dsub : (s + 1) * dsub][None, :] - cb[s]) ** 2
+                        ).sum(axis=1)
+                        for s in range(m)
+                    ]
+                )  # (m, kk)
+                luts.setdefault(int(c), []).append((qi, lut))
+
+        keys = [(int(c),) for c in {int(c) for row in probe for c in row}]
+        keys_df = self.spark.createDataFrame(keys, "cell_id int")
+        pruned = self.coded.join(F.broadcast(keys_df), "cell_id")
+        qid_arr = qids.copy()
+
+        def scan(batches):
+            for pdf in batches:
+                cells = np.asarray(pdf["cell_id"], dtype=np.int64)
+                vids = np.asarray(pdf["vec_id"], dtype=np.int64)
+                C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                out_q, out_v, out_d = [], [], []
+                for c in np.unique(cells):
+                    if int(c) not in luts:
+                        continue
+                    mask = cells == c
+                    Cc, Vc = C[mask], vids[mask]
+                    for qi, lut in luts[int(c)]:
+                        adist = np.zeros(len(Cc))
+                        for s in range(m):
+                            adist += lut[s][Cc[:, s]]
+                        keep = min(refine, len(Cc))
+                        part = np.argpartition(adist, keep - 1)[:keep]
+                        out_q.append(np.full(keep, qid_arr[qi]))
+                        out_v.append(Vc[part])
+                        out_d.append(adist[part])
+                if not out_q:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "adist": np.concatenate(out_d),
+                    }
+                )
+
+        scored = pruned.mapInPandas(
+            scan, "query_id bigint, vec_id bigint, adist double"
+        )
+        wa = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+        cand = (
+            scored.withColumn("crk", F.row_number().over(wa))
+            .filter(F.col("crk") <= refine)
+            .select("query_id", "vec_id")
+        )
+        qdf = self.spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in zip(qids, Q)],
+            "query_id bigint, qe array<double>",
+        )
+        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        return (
+            cand.join(self.corpus, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                zf.l2sq(F.col("qe"), F.col("emb")).alias("dist"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
+            )
+        )
+
+    def cell_sizes(self) -> DataFrame:
+        return (
+            self.coded.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cell_id")
+        )

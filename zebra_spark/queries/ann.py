@@ -277,3 +277,45 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         zf_rnd(F.col("n_hit") / F.col("n_exact")).alias("recall")
     )
     return ann.crossJoin(F.broadcast(stats))
+
+
+def get_ivfpq_index(spark: SparkSession, sf_dir: str, seed: int = 42):
+    from zebra_spark.index.ivfpq import IVFPQIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq", seed)
+    if key not in _PQ_CACHE:
+        for stale in [s for s in _PQ_CACHE if s[0] != key[0]]:
+            del _PQ_CACHE[stale]
+        _PQ_CACHE[key] = IVFPQIndex.train(
+            spark, sf_dir, k_coarse=16, m=8, k=16, seed=seed
+        )
+    return _PQ_CACHE[key]
+
+
+@query("q_ann_ivfpq")
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (index/ivfpq.py): coarse cells prune the scan
+    to nprobe partitions, PQ residual codes bound the bytes per scanned
+    row, exact re-rank restores true distances — the standard
+    billion-scale ANN layout.  recall vs brute force pinned in-band as
+    in q_knn_lsh/q_ann_pq; >= 0.9 asserted in tests/test_ivfpq.py."""
+    from zebra_spark.registry import QUERIES
+
+    idx = get_ivfpq_index(spark, sf_dir)
+    # nprobe=12/16, refine=400: at fixture scale each of the 16 cells
+    # holds only ~30 vectors, so realistic pruning ratios (nprobe <<
+    # k_coarse) cannot hold recall — measured 0.79 at nprobe=8, 0.92 at
+    # nprobe=12/refine=400.  At production scale k_coarse ~ sqrt(N) and
+    # nprobe/k_coarse shrinks while per-cell candidate counts grow.
+    ann = idx.search_ids(range(10), k=10, nprobe=12, refine=400)
+    exact = QUERIES["q_knn_exact"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    n_hit = ann.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    stats = n_hit.crossJoin(n_exact).select(
+        zf_rnd(F.col("n_hit") / F.col("n_exact")).alias("recall")
+    )
+    return ann.crossJoin(F.broadcast(stats))
