@@ -172,13 +172,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, N_HASHES, N_BANDS)
 
 
-def _minhash_pairs(
+def _minhash_scored(
     spark: SparkSession,
     sf_dir: str,
     n_hashes: int,
     n_bands: int,
     max_bucket: int | None = None,
 ) -> DataFrame:
+    """(doc_a, doc_b, n_common, na, nb) for every verified band-join
+    candidate pair — the shared core of q_dedup_minhash (Jaccard
+    scoring) and q_text_containment (containment scoring)."""
     sigs = _minhash_sigs(spark, sf_dir, n_hashes, n_bands)
     # Candidates via band-key EQUI-JOIN (not per-key member-list
     # explode): both shapes emit the same g^2/2 pairs per colliding
@@ -264,10 +267,54 @@ def _minhash_pairs(
             F.size("wb").alias("nb"),
         )
     )
+    return scored
+
+
+def _minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int,
+    n_bands: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    scored = _minhash_scored(spark, sf_dir, n_hashes, n_bands, max_bucket)
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         scored.filter(jac >= MINHASH_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", rnd(jac).alias("jaccard"))
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "q_text_containment",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_CORE}
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           {sql_rnd("i.n_common * 1.0 / least(sa.n, sb.n)")} AS containment
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT detection: |A∩B| / min(|A|,|B|) over the same
+    banded-MinHash candidate pairs as q_dedup_minhash — catches a short
+    doc embedded in a longer one (quote farms, boilerplate wrappers,
+    concatenated dumps), which symmetric Jaccard misses because the
+    union is dominated by the longer side.  Same machinery end to end
+    (signatures, band equi-join, array_intersect verify); only the
+    final scoring expression differs, so the scale posture is identical
+    to the flagship pipeline."""
+    scored = _minhash_scored(spark, sf_dir, N_HASHES, N_BANDS)
+    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        scored.filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", rnd(cont).alias("containment"))
     )
 
 

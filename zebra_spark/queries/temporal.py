@@ -355,3 +355,42 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM act a JOIN firstd f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each later active day — the product-analytics staple on
+    the events stream.  Two bounded aggregations (per-user first day,
+    distinct user-days) joined on user_id; output is |cohorts| x
+    |offsets| rows regardless of event volume, and the user_id join is
+    the only shuffle — no event-level self-join."""
+    ev = load(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort")
+    )
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    return (
+        act.join(firstd, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).cast("bigint").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -598,3 +598,65 @@ def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(stats), "j").select(
         "vec_id", F.col("j").cast("int").alias("j"), rnd(z).alias("z")
     )
+
+
+OUTLIER_Z = 2.0
+
+
+@query(
+    "q_emb_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    mu AS (
+      SELECT list(m ORDER BY j) AS ce FROM (
+        SELECT j, avg(v) AS m FROM (
+          SELECT generate_subscripts(embedding, 1) AS j,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ) GROUP BY j
+      )
+    ),
+    d AS (
+      SELECT e.vec_id, {{dist}} AS dist FROM e CROSS JOIN mu
+    ),
+    s AS (
+      SELECT avg(dist) AS dm, greatest(stddev_pop(dist), 1e-12) AS ds FROM d
+    )
+    SELECT d.vec_id, {sql_rnd('d.dist')} AS dist,
+           {sql_rnd('(d.dist - s.dm) / s.ds')} AS z,
+           CASE WHEN (d.dist - s.dm) / s.ds > {OUTLIER_Z} THEN 1 ELSE 0 END
+             AS is_outlier
+    FROM d CROSS JOIN s
+    """.format(dist=zf.sql_metric("l2", a="e.emb", b="mu.ce", dim=64)),
+)
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier flagging (corpus-quality screening: far
+    from the centroid usually means garbage decode, wrong language, or
+    adversarial content).  Centroid = per-dimension mean via one
+    column-pruned pass, collected to the driver (dim doubles — the
+    bounded-collect pattern of the LSH hyperplanes); distances are then
+    a pure per-row expression against the centroid literal, and the
+    z-score statistics are one tiny agg broadcast back.  Three corpus
+    scans, zero corpus-sized shuffles."""
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    mu_rows = (
+        e.select(F.posexplode("emb").alias("j", "v"))
+        .groupBy("j")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    ce = F.array(
+        *[F.lit(float(r.m)) for r in sorted(mu_rows, key=lambda r: r.j)]
+    )
+    d = e.select("vec_id", zf.l2(F.col("emb"), ce).alias("dist"))
+    s = d.agg(
+        F.avg("dist").alias("dm"),
+        F.greatest(F.stddev_pop("dist"), F.lit(1e-12)).alias("ds"),
+    )
+    z = (F.col("dist") - F.col("dm")) / F.col("ds")
+    return d.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        rnd(F.col("dist")).alias("dist"),
+        rnd(z).alias("z"),
+        F.when(z > OUTLIER_Z, 1).otherwise(0).alias("is_outlier"),
+    )
