@@ -1,0 +1,59 @@
+"""Ad-hoc single-query parity check: Spark vs DuckDB at a given SF dir.
+
+Usage: python scripts/quick_parity.py q_name [q_name2 ...] [--sf DIR]
+Mirrors tests/test_oracle_parity.canon (same cell canonicalization).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+import zebra_spark  # noqa: E402
+from zebra_spark.session import get_spark  # noqa: E402
+
+zebra_spark.load_all_queries()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = "/root/testdata/sf0.001"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf = a.split("=", 1)[1]
+    spark = get_spark()
+    from tests.test_oracle_parity import canon
+
+    con = duckdb.connect()
+    for t in zebra_spark.io.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    failed = []
+    for name in args:
+        sdf = zebra_spark.QUERIES[name](spark, sf)
+        spk = canon(sdf.toPandas())
+        ora = canon(con.execute(zebra_spark.ORACLES[name]).df())
+        ok_rows = len(spk) == len(ora)
+        ok_cols = list(spk.columns) == list(ora.columns)
+        ok_vals = ok_rows and ok_cols and spk.equals(ora)
+        print(f"{name}: rows {len(spk)}/{len(ora)} cols_ok={ok_cols} "
+              f"vals_ok={ok_vals}")
+        if not ok_vals:
+            failed.append(name)
+            if ok_rows and ok_cols:
+                neq = (spk != ora).any(axis=1)
+                print("  first diffs (spark vs oracle):")
+                print(spk[neq].head(3).to_string())
+                print(ora[neq].head(3).to_string())
+            else:
+                print("  spark cols:", list(spk.columns))
+                print("  oracle cols:", list(ora.columns))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

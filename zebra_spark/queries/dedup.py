@@ -859,6 +859,99 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 3  # fixed power-iteration count (unrolled in the oracle)
+PR_DAMP = 0.85
+
+
+def _sql_pr_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank step over sym/deg/nn (DuckDB dialect)."""
+    return f"""
+    {out} AS (
+      SELECT s.b AS id, (SELECT {1 - PR_DAMP} / n FROM nn)
+               + {PR_DAMP} * sum({prev}.r / {prev}.d) AS r
+      FROM sym s JOIN {prev} ON {prev}.id = s.a GROUP BY s.b
+    ),
+    {out}d AS (
+      SELECT {out}.id, {out}.r, deg.d FROM {out}
+      JOIN deg ON deg.id = {out}.id
+    )"""
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY a),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0d AS (SELECT id, (SELECT 1.0 / n FROM nn) AS r, d FROM deg),
+    {','.join(_sql_pr_iter(f'r{i}d', f'r{i + 1}') for i in range(PR_ITERS))}
+    SELECT f.id AS doc_id, CAST(f.d AS BIGINT) AS degree,
+           {sql_rnd(f"f.r * (SELECT n FROM nn)")} AS pagerank
+    FROM r{PR_ITERS}d f
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash near-dup graph ({PR_ITERS} power
+    iterations, damping {PR_DAMP}) — ranks documents by how central they
+    are in the duplication structure (a high-rank doc is the "template"
+    a boilerplate family copies from; the curation signal for picking
+    canonical representatives beyond min-id).  The graph is
+    symmetrized, so every node has out-edges and there is no dangling
+    mass; ranks are emitted scaled by n (mean 1.0) so the 4-decimal
+    hash-normalization keeps resolution at any corpus size.
+
+    Spark side: the textbook distributed formulation — ranks live in a
+    (id, r, d) frame co-shuffled with the edge list on the source key
+    each iteration, contributions aggregate on the destination key;
+    per-iteration cost is two shuffles of the EDGE frame, state per
+    node is one double (no driver-side structure).  The edge frame is
+    tracked_persist()ed once and reused by all {PR_ITERS} iterations —
+    without it every iteration would recompute the MinHash candidate
+    pipeline.  Oracle: the same {PR_ITERS} steps unrolled as CTEs."""
+    pairs = QUERIES["q_dedup_minhash"](spark, sf_dir)
+    sym = tracked_persist(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r"), "d"
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(ranks, sym["a"] == ranks["id"])
+            .groupBy(F.col("b").alias("cid"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("id") == F.col("cid"))
+            .select(
+                "id",
+                (
+                    F.lit(1 - PR_DAMP) / F.col("n")
+                    + F.lit(PR_DAMP) * F.col("c")
+                ).alias("r"),
+                "d",
+            )
+        )
+    return ranks.crossJoin(F.broadcast(nn)).select(
+        F.col("id").alias("doc_id"),
+        F.col("d").cast("bigint").alias("degree"),
+        rnd(F.col("r") * F.col("n")).alias("pagerank"),
+    )
+
+
 SEMC_TH = 0.65  # cosine-distance edge threshold for semantic clustering
 
 

@@ -394,3 +394,52 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+ANOM_Z = 3.0  # z-score threshold for rate anomalies
+
+
+@query(
+    "q_events_anomaly",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, avg(n) AS mu, greatest(stddev_pop(n), 1e-12) AS sd
+      FROM m GROUP BY event_type
+    )
+    SELECT m.event_type,
+           strftime(m.minute, '%Y-%m-%d %H:%M:%S') AS minute,
+           m.n,
+           {sql_rnd("(m.n - s.mu) / s.sd")} AS z,
+           CASE WHEN (m.n - s.mu) / s.sd > {ANOM_Z} THEN 1 ELSE 0 END
+             AS is_anomaly
+    FROM m JOIN s ON s.event_type = m.event_type
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: per-minute counts for each event
+    type, z-scored against that type's own rate distribution — the
+    monitoring primitive for ingest-pipeline spikes and stuck producers.
+    Two bounded aggs: the minute-grain rollup (keyed by type x minute,
+    the streaming tumbling window's batch twin) and a per-type stats
+    frame of |event_types| rows broadcast back onto it.  No window over
+    the raw stream, no event-level shuffle beyond the first rollup."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = m.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.greatest(F.stddev_pop("n"), F.lit(1e-12)).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return m.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        "n",
+        rnd(z).alias("z"),
+        F.when(z > ANOM_Z, 1).otherwise(0).alias("is_anomaly"),
+    )

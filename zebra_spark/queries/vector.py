@@ -660,3 +660,55 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(z).alias("z"),
         F.when(z > OUTLIER_Z, 1).otherwise(0).alias("is_outlier"),
     )
+
+
+RP_OUT = 16  # random-projection output dimensionality
+RP_A, RP_B = 1_103_515_245, 12_345  # LCG constants for the sign matrix
+RP_P = 2_147_483_647
+
+
+def _rp_sign(flat_idx: str) -> str:
+    """±1 pseudo-random sign for one matrix cell, identical text both
+    dialects: parity of an LCG step over the flattened (dim, k) index."""
+    return (
+        f"(CASE WHEN (({RP_A} * CAST({flat_idx} AS BIGINT) + {RP_B})"
+        f" % {RP_P}) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+@query(
+    "q_emb_random_projection",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT e.vec_id, CAST(t.k AS INTEGER) AS k,
+           {sql_rnd(
+               f"list_sum(list_transform(range(1, {DIM} + 1), j ->"
+               f" emb[j] * {_rp_sign(f'(j - 1) * {RP_OUT} + t.k')}))"
+               f" / sqrt({RP_OUT})"
+           )} AS value
+    FROM e CROSS JOIN range(0, {RP_OUT}) t(k)
+    """,
+)
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection {DIM}->{RP_OUT} dims with
+    an Achlioptas ±1 sign matrix.  The matrix is never materialized or
+    shipped: each cell's sign is an LCG-parity expression over its
+    flattened index, recomputed identically on every executor (and in
+    the DuckDB oracle) — the distributed-systems trick that replaces a
+    broadcast of random state with deterministic recomputation.  The
+    projection itself is a pure per-row fold (no shuffle, no UDF); at
+    100 TB this runs embarrassingly parallel as one corpus scan.
+    Output exploded to (vec_id, k, value) scalar rows per the driver
+    canonicalizer contract."""
+    # Spark subscripts are 0-based (oracle's 1-based j-1 == this j)
+    proj = (
+        f"transform(sequence(0, {RP_OUT - 1}), k ->"
+        f" aggregate(sequence(0, {DIM - 1}), CAST(0.0 AS DOUBLE),"
+        f" (acc, j) -> acc + emb[j] * {_rp_sign(f'j * {RP_OUT} + k')})"
+        f" / sqrt({RP_OUT}))"
+    )
+    return (
+        embeddings_d(spark, sf_dir)
+        .select("vec_id", F.posexplode(F.expr(proj)).alias("k", "value"))
+        .select("vec_id", "k", rnd(F.col("value")).alias("value"))
+    )
