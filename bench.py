@@ -90,9 +90,12 @@ def main() -> None:
         "q_semantic_clusters",
         "q_emb_covariance",
         "q_text_surprisal",
-        # round-5: PQ ANN (train+encode+ADC search) and n-gram novelty
+        # round-5: PQ ANN (train+encode+ADC search), n-gram novelty,
+        # exact duplicate-span detection, PageRank over the dup graph
         "q_ann_pq",
         "q_ngram_novelty",
+        "q_text_dup_spans",
+        "q_graph_pagerank",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

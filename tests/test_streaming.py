@@ -53,6 +53,40 @@ def test_stream_tumbling_equals_batch(spark, chunked_events):
     assert got.equals(want), f"stream:\n{got.head()}\nbatch:\n{want.head()}"
 
 
+def test_stream_anomaly_equals_batch(spark, chunked_events):
+    """Streaming minute counts scored against a batch-built baseline ==
+    the batch q_events_anomaly output: the full anomaly monitor
+    (stream rollup -> broadcast stream-static stats join) is
+    bit-identical to its hash-checked batch twin."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from zebra_spark.queries.temporal import q_events_anomaly
+    from zebra_spark.streaming import (
+        anomaly_scores,
+        minute_counts,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    stats = (
+        minute_counts(_batch_events(spark))
+        .groupBy("event_type")
+        .agg(
+            F.avg("n").alias("mu"),
+            F.greatest(F.stddev_pop("n"), F.lit(1e-12)).alias("sd"),
+        )
+    )
+    stream = read_events_stream(spark, chunked_events)
+    got = _canon(
+        anomaly_scores(
+            run_to_completion(minute_counts(stream), "t_anomaly"), stats
+        ).toPandas()
+    )
+    want = _canon(q_events_anomaly(spark, SF_SMOKE).toPandas())
+    assert got.equals(want), f"stream:\n{got.head()}\nbatch:\n{want.head()}"
+
+
 def test_stream_sliding_runs(spark, chunked_events):
     from zebra_spark.streaming import (
         read_events_stream,

@@ -63,6 +63,44 @@ def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
+def minute_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Per-minute counts per event type — the streaming stage of the
+    rate-anomaly monitor (batch twin: queries.temporal.q_events_anomaly's
+    minute rollup; the 1-minute tumbling window lands on the same
+    date_trunc('minute') boundaries)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", "1 minute").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        "event_type",
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "minute"
+        ),
+        "n",
+    )
+
+
+def anomaly_scores(
+    counts: DataFrame, stats: DataFrame, z_threshold: float = 3.0
+) -> DataFrame:
+    """Score (streaming or batch) minute counts against a STATIC
+    per-type baseline `stats` (event_type, mu, sd) — the production
+    shape of rate-anomaly detection: live minutes against historical
+    statistics via a broadcast stream-static join, no global state in
+    the stream.  Column-compatible with q_events_anomaly, whose batch
+    run doubles as the baseline builder."""
+    from zebra_spark.functions import rnd
+
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return counts.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "minute",
+        "n",
+        rnd(z).alias("z"),
+        F.when(z > z_threshold, 1).otherwise(0).alias("is_anomaly"),
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "1 hour") -> DataFrame:
     """Native session windows (streaming analogue of the lag+cumsum batch
