@@ -285,6 +285,85 @@ def _minhash_pairs(
     )
 
 
+@query(
+    "q_sketch_calibration",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_CORE},
+    estp AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / {N_HASHES} AS est
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    ex AS (
+      SELECT i.doc_a, i.doc_b,
+             i.n_common * 1.0 / (sa.n + sb.n - i.n_common) AS jac
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+    )
+    SELECT e.est, count(*) AS n_pairs,
+           {sql_rnd("avg(coalesce(x.jac, 0.0))")} AS mean_jaccard,
+           {sql_rnd("avg(abs(e.est - coalesce(x.jac, 0.0)))")} AS mean_abs_err
+    FROM estp e
+    LEFT JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    GROUP BY e.est
+    """,
+)
+def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every banded candidate pair, the MinHash
+    ESTIMATE (matching signature components / {N_HASHES}) against the
+    exact Jaccard, bucketed by estimate value — the measure-don't-guess
+    audit of the sketch itself (is 16 permutations enough at this
+    corpus's similarity distribution? what absolute error does each
+    estimate level carry?).  At 100 TB this is how you justify the
+    permutation count before a full dedup run: candidates come from the
+    same banded equi-join as production, the signature vectors are
+    per-row expressions, and the output is ≤ {N_HASHES}+1 bucket rows.
+
+    The estimate buckets are exact multiples of 1/{N_HASHES} (discrete
+    group-by key, no float binning); pairs whose candidate collision
+    came from disjoint token sets score exact Jaccard 0."""
+    from zebra_spark.io import load
+    from zebra_spark.streaming import token_ids_expr
+
+    mh_exprs = ", ".join(
+        f"array_min(transform(tids, t -> ({2 * j + 1} * t + {17 * j + 29})"
+        f" % {P}))"
+        for j in range(N_HASHES)
+    )
+    sig = load(spark, sf_dir, "documents").select(
+        "doc_id", token_ids_expr("text").alias("tids")
+    ).select("doc_id", F.expr(f"array({mh_exprs})").alias("sig"))
+    scored = _minhash_scored(spark, sf_dir, N_HASHES, N_BANDS)
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    est = F.expr(
+        "CAST(aggregate(zip_with(sa, sb,"
+        " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        f" 0, (acc, v) -> acc + v) AS DOUBLE) / {N_HASHES}"
+    )
+    pairs = (
+        scored.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .select(est.alias("est"), jac.alias("jac"))
+    )
+    return pairs.groupBy("est").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        rnd(F.avg("jac")).alias("mean_jaccard"),
+        rnd(F.avg(F.abs(F.col("est") - F.col("jac")))).alias("mean_abs_err"),
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.9
 
 
