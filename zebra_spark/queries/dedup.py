@@ -1030,6 +1030,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d",
             )
         )
+        # Materialize each iteration (|nodes| rows — bounded): without
+        # this, iteration i's lazy lineage re-executes iterations
+        # 0..i-1 on every reference, an O(I^2) recompute (measured
+        # 1.8/3.1/5.2 s for the three chains at sf0.1).  Same
+        # lineage-cut discipline as graph.connected_components.
+        ranks = tracked_persist(ranks)
+        ranks.count()
     return ranks.crossJoin(F.broadcast(nn)).select(
         F.col("id").alias("doc_id"),
         F.col("d").cast("bigint").alias("degree"),
