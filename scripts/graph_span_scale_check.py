@@ -14,6 +14,7 @@ Not part of the test suite (runtime); results recorded in SCALING.md.
 from __future__ import annotations
 
 import random
+import shutil
 import sys
 import tempfile
 import time
@@ -54,13 +55,16 @@ def main(n_small: int = 50_000, n_large: int = 200_000) -> None:
     results: dict[tuple[str, int], float] = {}
     for n_docs in (n_small, n_large):
         tmp = make_corpus(spark, n_docs)
-        for name in ("q_text_dup_spans", "q_graph_pagerank"):
-            t0 = time.perf_counter()
-            rows = zebra_spark.QUERIES[name](spark, tmp).count()
-            release_caches()
-            dt = time.perf_counter() - t0
-            results[(name, n_docs)] = dt
-            print(f"{name} n_docs={n_docs}: {dt:.1f}s, {rows} rows")
+        try:
+            for name in ("q_text_dup_spans", "q_graph_pagerank"):
+                t0 = time.perf_counter()
+                rows = zebra_spark.QUERIES[name](spark, tmp).count()
+                release_caches()
+                dt = time.perf_counter() - t0
+                results[(name, n_docs)] = dt
+                print(f"{name} n_docs={n_docs}: {dt:.1f}s, {rows} rows")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     ratio = n_large / n_small
     for name in ("q_text_dup_spans", "q_graph_pagerank"):

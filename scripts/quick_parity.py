@@ -1,14 +1,15 @@
 """Ad-hoc single-query parity check: Spark vs DuckDB at a given SF dir.
 
-Usage: python scripts/quick_parity.py q_name [q_name2 ...] [--sf DIR]
+Usage: python scripts/quick_parity.py q_name [q_name2 ...] [--sf=DIR]
 Mirrors tests/test_oracle_parity.canon (same cell canonicalization).
 """
 
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
 
@@ -19,11 +20,20 @@ zebra_spark.load_all_queries()
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf = "/root/testdata/sf0.001"
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf = a.split("=", 1)[1]
+        elif a == "--sf":
+            i += 1
+            sf = argv[i]
+        else:
+            args.append(a)
+        i += 1
     spark = get_spark()
     from tests.test_oracle_parity import canon
 

@@ -327,7 +327,13 @@ def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The estimate buckets are exact multiples of 1/{N_HASHES} (discrete
     group-by key, no float binning); pairs whose candidate collision
-    came from disjoint token sets score exact Jaccard 0."""
+    came from disjoint token sets score exact Jaccard 0.  Note: unlike
+    the thresholded consumers (q_dedup_minhash / q_text_containment),
+    this query keeps every candidate, so the xxhash64 band-key's
+    false-candidate residual is not filtered out downstream — a 64-bit
+    key collision (~2^-64 per signature pair) would add one pair row
+    the string-keyed oracle lacks.  Accepted: it is astronomically
+    rare, and a calibration histogram is statistics, not membership."""
     from zebra_spark.io import load
     from zebra_spark.streaming import token_ids_expr
 

@@ -81,15 +81,20 @@ def minute_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame
 
 
 def anomaly_scores(
-    counts: DataFrame, stats: DataFrame, z_threshold: float = 3.0
+    counts: DataFrame, stats: DataFrame, z_threshold: float | None = None
 ) -> DataFrame:
     """Score (streaming or batch) minute counts against a STATIC
     per-type baseline `stats` (event_type, mu, sd) — the production
     shape of rate-anomaly detection: live minutes against historical
     statistics via a broadcast stream-static join, no global state in
     the stream.  Column-compatible with q_events_anomaly, whose batch
-    run doubles as the baseline builder."""
+    run doubles as the baseline builder; the default threshold IS that
+    query's ANOM_Z so the two can't silently drift apart."""
     from zebra_spark.functions import rnd
+    from zebra_spark.queries.temporal import ANOM_Z
+
+    if z_threshold is None:
+        z_threshold = ANOM_Z
 
     z = (F.col("n") - F.col("mu")) / F.col("sd")
     return counts.join(F.broadcast(stats), "event_type").select(
