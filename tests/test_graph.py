@@ -95,3 +95,25 @@ def test_out_of_node_endpoints_ignored(spark):
     edges = spark.createDataFrame([(3, 5), (5, 6)], "src bigint, dst bigint")
     got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
     assert got == {5: 5, 6: 5}
+
+
+def test_pagerank_conserves_mass_and_favors_hubs(spark):
+    """q_graph_pagerank invariants at the sf0.001 gate: (a) ranks are
+    scaled by n, so they sum to ~n (no dangling mass on the symmetric
+    graph); (b) every rank is positive; (c) the max-degree node ranks
+    strictly above the min-degree node's rank (centrality orders with
+    connectivity on the near-dup graph)."""
+    import zebra_spark
+    from tests.conftest import SF_SMOKE
+
+    zebra_spark.load_all_queries()
+    rows = zebra_spark.QUERIES["q_graph_pagerank"](spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - n) < 0.01 * n, (total, n)
+    assert all(r.pagerank > 0 for r in rows)
+    by_deg = sorted(rows, key=lambda r: (r.degree, r.doc_id))
+    assert by_deg[-1].pagerank > by_deg[0].pagerank, (
+        by_deg[0], by_deg[-1],
+    )

@@ -176,3 +176,39 @@ def test_funnel_pushes_event_type_filters(spark):
 def test_incremental_dedup_no_cartesian(spark):
     p = plan_of(spark, "q_dedup_incremental")
     assert "CartesianProduct" not in p
+
+
+def test_random_projection_is_shuffle_free(spark):
+    """The JL projection is one corpus scan with zero Exchange: the sign
+    matrix is recomputed per-cell, never joined or broadcast, so the op
+    stays embarrassingly parallel at any corpus size."""
+    p = plan_of(spark, "q_emb_random_projection")
+    assert scan_count(p) == 1, p
+    assert "Exchange" not in p, p
+
+
+def test_dup_spans_two_bounded_shuffles(spark):
+    """Duplicate-span detection reads the corpus, never joins it to
+    itself row-by-row: shingle-keyed agg + doc rollup, no cartesian, no
+    sort-merge self-join of raw documents."""
+    p = plan_of(spark, "q_text_dup_spans")
+    assert "CartesianProduct" not in p
+    assert scan_count(p) == 2, p  # shingle side + dup-vocab side
+
+
+def test_anomaly_stats_join_is_broadcast(spark):
+    """The per-type stats frame (|event_types| rows) must broadcast onto
+    the minute rollup — a sort-merge here would shuffle the rollup for
+    a 10-row dimension."""
+    p = plan_of(spark, "q_events_anomaly")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pagerank_iterations_read_cached_edges(spark):
+    """Every PageRank iteration must join against the persisted edge /
+    degree frames (InMemoryTableScan), not re-derive the MinHash
+    candidate pipeline; no cartesian anywhere."""
+    p = plan_of(spark, "q_graph_pagerank")
+    assert "InMemoryTableScan" in p, p
+    assert "CartesianProduct" not in p
