@@ -30,6 +30,8 @@ def main() -> None:
             sf = a.split("=", 1)[1]
         elif a == "--sf":
             i += 1
+            if i >= len(argv):
+                sys.exit("--sf requires a value")
             sf = argv[i]
         else:
             args.append(a)
@@ -42,10 +44,17 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
+    from zebra_spark.caching import release_caches
+
     failed = []
     for name in args:
         sdf = zebra_spark.QUERIES[name](spark, sf)
-        spk = canon(sdf.toPandas())
+        try:
+            spk = canon(sdf.toPandas())
+        finally:
+            # mirror bench.py's per-query release so persisted frames
+            # from one query never stay resident for the next (ADVICE r5)
+            release_caches()
         ora = canon(con.execute(zebra_spark.ORACLES[name]).df())
         ok_rows = len(spk) == len(ora)
         ok_cols = list(spk.columns) == list(ora.columns)

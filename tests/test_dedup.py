@@ -167,3 +167,43 @@ def test_minhash_bucket_cap(spark, tmp_path):
     capped = pairs(5)  # drops the 6-member buckets, keeps the 2-member
     assert capped == {(10, 11)}
     assert full == {(a, b) for a in range(6) for b in range(6) if a < b} | {(10, 11)}
+
+
+def test_pair_table_build_once_and_matches_inline(spark):
+    """pair_table materializes the scored candidate frame once per
+    (dataset, config) and returns exactly the inline _minhash_scored
+    rows; a second call reuses the same parquet files (no rebuild)."""
+    from zebra_spark.queries import dedup as dd
+
+    key = (
+        str(__import__("pathlib").Path(SF_ORACLE).resolve()),
+        dd.N_HASHES, dd.N_BANDS, None,
+    )
+    pt = dd.pair_table(spark, SF_ORACLE).toPandas()
+    path_first = dd._PAIR_TABLES[key]
+    inline = dd._minhash_scored(
+        spark, SF_ORACLE, dd.N_HASHES, dd.N_BANDS
+    ).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert _vhash(pt) == _vhash(inline)
+    dd.pair_table(spark, SF_ORACLE)
+    assert dd._PAIR_TABLES[key] == path_first
+
+
+def test_minhash_capped_binds_and_is_subset(spark):
+    """The oracled giant-bucket twin must actually DROP buckets at the
+    gate SF (a never-firing cap would pin nothing), and its output must
+    be a subset of the uncapped pairs (the guard only removes
+    candidates, never invents them)."""
+    capped = zebra_spark.QUERIES["q_dedup_minhash_capped"](
+        spark, SF_ORACLE
+    ).toPandas()
+    full = zebra_spark.QUERIES["q_dedup_minhash"](spark, SF_ORACLE).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert 0 < len(capped) < len(full)
+    keys = lambda p: set(zip(p.doc_a, p.doc_b))  # noqa: E731
+    assert keys(capped) <= keys(full)

@@ -14,9 +14,29 @@ plan, so re-running a query after release simply re-creates one entry.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+
+@contextmanager
+def cache_scope():
+    """Release every tracked_persist() registered INSIDE the scope when
+    it exits — for build steps (e.g. dedup.pair_table) whose terminal
+    action happens inside the scope, so their internal caches must not
+    wait for the caller's harness-level release_caches()."""
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        while len(_TRACKED) > mark:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # session already stopped — nothing to free
+                pass
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:

@@ -18,6 +18,12 @@ parallel at any corpus size.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+import threading
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,7 +31,7 @@ from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
 from zebra_spark.queries.text import sql_word_hash, tokens, word_hash_expr
-from zebra_spark.caching import tracked_persist
+from zebra_spark.caching import cache_scope, tracked_persist
 from zebra_spark.registry import QUERIES, query, sql_rnd
 
 P = 2_147_483_647  # 2^31 - 1
@@ -203,8 +209,10 @@ def _minhash_scored(
     #     reference reads the materialized blocks: q_dedup_minhash
     #     18.3-19.4 -> 9.0-11.2 s.  Spark's cache manager keys entries
     #     by canonicalized plan, so repeated calls reuse one entry (no
-    #     leak); at extreme corpus scale swap toksets' cache for a
-    #     maintained parquet table — the decision logic is unchanged.
+    #     leak).  Since r6 this whole build runs ONCE per (dataset,
+    #     config) per session: pair_table() materializes the scored
+    #     output to parquet and every consumer reads that — the
+    #     maintained-table design this comment used to only promise.
     #
     # The join key is xxhash64(band, key) — a bigint — instead of the
     # ~40-char signature string: less shuffle volume and cheaper
@@ -270,6 +278,59 @@ def _minhash_scored(
     return scored
 
 
+# --- shared near-dup pair table ---------------------------------------------
+#
+# The scored candidate-pair frame is the single most expensive artifact
+# in the suite (~21 s at sf0.1) and FIVE consumers need it: the Jaccard
+# threshold (q_dedup_minhash), containment scoring (q_text_containment),
+# sketch calibration, connected components (q_dedup_clusters ->
+# q_split_leakage_safe), and PageRank (q_graph_pagerank).  Recomputing
+# it per query is correct but wasteful — at 100 TB the near-dup pair
+# table is computed ONCE per corpus snapshot and every downstream op
+# reads it (VERDICT r5 #1).  pair_table() materializes the scored frame
+# to parquet once per (dataset, config) per session and hands every
+# consumer a scan of the same files; results are bit-identical to the
+# inline pipeline because the computation is deterministic and the
+# parquet round-trip preserves exact values (longs + exact int sizes).
+
+_PAIR_TABLES: dict[tuple, str] = {}
+_PAIR_LOCK = threading.Lock()
+
+
+def pair_table(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, na, nb): the verified MinHash candidate
+    pairs for `sf_dir`, materialized to parquet on first use and shared
+    by every consumer in the session (keyed by dataset path + sketch
+    config).  The fixture datasets are immutable, so there is no
+    invalidation concern; a pipeline over evolving data would key this
+    by corpus-snapshot id instead.  Thread-safe: the parity sweep and
+    the bench suite run queries concurrently, and all consumers of one
+    config must see a single build."""
+    key = (str(Path(sf_dir).resolve()), n_hashes, n_bands, max_bucket)
+    with _PAIR_LOCK:
+        path = _PAIR_TABLES.get(key)
+        if path is None:
+            base = tempfile.mkdtemp(prefix="zebra_pairs_")
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+            path = f"{base}/pairs"
+            # the build's internal persists (signatures, token sets) are
+            # scoped to the build: the parquet write is their terminal
+            # action, so they must not linger until the caller's
+            # harness-level release
+            with cache_scope():
+                _minhash_scored(
+                    spark, sf_dir, n_hashes, n_bands, max_bucket
+                ).write.mode("overwrite").parquet(path)
+            _PAIR_TABLES[key] = path
+    return spark.read.parquet(path)
+
+
 def _minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -277,7 +338,7 @@ def _minhash_pairs(
     n_bands: int,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    scored = _minhash_scored(spark, sf_dir, n_hashes, n_bands, max_bucket)
+    scored = pair_table(spark, sf_dir, n_hashes, n_bands, max_bucket)
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         scored.filter(jac >= MINHASH_THRESHOLD)
@@ -345,7 +406,7 @@ def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = load(spark, sf_dir, "documents").select(
         "doc_id", token_ids_expr("text").alias("tids")
     ).select("doc_id", F.expr(f"array({mh_exprs})").alias("sig"))
-    scored = _minhash_scored(spark, sf_dir, N_HASHES, N_BANDS)
+    scored = pair_table(spark, sf_dir, N_HASHES, N_BANDS)
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     est = F.expr(
         "CAST(aggregate(zip_with(sa, sb,"
@@ -395,7 +456,7 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signatures, band equi-join, array_intersect verify); only the
     final scoring expression differs, so the scale posture is identical
     to the flagship pipeline."""
-    scored = _minhash_scored(spark, sf_dir, N_HASHES, N_BANDS)
+    scored = pair_table(spark, sf_dir, N_HASHES, N_BANDS)
     cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
     return (
         scored.filter(cont >= CONTAINMENT_THRESHOLD)
@@ -424,6 +485,76 @@ def q_dedup_minhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     same parameterized machinery as q_dedup_minhash; the cost delta is
     one wider (tokens x 128) map-side aggregation."""
     return _minhash_pairs(spark, sf_dir, n_hashes=128, n_bands=32)
+
+
+# Giant-bucket guard caps.  MAX_BUCKET_DEFAULT is the measured
+# production value (SCALING.md "giant-bucket problem": on the 10x
+# saturation corpus 801.9 s -> 4.4 s; on the realistic planted-duplicate
+# corpus the cap never fires and recall is unchanged at 0.869).
+# CAPPED_BUCKET is deliberately smaller so the oracled twin's filter
+# BINDS at the driver's sf0.01 gate (four 388-member band buckets are
+# dropped there; 66,611 -> 1,420 pairs) — a cap the gate never exercises
+# would pin nothing.
+MAX_BUCKET_DEFAULT = 1000
+CAPPED_BUCKET = 100
+
+_SQL_MINHASH_CORE_CAPPED = f"""
+    {_SQL_SIGS.strip()},
+    okb AS (
+      SELECT band, key FROM sigs GROUP BY band, key
+      HAVING count(*) <= {CAPPED_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a
+      JOIN okb ON okb.band = a.band AND okb.key = a.key
+      JOIN sigs b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.word = ta.word
+      GROUP BY c.doc_a, c.doc_b
+    )
+"""
+
+
+@query(
+    "q_dedup_minhash_capped",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_CORE_CAPPED}
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           {sql_rnd("i.n_common * 1.0 / (sa.n + sb.n - i.n_common)")} AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {MINHASH_THRESHOLD}
+    """,
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_minhash with the giant-bucket guard ACTIVE — the
+    production configuration for corpora where oversized band buckets
+    are degenerate (boilerplate, empty docs, template spam): buckets
+    with more than {CAPPED_BUCKET} members are dropped BEFORE the
+    quadratic pair fan-out, on both engines, so the guard's exact
+    semantics (filter on bucket size, not on pairs) are oracle-pinned
+    rather than only scale-script-verified (VERDICT r5 #5).
+
+    Recall bound (SCALING.md "giant-bucket problem"): a true near-dup
+    pair that only collided inside a dropped bucket can still be found
+    through any of its other {N_BANDS - 1} bands, so per-pair the loss
+    is at most one band's detection mass; measured on the realistic
+    planted-duplicate corpus the cap (at the production value
+    {MAX_BUCKET_DEFAULT}) never fires and recall is identical to
+    uncapped.  This oracled twin uses the smaller cap {CAPPED_BUCKET}
+    so the filter demonstrably binds at the sf0.01 gate."""
+    return _minhash_pairs(
+        spark, sf_dir, N_HASHES, N_BANDS, max_bucket=CAPPED_BUCKET
+    )
 
 
 @query(
