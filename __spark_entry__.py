@@ -39,6 +39,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # new round automatically rotates still-unchecked queries to the front.
 # Pure reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
+# Names forced to the FRONT of the gate order even if they already have
+# a driver row (VERDICT r5 #2): the 7 rows-only queries' expected
+# terminal state is a fresh clean `no_oracle` row — in particular
+# q_emb_pca, whose only driver row ever is the r4 canonicalizer error
+# (fixed in r5, proven locally, but never re-run by the driver).
+_FORCE_FIRST = [
+    "q_emb_pca", "q_ann_pq", "q_ann_ivfpq", "q_knn_lsh",
+    "q_lsh_bucket_counts", "q_multimodal_features", "q_agg_approx",
+]
+
 _PRIORITY = [
     # round-4 regression gate (VERDICT r3 #1/#8): the five queries broken
     # by the fixture ts-dtype change, now fixed in io.load, plus the new
@@ -97,10 +107,17 @@ def _driver_checked() -> set[str]:
 
 def _ordered(mapping: dict) -> dict:
     checked = _driver_checked()
+    force = {n: i for i, n in enumerate(_FORCE_FIRST)}
     prio = {n: i for i, n in enumerate(_PRIORITY)}
     reg = {n: i for i, n in enumerate(mapping)}
     names = sorted(
-        mapping, key=lambda n: (n in checked, prio.get(n, len(prio)), reg[n])
+        mapping,
+        key=lambda n: (
+            force.get(n, len(force)),
+            n in checked,
+            prio.get(n, len(prio)),
+            reg[n],
+        ),
     )
     return {n: mapping[n] for n in names}
 
