@@ -423,3 +423,40 @@ def test_legacy_flat_documents_append_stays_flat(spark, db):
     assert any(d.startswith("modality=") for d in os.listdir(root))
     assert not db._documents_flat_layout()
     assert db.documents().count() == len(TEXTS) - 1
+
+
+def test_insert_records_reliable_matches_default(spark, tmp_path):
+    """reliable=True (staging-parquet materialization, the cluster-safe
+    write-first path) must produce byte-identical batches to the default
+    localCheckpoint path: same ids, same vectors, same committed tables,
+    and no staging residue after the batch commits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.database import ZebraDatabase
+
+    def rows(db):
+        return sorted(
+            (r.vec_id, r.doc, tuple(round(v, 9) for v in r.emb))
+            for r in db.documents()
+            .join(db.embeddings().withColumnRenamed("embedding", "emb"), "vec_id")
+            .collect()
+        )
+
+    batch = spark.createDataFrame(
+        [(t,) for t in TEXTS], "doc string"
+    ).withColumn("embedding", F.expr(
+        "transform(sequence(1, 32), i -> CAST(length(doc) * i AS DOUBLE))"
+    ))
+    out = {}
+    for mode in (False, True):
+        db = ZebraDatabase.create(
+            spark, str(tmp_path / f"rel_{mode}"), dim=32
+        )
+        ret = db.insert_records(batch, reliable=mode).collect()
+        assert len(ret) == len(TEXTS)
+        out[mode] = rows(db)
+        if mode:
+            assert not os.path.exists(f"{db.path}/_staging")
+    assert out[False] == out[True]

@@ -278,9 +278,31 @@ class ZebraDatabase:
             "embedding", udf(F.col(text_col)).cast("array<double>")
         )
 
-    def insert_records(self, df: DataFrame) -> DataFrame:
+    def _materialize(self, df: DataFrame, reliable: bool, tag: str) -> DataFrame:
+        """Pin a frame's rows for reuse within one insert.
+
+        localCheckpoint (default) stores blocks on executors — fastest
+        locally, but on a real cluster an executor loss mid-insert
+        invalidates the blocks and fails the batch (which is then safely
+        replayed: the manifest commit point has not landed, so the
+        partial appends stay invisible).  reliable=True round-trips
+        through a staging parquet dir under the store instead — the
+        write-first pattern that survives executor loss — at the cost of
+        one extra write+read (VERDICT r5 #6)."""
+        if not reliable:
+            return df.localCheckpoint()
+        path = f"{self.path}/_staging/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def insert_records(
+        self, df: DataFrame, reliable: bool = False
+    ) -> DataFrame:
         """df: (doc, embedding array<double>[, modality]).  Assigns batch-
         scoped DENSE unique ids (base + 0..n-1) and appends both tables.
+        `reliable=True` swaps the two executor-memory localCheckpoints
+        for staging-parquet round-trips (see _materialize) — use on a
+        real cluster where executors can be lost mid-insert.
 
         Id assignment is zipWithIndex-style without RDDs: materialize the
         batch once (localCheckpoint — also makes the two table writes see
@@ -311,9 +333,17 @@ class ZebraDatabase:
         base = ((cur_max >> _BATCH_SHIFT) + 1) << _BATCH_SHIFT
         if "modality" not in df.columns:
             df = df.withColumn("modality", F.lit("text"))
+        # capture physical provenance BEFORE materializing: _pid/_mid are
+        # persisted through the materialization, so the id assignment
+        # below is a pure function of the materialized rows — the
+        # default and reliable paths (whose read-back may repack rows
+        # into different partitions) assign identical ids
+        df = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_mid", F.monotonically_increasing_id()
+        )
         # materialize once: stabilizes rows/partitions for the dimension
         # check, the id assignment, and both table writes below
-        df = df.localCheckpoint()
+        df = self._materialize(df, reliable, f"in_{base}")
         # dimension check ≙ Embedding<N>::try_from length validation
         # (reference src/lib.rs:31-46): schemas are runtime-validated here
         # instead of const generics (SURVEY §1.3)
@@ -324,10 +354,8 @@ class ZebraDatabase:
                 f"{n_bad} record(s) have embedding dimension != {dim}"
             )
         counts = (
-            df.groupBy(F.spark_partition_id().alias("_pid"))
-            .count()
-            .collect()
-        )  # one row per partition — small at any data scale
+            df.groupBy("_pid").count().collect()
+        )  # one row per source partition — small at any data scale
         offsets, acc = {}, 0
         for r in sorted(counts, key=lambda r: r._pid):
             offsets[r._pid] = acc
@@ -342,16 +370,14 @@ class ZebraDatabase:
         )
         wp = Window.partitionBy("_pid").orderBy("_mid")
         with_ids = (
-            df.withColumn("_pid", F.spark_partition_id())
-            .withColumn("_mid", F.monotonically_increasing_id())
-            .withColumn("_rn", F.row_number().over(wp))
+            df.withColumn("_rn", F.row_number().over(wp))
             .join(off_df, "_pid")
             .withColumn(
                 "vec_id", F.lit(base) + F.col("_off") + F.col("_rn") - 1
             )
             .drop("_pid", "_mid", "_rn", "_off")
         )
-        with_ids = with_ids.localCheckpoint()
+        with_ids = self._materialize(with_ids, reliable, f"ids_{base}")
         with_ids.select("vec_id", "embedding").write.mode("append").parquet(
             f"{self.path}/embeddings"
         )
@@ -379,10 +405,24 @@ class ZebraDatabase:
         os.replace(tmp, f"{bdir}/{base}.json")
         self.meta["n_batches"] = batch + 1
         self._write_meta()
-        # return the checkpointed rows directly: no re-scan of every
-        # batch's files, and the handle stays valid even if a later
-        # remove()/dedup swaps the table directory
-        inserted = with_ids.select("vec_id", "embedding")
+        if reliable:
+            # the staging files served their purpose (both appends are
+            # committed); re-point the returned handle at the committed
+            # table, restricted to this batch's id range, and drop them
+            inserted = (
+                self.spark.read.parquet(f"{self.path}/embeddings")
+                .filter(
+                    (F.col("vec_id") >= base)
+                    & (F.col("vec_id") < base + (1 << _BATCH_SHIFT))
+                )
+                .select("vec_id", "embedding")
+            )
+            shutil.rmtree(f"{self.path}/_staging", ignore_errors=True)
+        else:
+            # return the checkpointed rows directly: no re-scan of every
+            # batch's files, and the handle stays valid even if a later
+            # remove()/dedup swaps the table directory
+            inserted = with_ids.select("vec_id", "embedding")
         if self._index is not None:
             # incremental maintenance (≙ LSHIndex::add, lsh.rs:440-466):
             # hyperplanes are fixed, so only the new rows get signatures —

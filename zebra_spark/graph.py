@@ -35,6 +35,24 @@ from pyspark.sql import functions as F
 SMALL_GRAPH_EDGES = 5_000_000
 
 
+def _fs_rmtree(spark, path: str) -> None:
+    """Delete a spill directory on whatever filesystem owns `path`.
+
+    Plain local paths use shutil; any path with a scheme (hdfs://,
+    s3a://, file:) goes through the Hadoop FileSystem API on the JVM
+    gateway, so round deletion works unchanged when the spill dir lives
+    on a real cluster's shared store.  Missing paths are a no-op on
+    both branches (FileSystem.delete returns false rather than raising).
+    """
+    if "://" not in path and not path.startswith("file:"):
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def _cc_single_task(nodes: DataFrame, edges_m: DataFrame) -> DataFrame:
     """Union-find over the whole (small) edge list in ONE task.
 
@@ -118,9 +136,8 @@ def connected_components(
     def cut(df: DataFrame, r: int) -> DataFrame:
         """Materialize round r and sever all lineage/planner state."""
         df.write.mode("overwrite").parquet(f"{base}/round_{r}")
-        # keep r and r-1 (the convergence comparison target); drop r-2.
-        # local-fs rm — on a cluster swap for the Hadoop FileSystem API.
-        shutil.rmtree(f"{base}/round_{r - 2}", ignore_errors=True)
+        # keep r and r-1 (the convergence comparison target); drop r-2
+        _fs_rmtree(spark, f"{base}/round_{r - 2}")
         return spark.read.parquet(f"{base}/round_{r}")
 
     # Materialize the edge list FIRST: `edges` is often an expensive
