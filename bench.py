@@ -123,6 +123,26 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # Build the shared near-dup pair table ONCE, timed as its own row
+    # (VERDICT r5 #1): the consumers (q_dedup_minhash, containment,
+    # calibration, clusters, pagerank) then read the materialized
+    # parquet, so their rows below are steady-state costs and the
+    # one-per-corpus-snapshot build cost is visible instead of being
+    # re-paid invisibly inside each consumer.
+    if only_set is None or "pair_table_build" in only_set:
+        from zebra_spark.queries.dedup import pair_table
+
+        t0 = time.perf_counter()
+        try:
+            pair_table(spark, sf_dir)
+            times["pair_table_build"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors["pair_table_build"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"pair_table_build failed: {exc}", file=sys.stderr)
+        finally:
+            release_caches()
+
     for name in headline:
         t0 = time.perf_counter()
         try:
@@ -174,6 +194,37 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
+    # Isolated-trial hotspot medians (VERDICT r5 #8): a single-shot
+    # number can absorb cross-process contention on the bench box and
+    # masquerade as a regression; for every registry query at/above 5 s
+    # record the median of 3 back-to-back re-trials (caches released
+    # between trials).  These are steady-state costs: the shared pair
+    # table is already materialized, whose one-time cost is the
+    # pair_table_build row.
+    hotspots: dict[str, float] = {}
+    if only_set is None:
+        import statistics
+
+        for name in [
+            n for n, t in times.items()
+            if t >= 5.0 and n in zebra_spark.QUERIES
+        ]:
+            trials = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                try:
+                    _consume(zebra_spark.QUERIES[name](spark, sf_dir))
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"hotspot:{name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+                    break
+                finally:
+                    release_caches()
+                trials.append(round(time.perf_counter() - t0, 3))
+            if trials:
+                hotspots[name] = round(statistics.median(trials), 3)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_warm",
@@ -182,6 +233,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
     }
+    if hotspots:
+        out["hotspots_isolated"] = hotspots
 
     # B8: the FULL hash-checked suite (every oracled query) at sf0.01,
     # one warm session — tracked by the artifact itself rather than
