@@ -226,9 +226,16 @@ class IVFPQIndex:
                 )  # (m, kk)
                 luts.setdefault(int(c), []).append((qi, lut))
 
-        keys = [(int(c),) for c in {int(c) for row in probe for c in row}]
-        keys_df = self.spark.createDataFrame(keys, "cell_id int")
-        pruned = self.coded.join(F.broadcast(keys_df), "cell_id")
+        # static IN filter on the partition column: the probed-cell list
+        # is known driver-side and tiny (<= nq x nprobe), so this prunes
+        # at PLAN time — on the cell-partitioned codes table written by
+        # save(), non-probed cells are file SKIPS (PartitionFilters in
+        # the scan node), with no dynamic-partition-pruning machinery
+        # needed.  The previous broadcast-join formulation only pruned
+        # when AQE's DPP chose to fire.  Measured in
+        # scripts/pq_scale_check.py (files read vs skipped).
+        probe_cells = sorted({int(c) for row in probe for c in row})
+        pruned = self.coded.filter(F.col("cell_id").isin(probe_cells))
         qid_arr = qids.copy()
 
         def scan(batches):

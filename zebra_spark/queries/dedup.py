@@ -1181,6 +1181,47 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_graph_degree_hist",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    deg AS (SELECT a AS doc_id, count(*) AS degree FROM sym GROUP BY a)
+    SELECT CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
+    GROUP BY coalesce(deg.degree, 0)
+    """,
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup DEGREE histogram — the corpus-duplication health view:
+    for every document, how many near-dup partners (MinHash edges,
+    Jaccard >= {MINHASH_THRESHOLD}) it has, aggregated to (degree,
+    n_docs) — isolated docs included at degree 0.  A heavy right tail
+    here is the first warning of boilerplate/template families before
+    any clustering runs; at 100 TB this reads the shared pair table
+    (dedup.pair_table) plus one corpus id scan, so the audit costs two
+    shuffles of |edges| + |docs| regardless of how the corpus grew."""
+    from zebra_spark.io import load
+
+    pairs = QUERIES["q_dedup_minhash"](spark, sf_dir)
+    sym = pairs.select(F.col("doc_a").alias("id")).unionAll(
+        pairs.select(F.col("doc_b").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(deg, docs.doc_id == deg.id, "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 SEMC_TH = 0.65  # cosine-distance edge threshold for semantic clustering
 
 
