@@ -1182,6 +1182,63 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_cross_lang",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    m AS (
+      SELECT least(la.lang, lb.lang) AS lang_1,
+             greatest(la.lang, lb.lang) AS lang_2,
+             count(*) AS n_pairs
+      FROM edges e
+      JOIN documents la ON la.doc_id = e.doc_a
+      JOIN documents lb ON lb.doc_id = e.doc_b
+      GROUP BY 1, 2
+    )
+    SELECT lang_1, lang_2, n_pairs,
+           {sql_rnd("n_pairs * 1.0 / sum(n_pairs) OVER ()")} AS share
+    FROM m
+    """,
+)
+def q_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-LANGUAGE near-dup contamination matrix: MinHash near-dup
+    pairs bucketed by the (unordered) language pair of their endpoints,
+    with each bucket's share of all near-dup mass.  Off-diagonal mass
+    is the signal a multilingual corpus audit needs before training:
+    machine-translated copies, code-switched scrapes, and
+    language-mislabeled duplicates all show up as cross-lang near-dup
+    pairs that per-language dedup would silently miss.  Reads the
+    shared pair table (dedup.pair_table) + one documents (doc_id, lang)
+    projection, so the audit is two broadcast-ready joins over |edges|
+    regardless of corpus size; the share window runs over <= |langs|^2
+    aggregated rows."""
+    from zebra_spark.io import load
+    from pyspark.sql import Window
+
+    pairs = _minhash_pairs(spark, sf_dir, N_HASHES, N_BANDS)
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("ln_a"))
+    lb = langs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("ln_b"))
+    m = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.least("ln_a", "ln_b").alias("lang_1"),
+            F.greatest("ln_a", "ln_b").alias("lang_2"),
+        )
+        .groupBy("lang_1", "lang_2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "lang_1",
+        "lang_2",
+        "n_pairs",
+        rnd(F.col("n_pairs") / F.sum("n_pairs").over(w)).alias("share"),
+    )
+
+
+@query(
     "q_graph_degree_hist",
     oracle=f"""
     WITH {_SQL_TOK.format(nh=N_HASHES)},
