@@ -130,16 +130,21 @@ def main() -> None:
     # parquet, so their rows below are steady-state costs and the
     # one-per-corpus-snapshot build cost is visible instead of being
     # re-paid invisibly inside each consumer.
-    if only_set is None or "pair_table_build" in only_set:
-        from zebra_spark.queries.dedup import pair_table
+    from zebra_spark.queries.dedup import cosine_pair_table, pair_table
 
+    for bname, builder in (
+        ("pair_table_build", pair_table),
+        ("cosine_table_build", cosine_pair_table),
+    ):
+        if only_set is not None and bname not in only_set:
+            continue
         t0 = time.perf_counter()
         try:
-            pair_table(spark, sf_dir)
-            times["pair_table_build"] = round(time.perf_counter() - t0, 3)
+            builder(spark, sf_dir)
+            times[bname] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — record and keep going
-            errors["pair_table_build"] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"pair_table_build failed: {exc}", file=sys.stderr)
+            errors[bname] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"{bname} failed: {exc}", file=sys.stderr)
         finally:
             release_caches()
 

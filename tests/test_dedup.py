@@ -176,11 +176,12 @@ def test_pair_table_build_once_and_matches_inline(spark):
     from zebra_spark.queries import dedup as dd
 
     key = (
+        "minhash",
         str(__import__("pathlib").Path(SF_ORACLE).resolve()),
         dd.N_HASHES, dd.N_BANDS, None,
     )
     pt = dd.pair_table(spark, SF_ORACLE).toPandas()
-    path_first = dd._PAIR_TABLES[key]
+    path_first = dd._DERIVED[key]
     inline = dd._minhash_scored(
         spark, SF_ORACLE, dd.N_HASHES, dd.N_BANDS
     ).toPandas()
@@ -189,7 +190,21 @@ def test_pair_table_build_once_and_matches_inline(spark):
     release_caches()
     assert _vhash(pt) == _vhash(inline)
     dd.pair_table(spark, SF_ORACLE)
-    assert dd._PAIR_TABLES[key] == path_first
+    assert dd._DERIVED[key] == path_first
+
+
+def test_cosine_pair_table_matches_inline(spark):
+    """cosine_pair_table returns exactly the inline blocked+scored
+    pairs (bit-exact doubles through the parquet round-trip)."""
+    from zebra_spark.queries import dedup as dd
+
+    pt = dd.cosine_pair_table(spark, SF_ORACLE).toPandas()
+    cand, e = dd._cosine_candidates(spark, SF_ORACLE)
+    inline = dd._score_pairs(cand, e, vectorized=False).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert _vhash(pt) == _vhash(inline)
 
 
 def test_minhash_capped_binds_and_is_subset(spark):

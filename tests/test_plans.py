@@ -70,18 +70,33 @@ def test_neardup_cosine_pair_join_is_blocked(spark):
     # candidate pairs come from per-cell member lists (ONE groupBy over
     # the assignment, computed once), never an unbounded theta self-join
     # of the corpus; the only nested-loop is the corpus x
-    # tiny-broadcast-seed assignment cross join, and the global top-100
-    # is a distributed partial top-k
-    p = plan_of(spark, "q_neardup_cosine")
-    assert "CartesianProduct" not in p
-    assert "TakeOrderedAndProject" in p
+    # tiny-broadcast-seed assignment cross join.  Since r6 the scored
+    # pairs are a derived table, so the structural assertions apply to
+    # the BUILD plan (what cosine_pair_table materializes once)...
+    import io as _io
     import re
+    from contextlib import redirect_stdout
+
+    from zebra_spark.queries import dedup as dd
+
+    cand, e = dd._cosine_candidates(spark, SF_ORACLE)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        dd._score_pairs(cand, e, vectorized=False).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
     hash_joins = len(re.findall(r"(?:BroadcastHash|ShuffledHash|SortMerge)Join", p))
     assert hash_joins >= 2, p[:2000]  # the two embedding-side joins
     # exactly one window operator node (the top-R cell rank) — the r2
     # shape evaluated the assignment window twice, once per side of the
     # pair self-join
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p[:2000]
+    # ...while the CONSUMER plan is a scan of that table + a
+    # distributed partial top-k, nothing recomputed
+    pc = plan_of(spark, "q_neardup_cosine")
+    assert "CartesianProduct" not in pc
+    assert "TakeOrderedAndProject" in pc
+    assert "Scan parquet" in pc, pc[:1500]
 
 
 def test_minhash_has_no_global_window(spark):

@@ -293,8 +293,32 @@ def _minhash_scored(
 # inline pipeline because the computation is deterministic and the
 # parquet round-trip preserves exact values (longs + exact int sizes).
 
-_PAIR_TABLES: dict[tuple, str] = {}
-_PAIR_LOCK = threading.Lock()
+_DERIVED: dict[tuple, str] = {}
+_DERIVED_LOCK = threading.Lock()
+
+
+def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Session-scoped derived-table registry: build() is materialized to
+    parquet the first time `key` is seen and every later caller reads
+    the same files.  The fixture datasets are immutable, so there is no
+    invalidation concern; a pipeline over evolving data would key by
+    corpus-snapshot id instead.  Thread-safe: the parity sweep and the
+    bench suite run queries concurrently, and all consumers of one key
+    must see a single build."""
+    with _DERIVED_LOCK:
+        path = _DERIVED.get(key)
+        if path is None:
+            base = tempfile.mkdtemp(prefix="zebra_derived_")
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+            path = f"{base}/data"
+            # the build's internal persists (signatures, token sets,
+            # assignment blocks) are scoped to the build: the parquet
+            # write is their terminal action, so they must not linger
+            # until the caller's harness-level release
+            with cache_scope():
+                build().write.mode("overwrite").parquet(path)
+            _DERIVED[key] = path
+    return spark.read.parquet(path)
 
 
 def pair_table(
@@ -305,30 +329,14 @@ def pair_table(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, na, nb): the verified MinHash candidate
-    pairs for `sf_dir`, materialized to parquet on first use and shared
-    by every consumer in the session (keyed by dataset path + sketch
-    config).  The fixture datasets are immutable, so there is no
-    invalidation concern; a pipeline over evolving data would key this
-    by corpus-snapshot id instead.  Thread-safe: the parity sweep and
-    the bench suite run queries concurrently, and all consumers of one
-    config must see a single build."""
-    key = (str(Path(sf_dir).resolve()), n_hashes, n_bands, max_bucket)
-    with _PAIR_LOCK:
-        path = _PAIR_TABLES.get(key)
-        if path is None:
-            base = tempfile.mkdtemp(prefix="zebra_pairs_")
-            atexit.register(shutil.rmtree, base, ignore_errors=True)
-            path = f"{base}/pairs"
-            # the build's internal persists (signatures, token sets) are
-            # scoped to the build: the parquet write is their terminal
-            # action, so they must not linger until the caller's
-            # harness-level release
-            with cache_scope():
-                _minhash_scored(
-                    spark, sf_dir, n_hashes, n_bands, max_bucket
-                ).write.mode("overwrite").parquet(path)
-            _PAIR_TABLES[key] = path
-    return spark.read.parquet(path)
+    pairs for `sf_dir`, materialized once per (dataset, sketch config)
+    per session and shared by every consumer (see _derived_table)."""
+    key = ("minhash", str(Path(sf_dir).resolve()), n_hashes, n_bands, max_bucket)
+    return _derived_table(
+        spark,
+        key,
+        lambda: _minhash_scored(spark, sf_dir, n_hashes, n_bands, max_bucket),
+    )
 
 
 def _minhash_pairs(
@@ -955,13 +963,32 @@ def _score_pairs(cand: DataFrame, e: DataFrame, vectorized: bool) -> DataFrame:
     )
 
 
+def cosine_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, dist): exact cosine distance for every IVF-blocked
+    candidate pair — the embedding-space twin of pair_table(), shared
+    by q_neardup_cosine (global top-100) and q_semantic_clusters
+    (threshold -> connected components).  Scores are IEEE doubles from
+    the native sequential-fold kernel; the parquet round-trip preserves
+    them bit-exactly, so consumers match the inline pipeline."""
+
+    def build() -> DataFrame:
+        cand, e = _cosine_candidates(spark, sf_dir)
+        return _score_pairs(cand, e, vectorized=False)
+
+    key = ("cosine", str(Path(sf_dir).resolve()))
+    return _derived_table(spark, key, build)
+
+
 def _neardup_cosine(
     spark: SparkSession, sf_dir: str, vectorized: bool
 ) -> DataFrame:
-    cand, e = _cosine_candidates(spark, sf_dir)
+    if not vectorized:
+        scored = cosine_pair_table(spark, sf_dir)
+    else:
+        cand, e = _cosine_candidates(spark, sf_dir)
+        scored = _score_pairs(cand, e, vectorized)
     return (
-        _score_pairs(cand, e, vectorized)
-        .orderBy("dist", "id_a", "id_b")
+        scored.orderBy("dist", "id_a", "id_b")
         .limit(100)
         .select("id_a", "id_b", rnd(F.col("dist")).alias("dist"))
     )
@@ -1348,9 +1375,9 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrases."""
     from zebra_spark.graph import connected_components
 
-    cand, e = _cosine_candidates(spark, sf_dir)
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
     edges = (
-        _score_pairs(cand, e, vectorized=False)
+        cosine_pair_table(spark, sf_dir)
         .filter(F.col("dist") <= SEMC_TH)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
