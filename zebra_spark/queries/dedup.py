@@ -188,31 +188,17 @@ def _minhash_scored(
     """(doc_a, doc_b, n_common, na, nb) for every verified band-join
     candidate pair — the shared core of q_dedup_minhash (Jaccard
     scoring) and q_text_containment (containment scoring)."""
-    sigs = _minhash_sigs(spark, sf_dir, n_hashes, n_bands)
     # Candidates via band-key EQUI-JOIN (not per-key member-list
     # explode): both shapes emit the same g^2/2 pairs per colliding
     # key, but the join lets AQE's skew-join splitting spread a hot
     # band key across tasks, while a groupBy/explode pins each key's
     # whole pair fan-out to one task (measured slower on the
-    # saturation-dense fixture).  The join recomputes the signature
-    # chain once per side, but signatures are the cheap stage (~2.5 s
-    # of 21 s at sf0.1) — parallelism of the expensive stage wins.
-    # Materialization strategy for the twice-referenced frames (sigs
-    # here, toksets below), measured at sf0.1, interleaved runs:
-    #   - localCheckpoint(): REJECTED — plans as a stats-less
-    #     LogicalRDD, the planner stops broadcasting the small sides,
-    #     the verify join degrades to sort-merge (clusters 35->41-47 s).
-    #   - recompute-per-side (r3 shipped): correct plans, but the
-    #     signature chain runs twice (~8 s of an 18 s query).
-    #   - persist(): ADOPTED — keeps the full logical plan, so every
-    #     join-strategy decision is unchanged, while the second
-    #     reference reads the materialized blocks: q_dedup_minhash
-    #     18.3-19.4 -> 9.0-11.2 s.  Spark's cache manager keys entries
-    #     by canonicalized plan, so repeated calls reuse one entry (no
-    #     leak).  Since r6 this whole build runs ONCE per (dataset,
-    #     config) per session: pair_table() materializes the scored
-    #     output to parquet and every consumer reads that — the
-    #     maintained-table design this comment used to only promise.
+    # saturation-dense fixture).  Both join sides read the sig_table
+    # parquet (since r6) — a scan with stats, so every downstream
+    # broadcast decision is preserved; the r3-r5 decision tree for this
+    # frame (localCheckpoint REJECTED for stats loss, persist adopted,
+    # then the parquet table) is recorded in ARCHITECTURE.md
+    # "Materializing a twice-referenced frame".
     #
     # The join key is xxhash64(band, key) — a bigint — instead of the
     # ~40-char signature string: less shuffle volume and cheaper
@@ -220,7 +206,7 @@ def _minhash_scored(
     # 10.3 s).  A 2^-64 hash collision can only ADD a false candidate,
     # which the exact-Jaccard verify below then drops — correctness is
     # unaffected by construction.
-    sigs = tracked_persist(sigs)
+    sigs = sig_table(spark, sf_dir, n_hashes, n_bands)
     keyed = sigs.select("doc_id", F.xxhash64("band", "key").alias("bk"))
     if max_bucket is not None:
         # Giant-bucket guard for extreme scale (SCALING.md "Near-dup
@@ -256,12 +242,7 @@ def _minhash_scored(
     # per pair through the join, instead of exploding (pair x shared
     # word) rows into a shuffle (the fixture has ~100 shared words per
     # pair, so that explode would be two orders of magnitude more rows)
-    tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
-    toksets = tracked_persist(
-        tok.groupBy("doc_id").agg(
-            F.array_sort(F.collect_set("word")).alias("words")
-        )
-    )
+    toksets = tokset_table(spark, sf_dir)
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     scored = (
@@ -294,7 +275,9 @@ def _minhash_scored(
 # parquet round-trip preserves exact values (longs + exact int sizes).
 
 _DERIVED: dict[tuple, str] = {}
-_DERIVED_LOCK = threading.Lock()
+# RLock: builds nest (pair_table's build reads sig_table/tokset_table),
+# so the building thread re-enters; other threads still serialize
+_DERIVED_LOCK = threading.RLock()
 
 
 def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -319,6 +302,38 @@ def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
                 build().write.mode("overwrite").parquet(path)
             _DERIVED[key] = path
     return spark.read.parquet(path)
+
+
+def sig_table(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(doc_id, band, key): the banded MinHash signatures, materialized
+    once per (dataset, config) per session.  Both sides of the
+    candidate band-join and the incremental screen read these files; a
+    parquet scan carries stats, so (unlike a localCheckpoint cut) every
+    downstream broadcast decision is preserved."""
+    key = ("sigs", str(Path(sf_dir).resolve()), n_hashes, n_bands)
+    return _derived_table(
+        spark, key, lambda: _minhash_sigs(spark, sf_dir, n_hashes, n_bands)
+    )
+
+
+def tokset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, words sorted array): per-doc distinct token sets — the
+    verify-stage input shared by the pair-table build and the
+    incremental screen."""
+
+    def build() -> DataFrame:
+        tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
+        return tok.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("word")).alias("words")
+        )
+
+    key = ("toksets", str(Path(sf_dir).resolve()))
+    return _derived_table(spark, key, build)
 
 
 def pair_table(
@@ -624,11 +639,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never with corpus size squared.  The per-batch-doc argmax is
     a window over candidate groups (bounded by band collisions)."""
     # same hashed-band-key trick as _minhash_pairs: bigint equi-join,
-    # false candidates (2^-64) are dropped by the exact verify; same
-    # persist() strategy for the branch-shared signature frame
-    sigs = tracked_persist(
-        _minhash_sigs(spark, sf_dir, N_HASHES, N_BANDS)
-        .select("doc_id", F.xxhash64("band", "key").alias("bk"))
+    # false candidates (2^-64) are dropped by the exact verify; both
+    # the batch and corpus sides read the shared sig_table parquet
+    sigs = sig_table(spark, sf_dir, N_HASHES, N_BANDS).select(
+        "doc_id", F.xxhash64("band", "key").alias("bk")
     )
     batch = sigs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("doc_b"), "bk"
@@ -641,12 +655,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_b", "doc_c")
         .distinct()
     )
-    tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
-    toksets = tracked_persist(
-        tok.groupBy("doc_id").agg(
-            F.array_sort(F.collect_set("word")).alias("words")
-        )
-    )
+    toksets = tokset_table(spark, sf_dir)
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     tc = toksets.select(F.col("doc_id").alias("doc_c"), F.col("words").alias("wc"))
     jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
