@@ -443,3 +443,106 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(z).alias("z"),
         F.when(z > ANOM_Z, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@query(
+    "q_events_gapfill",
+    oracle="""
+    WITH p AS (
+      SELECT date_trunc('minute', ts) AS m, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    r AS (SELECT min(m) AS lo, max(m) AS hi FROM p),
+    mins AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m FROM r
+    )
+    SELECT strftime(mins.m, '%Y-%m-%d %H:%M:%S') AS minute,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_events
+    FROM mins LEFT JOIN p ON p.m = mins.m
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP-FILLED per-minute purchase rate: every minute between the
+    first and last purchase appears, zero-filled where no event landed —
+    the time-series hygiene step every downstream rate/anomaly model
+    needs (a missing minute is a zero, not an absent row; q_events_
+    anomaly-style z-scores silently skew without it).  The minute spine
+    comes from a sequence() over ONE aggregated (lo, hi) row — its size
+    is bounded by the time range (~526k rows/year), never by event
+    volume, and the spine-side join key is unique so the left join
+    broadcasts the aggregated counts at any corpus size."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("minute", "ts").alias("m"))
+    )
+    per = ev.groupBy("m").agg(F.count(F.lit(1)).alias("n"))
+    rng = per.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    mins = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 minute"))
+        ).alias("m")
+    )
+    return mins.join(per, "m", "left").select(
+        F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step FUNNEL (view -> click -> purchase): users
+    counted at each stage only if the stage's first event happens
+    strictly AFTER their previous stage's first event — the standard
+    product-analytics conversion measure, and an ordering-sensitive
+    workload (a naive per-type count ignores sequence).  Three bounded
+    per-user min aggregations chained by user_id equi-joins; state per
+    user is one timestamp per stage, so the whole funnel is three
+    shuffles on user_id regardless of event volume."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "tc"), "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_)
