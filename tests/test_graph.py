@@ -159,3 +159,21 @@ def test_spill_fs_interface(spark, tmp_path, cc_path):
     # at most the last two rounds (+ edge table) remain on disk
     kept = sorted(p.name for p in (tmp_path / "spill").iterdir())
     assert "edges" in kept and len([k for k in kept if k.startswith("round_")]) <= 2
+
+
+def test_edges_cheap_same_labels(spark):
+    """edges_cheap=True (skip the edge materialization cut) must return
+    identical labels on both execution paths."""
+    from zebra_spark.graph import connected_components
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {r.id: r.component for r in connected_components(nodes, edf).collect()}
+    b = {
+        r.id: r.component
+        for r in connected_components(nodes, edf, edges_cheap=True).collect()
+    }
+    assert a == b

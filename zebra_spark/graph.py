@@ -112,6 +112,7 @@ def connected_components(
     edges: DataFrame,
     max_rounds: int = 50,
     spill_dir: str | None = None,
+    edges_cheap: bool = False,
 ) -> DataFrame:
     """Label every node with the MIN node id of its component.
 
@@ -141,12 +142,19 @@ def connected_components(
         return spark.read.parquet(f"{base}/round_{r}")
 
     # Materialize the edge list FIRST: `edges` is often an expensive
-    # pipeline (q_dedup_clusters feeds the full MinHash pair query in),
-    # and the symmetrize union below references it twice — without this
-    # cut Spark recomputes the whole upstream pipeline once per union
-    # branch (measured: 2x the pair-query cost inside one job).
-    edges.select("src", "dst").write.mode("overwrite").parquet(f"{base}/edges")
-    edges_m = spark.read.parquet(f"{base}/edges")
+    # pipeline, and the symmetrize union below references it twice —
+    # without this cut Spark recomputes the whole upstream pipeline once
+    # per union branch (measured: 2x the pair-query cost inside one
+    # job).  edges_cheap=True skips the cut for inputs that are already
+    # materialized scans (the r6 derived pair tables): re-reading a
+    # parquet filter twice is cheaper than writing it out again.
+    if edges_cheap:
+        edges_m = edges.select("src", "dst")
+    else:
+        edges.select("src", "dst").write.mode("overwrite").parquet(
+            f"{base}/edges"
+        )
+        edges_m = spark.read.parquet(f"{base}/edges")
 
     # Small-graph fast path: below this edge count, a single-TASK
     # union-find (executor-side mapInPandas over one partition — no

@@ -1101,7 +1101,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    comp = connected_components(docs, pairs)
+    # edges_cheap: the pair frame is a filter over the materialized
+    # pair table — no expensive lineage for CC to cut
+    comp = connected_components(docs, pairs, edges_cheap=True)
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster"),
@@ -1390,7 +1392,9 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= SEMC_TH)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    comp = connected_components(e.select(F.col("vec_id").alias("id")), edges)
+    comp = connected_components(
+        e.select(F.col("vec_id").alias("id")), edges, edges_cheap=True
+    )
     return comp.select(
         F.col("id").alias("vec_id"),
         F.col("component").alias("cluster"),
