@@ -489,60 +489,8 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_events_funnel",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, min(ts) AS tv FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-      SELECT e.user_id, min(e.ts) AS tc
-      FROM events e JOIN v ON v.user_id = e.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.tv
-      GROUP BY e.user_id
-    ),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS tp
-      FROM events e JOIN c ON c.user_id = e.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.tc
-      GROUP BY e.user_id
-    )
-    SELECT (SELECT count(*) FROM v) AS n_view,
-           (SELECT count(*) FROM c) AS n_view_click,
-           (SELECT count(*) FROM p) AS n_view_click_purchase
-    """,
-)
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered three-step FUNNEL (view -> click -> purchase): users
-    counted at each stage only if the stage's first event happens
-    strictly AFTER their previous stage's first event — the standard
-    product-analytics conversion measure, and an ordering-sensitive
-    workload (a naive per-type count ignores sequence).  Three bounded
-    per-user min aggregations chained by user_id equi-joins; state per
-    user is one timestamp per stage, so the whole funnel is three
-    shuffles on user_id regardless of event volume."""
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c.select("user_id", "tc"), "user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
-    )
-    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
-    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
-    return nv.crossJoin(nc).crossJoin(np_)
+# (an aggregate view->click->purchase funnel twin was added here in r6
+# and then removed: it silently shadowed the richer per-user
+# q_events_funnel above — same name, later registration wins.  The
+# per-user funnel is the kept operator; count aggregates are one
+# groupBy('stage') away from its output.)
