@@ -20,6 +20,13 @@ def query(name: str, oracle: str | None = None):
     attach the equivalent DuckDB oracle SQL (hash-checked by the driver)."""
 
     def deco(fn):
+        # duplicate names silently replace earlier registrations (last
+        # import wins), which once shadowed a richer operator with a
+        # same-named rewrite — fail loudly instead.  Module re-imports
+        # don't re-run decorators (sys.modules caching), so this only
+        # fires on a genuine second definition.
+        if name in QUERIES:
+            raise ValueError(f"query {name!r} registered twice")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
