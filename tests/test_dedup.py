@@ -222,3 +222,28 @@ def test_minhash_capped_binds_and_is_subset(spark):
     assert 0 < len(capped) < len(full)
     keys = lambda p: set(zip(p.doc_a, p.doc_b))  # noqa: E731
     assert keys(capped) <= keys(full)
+
+
+def test_pair_table_delta(spark):
+    """Incremental maintenance == batch rebuild: the delta for a new
+    batch (doc_id % 10 == 0) must equal exactly the new-involving slice
+    of the full pair table — same pairs, same scores — and contain no
+    old-vs-old pair."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    full = dd.pair_table(spark, SF_ORACLE).toPandas()
+    new_ids = (
+        dd.sig_table(spark, SF_ORACLE)
+        .select("doc_id")
+        .distinct()
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    delta = dd.pair_table_delta(spark, SF_ORACLE, new_ids).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    want = full[(full.doc_a % 10 == 0) | (full.doc_b % 10 == 0)]
+    assert len(delta) > 0
+    assert _vhash(delta) == _vhash(want)

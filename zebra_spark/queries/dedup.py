@@ -354,6 +354,64 @@ def pair_table(
     )
 
 
+def pair_table_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    new_ids: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Incremental pair-table maintenance: the scored pairs INVOLVING at
+    least one doc from `new_ids` (one column `doc_id`) — exactly the
+    rows a full pair_table() rebuild would add for an ingest batch, so
+    the maintained table is `old_pairs UNION delta` with no old-vs-old
+    recompute.  Cost scales with |batch| x bucket sizes, never with
+    |corpus|^2: the batch side of the band join is new signatures only,
+    the corpus side reads the shared sig_table parquet.  Equivalence to
+    the batch rebuild (delta == new-involving slice of the full table)
+    is pinned by tests/test_dedup.py::test_pair_table_delta.
+
+    At 100 TB this is the per-snapshot update path: signatures for the
+    batch append to the signature table, this delta appends to the pair
+    table, and every downstream consumer (clusters, PageRank, splits)
+    re-reads the maintained tables."""
+    keyed = (
+        sig_table(spark, sf_dir, n_hashes, n_bands)
+        .select("doc_id", F.xxhash64("band", "key").alias("bk"))
+    )
+    newk = keyed.join(
+        new_ids.select("doc_id"), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("doc_n"), "bk")
+    other = keyed.select(F.col("doc_id").alias("doc_o"), F.col("bk").alias("bk_o"))
+    # band-collide new x all, normalize to (doc_a < doc_b); pairs where
+    # BOTH endpoints are new appear from either side — distinct dedups
+    cand = (
+        newk.join(
+            other,
+            (F.col("bk") == F.col("bk_o")) & (F.col("doc_n") != F.col("doc_o")),
+        )
+        .select(
+            F.least("doc_n", "doc_o").alias("doc_a"),
+            F.greatest("doc_n", "doc_o").alias("doc_b"),
+        )
+        .distinct()
+    )
+    toksets = tokset_table(spark, sf_dir)
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).cast("bigint").alias("n_common"),
+            F.size("wa").alias("na"),
+            F.size("wb").alias("nb"),
+        )
+    )
+
+
 def _minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
