@@ -427,3 +427,85 @@ def test_stream_neardup_screen_matches_batch(spark, tmp_path):
     inc = zebra_spark.QUERIES["q_dedup_incremental"](spark, SF_SMOKE).toPandas()
     batch_dups = set(inc[inc["is_dup"] == 1]["doc_id"])
     assert flagged == batch_dups
+
+
+def test_maintained_pair_table_equals_batch(spark, tmp_path):
+    """Ingesting the corpus in 3 arbitrary batches through
+    maintain_pair_tables yields a pairs/ table BIT-IDENTICAL to the
+    batch pair_table build — the stream==batch contract for the shared
+    near-dup artifact."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import maintain_pair_tables
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    for part in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == part)
+        maintain_pair_tables(spark, state, batch)
+    got = spark.read.parquet(f"{state}/pairs").toPandas()
+    want = dd.pair_table(spark, SF_SMOKE).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert len(got) == len(want) > 0
+    assert vhash(got) == vhash(want)
+
+
+def test_stream_maintain_pair_tables_end_to_end(spark, tmp_path):
+    """The foreachBatch wiring: documents arriving as parquet files
+    drive the same maintenance; the resulting pairs match the batch
+    build over the same docs."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import stream_maintain_pair_tables
+    from tests.conftest import SF_SMOKE
+
+    src = tmp_path / "incoming"
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = stream_maintain_pair_tables(
+        spark, stream, state, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.read.parquet(f"{state}/pairs")
+        .groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_common").alias("s"),
+        ).collect()[0]
+    )
+    want = (
+        dd.pair_table(spark, SF_SMOKE)
+        .groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_common").alias("s"),
+        ).collect()[0]
+    )
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert (got.n, got.s) == (want.n, want.s) and got.n > 0

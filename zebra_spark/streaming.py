@@ -391,3 +391,89 @@ def screen_neardups(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", F.col("doc_c").alias("dup_of"), "jaccard")
     )
+
+
+def maintain_pair_tables(spark: SparkSession, state_dir: str, batch_df: DataFrame) -> None:
+    """Process ONE ingest batch of documents (doc_id, text) against the
+    maintained near-dup state under `state_dir`:
+
+      sigs/   (doc_id, bk)      hashed band keys of every ingested doc
+      toks/   (doc_id, words)   sorted distinct-token arrays
+      pairs/  (doc_a, doc_b, n_common, na, nb)  verified scored pairs
+
+    Each batch emits exactly its pair DELTA — batch docs band-joined
+    against (state + batch), so a pair appears once, when its later
+    endpoint arrives — then appends its own signatures/token sets.
+    This is the streaming twin of queries.dedup.pair_table_delta: after
+    ingesting a corpus in any batch split, pairs/ is bit-identical to
+    the batch pair_table (pinned by tests/test_streaming.py).  Used as
+    a foreachBatch body (stream_maintain_pair_tables) or called
+    directly for batch backfill."""
+    import os
+
+    sig_p, tok_p, pair_p = (f"{state_dir}/{n}" for n in ("sigs", "toks", "pairs"))
+    batch = batch_df.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("words"),
+        token_ids_expr("text").alias("tids"),
+    ).localCheckpoint()
+    bks = (
+        batch.select("doc_id", F.explode(minhash_band_keys("tids")).alias("b"))
+        .select("doc_id", F.xxhash64("b.band", "b.key").alias("bk"))
+    )
+    have_state = os.path.exists(sig_p)
+    all_bks = (
+        bks.unionByName(spark.read.parquet(sig_p)) if have_state else bks
+    )
+    all_toks = batch.select("doc_id", "words")
+    if have_state:
+        all_toks = all_toks.unionByName(spark.read.parquet(tok_p))
+    nk = bks.select(F.col("doc_id").alias("doc_n"), "bk")
+    ok = all_bks.select(F.col("doc_id").alias("doc_o"), F.col("bk").alias("bk_o"))
+    cand = (
+        nk.join(
+            ok,
+            (F.col("bk") == F.col("bk_o")) & (F.col("doc_n") != F.col("doc_o")),
+        )
+        .select(
+            F.least("doc_n", "doc_o").alias("doc_a"),
+            F.greatest("doc_n", "doc_o").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = all_toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    tb = all_toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    delta = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).cast("bigint").alias("n_common"),
+            F.size("wa").alias("na"),
+            F.size("wb").alias("nb"),
+        )
+    )
+    delta.write.mode("append").parquet(pair_p)
+    bks.write.mode("append").parquet(sig_p)
+    batch.select("doc_id", "words").write.mode("append").parquet(tok_p)
+
+
+def stream_maintain_pair_tables(
+    spark: SparkSession, docs_stream: DataFrame, state_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire maintain_pair_tables as a foreachBatch sink over a document
+    stream (doc_id, text).  At-least-once on restart: a replayed epoch
+    re-appends its delta; exactly-once needs an epoch ledger like
+    stream_ingest_texts' or a transactional table format."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            maintain_pair_tables(spark, state_dir, batch_df)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
