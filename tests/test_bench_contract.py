@@ -41,3 +41,25 @@ def test_bench_emits_contract_json():
     assert payload["value"] > 0
     assert len(payload["queries"]) >= 10
     assert all(v >= 0 for v in payload["queries"].values())
+
+
+def test_driver_gate_order_pins_rows_only():
+    """__spark_entry__.queries() must lead with the _FORCE_FIRST names
+    (VERDICT r5 #2: rows-only queries — q_emb_pca foremost — need
+    guaranteed driver slots), and queries()/oracle_sql() must stay
+    consistent."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py",
+        ),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    names = list(m.queries())
+    assert names[: len(m._FORCE_FIRST)] == m._FORCE_FIRST
+    oracles = m.oracle_sql()
+    assert set(oracles) <= set(names)
