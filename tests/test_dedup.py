@@ -247,3 +247,22 @@ def test_pair_table_delta(spark):
     want = full[(full.doc_a % 10 == 0) | (full.doc_b % 10 == 0)]
     assert len(delta) > 0
     assert _vhash(delta) == _vhash(want)
+
+
+def test_pair_table_empty_corpus(spark, tmp_path):
+    """An empty documents table must yield empty (not crashing) derived
+    tables and empty consumer output, with schemas intact."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    spark.createDataFrame(
+        [], "doc_id bigint, source string, text string, lang string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    pt = dd.pair_table(spark, sf)
+    assert pt.count() == 0
+    assert set(pt.columns) == {"doc_a", "doc_b", "n_common", "na", "nb"}
+    assert zebra_spark.QUERIES["q_dedup_minhash"](spark, sf).count() == 0
+    empty_ids = spark.createDataFrame([], "doc_id bigint")
+    assert dd.pair_table_delta(spark, sf, empty_ids).count() == 0
