@@ -712,3 +712,96 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(F.expr(proj)).alias("k", "value"))
         .select("vec_id", "k", rnd(F.col("value")).alias("value"))
     )
+
+
+PREFIX_DIM = 16  # Matryoshka-style truncation audit width
+
+
+@query(
+    "q_emb_prefix_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+    ft AS (
+      SELECT q.query_id, e.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               {zf.sql_metric('l2sq', a='e.emb', b='q.qe', dim=64)},
+               e.vec_id) AS rk
+      FROM e CROSS JOIN q
+    ),
+    pt AS (
+      SELECT q.query_id, e.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               {zf.sql_metric('l2sq', a='e.emb', b='q.qe', dim=PREFIX_DIM)},
+               e.vec_id) AS rk
+      FROM e CROSS JOIN q
+    ),
+    f10 AS (SELECT * FROM ft WHERE rk <= 10),
+    p10 AS (SELECT * FROM pt WHERE rk <= 10)
+    SELECT f.query_id,
+           CAST(count(p.nid) AS BIGINT) AS n_overlap,
+           CAST(max(CASE WHEN f.rk = 1 AND p.nid IS NOT NULL
+                    THEN 1 ELSE 0 END) AS INTEGER) AS nn_kept
+    FROM f10 f LEFT JOIN p10 p
+      ON p.query_id = f.query_id AND p.nid = f.nid
+    GROUP BY f.query_id
+    """,
+)
+def q_emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: for each query, how much of
+    the full-{64}-dim top-10 survives when distances use only the first
+    {PREFIX_DIM} dimensions — the measurement behind
+    truncate-and-renormalize embedding compression (Kusupati et al.
+    2022): n_overlap per query plus whether the true nearest neighbour
+    is kept.  Pairs with q_emb_quantize_int8 (precision) as the two
+    compression axes.  Same broadcast-query/one-corpus-pass shape as
+    knn_exact, twice, joined on bounded (query, neighbor) sets — no
+    new scale surface."""
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    from pyspark.sql import Window
+
+    def topk(dist_col):
+        w = Window.partitionBy("query_id").orderBy("dist", "nid")
+        return (
+            e.crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("nid"),
+                dist_col.alias("dist"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "nid", "rk")
+        )
+
+    f10 = topk(zf.l2sq(F.col("qe"), F.col("emb")))
+    p10 = topk(
+        zf.l2sq(
+            F.slice(F.col("qe"), 1, PREFIX_DIM),
+            F.slice(F.col("emb"), 1, PREFIX_DIM),
+        )
+    )
+    # rename the prefix side before joining: f10/p10 share lineage (e, q),
+    # so same-named Column references would resolve ambiguously
+    p = p10.select(
+        F.col("query_id").alias("p_qid"), F.col("nid").alias("pnid")
+    )
+    return (
+        f10.join(
+            p,
+            (F.col("query_id") == F.col("p_qid"))
+            & (F.col("nid") == F.col("pnid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("pnid").cast("bigint").alias("n_overlap"),
+            F.max(
+                F.when((F.col("rk") == 1) & F.col("pnid").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("int").alias("nn_kept"),
+        )
+    )
