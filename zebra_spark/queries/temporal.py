@@ -494,3 +494,76 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_events_funnel above — same name, later registration wins.  The
 # per-user funnel is the kept operator; count aggregates are one
 # groupBy('stage') away from its output.)
+
+
+ATTR_WINDOW_US = 1_800_000_000  # 30-minute attribution lookback
+
+
+@query(
+    "q_events_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS pus FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.pus,
+             c.event_id AS click_id, c.cus,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY c.cus DESC, c.event_id DESC) AS rk
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.cus <= p.pus AND c.cus >= p.pus - {ATTR_WINDOW_US}
+    ),
+    best AS (SELECT * FROM m WHERE rk = 1)
+    SELECT p.event_id AS purchase_id, p.user_id,
+           coalesce(b.click_id, -1) AS click_id,
+           CAST(coalesce(p.pus - b.cus, -1) AS BIGINT) AS gap_us
+    FROM p LEFT JOIN best b ON b.purchase_id = p.event_id
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: every purchase joined to the same user's
+    most recent click within a 30-minute lookback (ties broken by click
+    id), unattributed purchases kept with -1 — the batch twin of
+    streaming.purchases_with_prior_click and the standard conversion-
+    credit op.  The user-keyed range join is bounded by per-user event
+    counts (AQE splits skewed users), and the per-purchase argmax is a
+    window over the matched clicks only — never over the raw stream."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("us").alias("pus"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("us").alias("cus"),
+    )
+    m = p.join(
+        c,
+        (F.col("c_uid") == F.col("user_id"))
+        & (F.col("cus") <= F.col("pus"))
+        & (F.col("cus") >= F.col("pus") - ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("cus").desc(), F.col("click_id").desc()
+    )
+    best = (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("purchase_id", "click_id", "cus")
+    )
+    return p.join(best, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1).cast("bigint")).alias("click_id"),
+        F.coalesce(F.col("pus") - F.col("cus"), F.lit(-1))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
