@@ -1171,6 +1171,106 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 50  # fixture eval-set membership: doc_id % 50 == 0 (~2%)
+DECON_THRESHOLD = 0.7  # containment level that flags contamination
+
+
+@query(
+    "q_eval_decontaminate",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_CORE},
+    scored AS (
+      SELECT i.doc_a, i.doc_b,
+             i.n_common * 1.0 / least(sa.n, sb.n) AS cont
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+    ),
+    ev AS (
+      SELECT CASE WHEN doc_a % {EVAL_MOD} = 0 THEN doc_a ELSE doc_b END
+               AS eval_id,
+             CASE WHEN doc_a % {EVAL_MOD} = 0 THEN doc_b ELSE doc_a END
+               AS train_id,
+             cont
+      FROM scored
+      WHERE (doc_a % {EVAL_MOD} = 0) <> (doc_b % {EVAL_MOD} = 0)
+        AND cont >= {DECON_THRESHOLD}
+    ),
+    best AS (
+      SELECT eval_id, train_id, cont,
+             row_number() OVER (PARTITION BY eval_id
+               ORDER BY cont DESC, train_id) AS rk
+      FROM ev
+    )
+    SELECT d.doc_id AS eval_id,
+           CAST(CASE WHEN b.train_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS contaminated,
+           coalesce(b.train_id, -1) AS worst_train_id,
+           {sql_rnd("coalesce(b.cont, 0.0)")} AS containment
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.eval_id = d.doc_id
+    WHERE d.doc_id % {EVAL_MOD} = 0
+    """,
+)
+def q_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag every eval-set document (fixture
+    membership: doc_id % {EVAL_MOD} == 0) whose token containment
+    against ANY training document reaches {DECON_THRESHOLD} — the
+    overlap audit run before training so benchmark answers don't leak
+    into the corpus (the n-gram-overlap decontamination of the GPT-3 /
+    Gopher appendices, on this engine's banded-MinHash candidates with
+    exact containment verification).  Containment (|A∩B|/min) rather
+    than Jaccard: a short eval item quoted inside a long training doc
+    is exactly the case symmetric similarity misses.
+
+    Reads the shared pair table, keeps only eval x train pairs, and
+    takes a per-eval-doc argmax over candidate matches — at 100 TB the
+    eval side is tiny, so this is a broadcast-filtered scan of the
+    maintained pair table; unflagged eval docs are emitted with
+    containment 0."""
+    from zebra_spark.io import load
+    from pyspark.sql import Window
+
+    scored = pair_table(spark, sf_dir, N_HASHES, N_BANDS)
+    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    is_ev_a = F.col("doc_a") % EVAL_MOD == 0
+    is_ev_b = F.col("doc_b") % EVAL_MOD == 0
+    ev = (
+        scored.withColumn("cont", cont)
+        .filter(is_ev_a != is_ev_b)
+        .filter(F.col("cont") >= DECON_THRESHOLD)
+        .select(
+            F.when(is_ev_a, F.col("doc_a")).otherwise(F.col("doc_b"))
+            .alias("eval_id"),
+            F.when(is_ev_a, F.col("doc_b")).otherwise(F.col("doc_a"))
+            .alias("train_id"),
+            "cont",
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.col("cont").desc(), "train_id")
+    best = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("eval_id", "train_id", "cont")
+    )
+    eval_docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % EVAL_MOD == 0)
+    )
+    return eval_docs.join(
+        best, eval_docs.doc_id == best.eval_id, "left"
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(F.col("train_id").isNull(), 0).otherwise(1).cast("int")
+        .alias("contaminated"),
+        F.coalesce("train_id", F.lit(-1).cast("bigint"))
+        .alias("worst_train_id"),
+        rnd(F.coalesce(F.col("cont"), F.lit(0.0))).alias("containment"),
+    )
+
+
 PR_ITERS = 3  # fixed power-iteration count (unrolled in the oracle)
 PR_DAMP = 0.85
 
