@@ -103,3 +103,25 @@ def test_registry_entry_recall_in_band(spark):
     assert len(out) == 100  # 10 queries x top-10
     assert out["recall"].nunique() == 1
     assert out["recall"].iloc[0] >= 0.9
+
+
+def test_save_load_roundtrip_file_uri(spark, tmp_path):
+    """Index persistence through a scheme'd (file:) path exercises the
+    Hadoop-FS metadata branch (fsutil) end-to-end: save, reload, and
+    search results identical to the in-memory index."""
+    from zebra_spark.index.pq import PQIndex
+    from tests.conftest import SF_SMOKE
+
+    idx = PQIndex.train(spark, SF_SMOKE, m=8, k=16)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.search_ids(range(5), k=5, refine=100).collect()
+    )
+    path = f"file:{tmp_path}/pqidx"
+    idx.save(path)
+    idx2 = PQIndex.load(spark, path)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx2.search_ids(range(5), k=5, refine=100).collect()
+    )
+    assert got == want

@@ -115,9 +115,9 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         import json
-        import os
 
-        os.makedirs(path, exist_ok=True)
+        from zebra_spark.fsutil import write_text
+
         # a loaded index reads lazily from these paths — materialize and
         # reassign before overwrite (same guard as LSHIndex.save)
         self.assignments = self.assignments.localCheckpoint()
@@ -126,15 +126,21 @@ class IVFIndex:
             f"{path}/cells"
         )
         self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
-        with open(f"{path}/metadata.json", "w") as f:
-            json.dump({"centroids": self.centroids.tolist()}, f)
+        write_text(
+            self.spark,
+            f"{path}/metadata.json",
+            json.dumps({"centroids": self.centroids.tolist()}),
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
         import json
 
-        with open(f"{path}/metadata.json") as f:
-            centroids = np.array(json.load(f)["centroids"])
+        from zebra_spark.fsutil import read_text
+
+        centroids = np.array(
+            json.loads(read_text(spark, f"{path}/metadata.json"))["centroids"]
+        )
         return cls(
             spark,
             spark.read.parquet(f"{path}/embeddings"),

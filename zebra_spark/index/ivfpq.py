@@ -143,9 +143,9 @@ class IVFPQIndex:
 
     def save(self, path: str) -> None:
         import json
-        import os
 
-        os.makedirs(path, exist_ok=True)
+        from zebra_spark.fsutil import write_text
+
         self.coded = self.coded.localCheckpoint()
         self.corpus = self.corpus.localCheckpoint()
         # partitionBy(cell_id): probes become partition-pruned file skips
@@ -153,21 +153,24 @@ class IVFPQIndex:
             f"{path}/codes"
         )
         self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
-        with open(f"{path}/metadata.json", "w") as f:
-            json.dump(
+        write_text(
+            self.spark,
+            f"{path}/metadata.json",
+            json.dumps(
                 {
                     "centroids": self.centroids.tolist(),
                     "codebooks": self.codebooks.tolist(),
-                },
-                f,
-            )
+                }
+            ),
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
         import json
 
-        with open(f"{path}/metadata.json") as f:
-            meta = json.load(f)
+        from zebra_spark.fsutil import read_text
+
+        meta = json.loads(read_text(spark, f"{path}/metadata.json"))
         return cls(
             spark,
             spark.read.parquet(f"{path}/embeddings"),

@@ -521,16 +521,15 @@ class LSHIndex:
                 for (t, nb, b), (normal, const) in self.split_meta.items()
             ],
         }
-        import os
+        from zebra_spark.fsutil import write_text
 
-        os.makedirs(path, exist_ok=True)
-        with open(f"{path}/metadata.json", "w") as f:
-            json.dump(meta, f)
+        write_text(self.spark, f"{path}/metadata.json", json.dumps(meta))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LSHIndex":
-        with open(f"{path}/metadata.json") as f:
-            meta = json.load(f)
+        from zebra_spark.fsutil import read_text
+
+        meta = json.loads(read_text(spark, f"{path}/metadata.json"))
         opts = LSHIndexOptions(
             meta["num_trees"], meta["max_node_size"], meta["seed"], meta["depth"]
         )

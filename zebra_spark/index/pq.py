@@ -159,22 +159,28 @@ class PQIndex:
 
     def save(self, path: str) -> None:
         import json
-        import os
 
-        os.makedirs(path, exist_ok=True)
+        from zebra_spark.fsutil import write_text
+
         self.codes = self.codes.localCheckpoint()
         self.corpus = self.corpus.localCheckpoint()
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")
         self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
-        with open(f"{path}/metadata.json", "w") as f:
-            json.dump({"codebooks": self.codebooks.tolist()}, f)
+        write_text(
+            self.spark,
+            f"{path}/metadata.json",
+            json.dumps({"codebooks": self.codebooks.tolist()}),
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PQIndex":
         import json
 
-        with open(f"{path}/metadata.json") as f:
-            codebooks = np.array(json.load(f)["codebooks"])
+        from zebra_spark.fsutil import read_text
+
+        codebooks = np.array(
+            json.loads(read_text(spark, f"{path}/metadata.json"))["codebooks"]
+        )
         return cls(
             spark,
             spark.read.parquet(f"{path}/embeddings"),
