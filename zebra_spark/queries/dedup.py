@@ -1563,6 +1563,107 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_emb_knn_purity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
+              WHERE vec_id < greatest({NDUP_CELLS},
+                CAST(floor((SELECT count(*) FROM e) / {NDUP_PER_CELL}.0)
+                     AS BIGINT))),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {zf.sql_metric("l2sq", a="e.emb", b="s.ce", dim=64)}, s.cell_id)
+                 AS rk
+        FROM e CROSS JOIN seeds s
+      ) WHERE rk <= {NDUP_ASSIGN}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    d AS (
+      SELECT c.id_a, c.id_b,
+             {zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64)} AS dist
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b
+    ),
+    sym AS (
+      SELECT id_a AS id, id_b AS nbr, dist FROM d
+      UNION ALL SELECT id_b, id_a, dist FROM d
+    ),
+    t10 AS (
+      SELECT id, nbr FROM (
+        SELECT id, nbr,
+               row_number() OVER (PARTITION BY id ORDER BY dist, nbr) AS rk
+        FROM sym
+      ) WHERE rk <= 10
+    ),
+    p AS (
+      SELECT t.id,
+             avg(CASE WHEN el.label = en.label THEN 1.0 ELSE 0.0 END)
+               AS purity
+      FROM t10 t
+      JOIN e el ON el.vec_id = t.id
+      JOIN e en ON en.vec_id = t.nbr
+      GROUP BY t.id
+    )
+    SELECT el.label, count(*) AS n_vecs,
+           {sql_rnd("avg(p.purity)")} AS mean_purity
+    FROM p JOIN e el ON el.vec_id = p.id
+    GROUP BY el.label
+    """,
+)
+def q_emb_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label PURITY per class: for each vector, the fraction of its
+    10 nearest neighbours (cosine, IVF-blocked candidates) sharing its
+    label, averaged per label — the standard embedding-space health
+    audit (a well-trained space has high neighborhood label
+    consistency; a label with low purity is entangled or mislabeled).
+    Reads the shared cosine pair table, symmetrizes it, and takes a
+    per-vector windowed top-10 — bounded by candidate fan-out, never
+    the n^2 all-pairs kNN; vectors with no blocked candidate drop out
+    on both engines identically."""
+    from pyspark.sql import Window
+
+    from zebra_spark.io import load
+
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    d = cosine_pair_table(spark, sf_dir)
+    sym = d.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "dist"
+    ).unionAll(
+        d.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "dist")
+    )
+    w = Window.partitionBy("id").orderBy("dist", "nbr")
+    t10 = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("id", "nbr")
+    )
+    li = labels.select(F.col("vec_id").alias("id"), F.col("label").alias("l_i"))
+    ln = labels.select(F.col("vec_id").alias("nbr"), F.col("label").alias("l_n"))
+    per_vec = (
+        t10.join(li, "id")
+        .join(ln, "nbr")
+        .groupBy("id", "l_i")
+        .agg(
+            F.avg(
+                F.when(F.col("l_i") == F.col("l_n"), 1.0).otherwise(0.0)
+            ).alias("purity")
+        )
+    )
+    return per_vec.groupBy(F.col("l_i").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.avg("purity")).alias("mean_purity"),
+    )
+
+
+@query(
     "q_dedup_keep_best",
     oracle=f"""
     WITH {_SQL_TOK.format(nh=N_HASHES)},
