@@ -96,6 +96,13 @@ def main() -> None:
         "q_ngram_novelty",
         "q_text_dup_spans",
         "q_graph_pagerank",
+        # round-6: Gopher rule filter (per-row + one doc-keyed shuffle),
+        # and two shared-pair-table consumers (degree histogram,
+        # eval-decontamination) whose steady-state cost shows the
+        # derived-table architecture
+        "q_text_gopher_filters",
+        "q_graph_degree_hist",
+        "q_eval_decontaminate",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
