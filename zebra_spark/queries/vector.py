@@ -805,3 +805,53 @@ def q_emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("nn_kept"),
         )
     )
+
+
+DEAD_DIM_VAR = 1e-4  # variance below this flags a collapsed dimension
+
+
+@query(
+    "q_emb_dim_variance",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(d.i - 1 AS INTEGER) AS dim,
+             e.embedding[d.i]::DOUBLE AS v
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) d
+    ),
+    s AS (
+      SELECT dim, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv
+      FROM x GROUP BY dim
+    )
+    SELECT dim,
+           {sql_rnd('sv / n')} AS mean,
+           {sql_rnd('svv / n - (sv / n) * (sv / n)')} AS variance,
+           CAST(CASE WHEN svv / n - (sv / n) * (sv / n) < {DEAD_DIM_VAR}
+                THEN 1 ELSE 0 END AS INTEGER) AS dead
+    FROM s
+    """,
+)
+def q_emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION variance audit: mean, biased variance, and a
+    dead-dimension flag for each of the 64 lanes — the quick health
+    check for collapsed/unused embedding dimensions (a lane whose
+    variance ~0 carries no information and signals a training or
+    truncation defect; complements q_emb_covariance's full matrix with
+    a 64-row ranking view).  One posexplode + one 64-key aggregation
+    with map-side partial combine — a single bounded shuffle at any
+    corpus size."""
+    e = embeddings_d(spark, sf_dir).select(
+        F.posexplode("emb").alias("dim", "v")
+    )
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    var = F.col("svv") / F.col("n") - mean * mean
+    return s.select(
+        "dim",
+        rnd(mean).alias("mean"),
+        rnd(var).alias("variance"),
+        F.when(var < DEAD_DIM_VAR, 1).otherwise(0).cast("int").alias("dead"),
+    )
