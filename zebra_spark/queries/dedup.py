@@ -288,19 +288,24 @@ def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
     corpus-snapshot id instead.  Thread-safe: the parity sweep and the
     bench suite run queries concurrently, and all consumers of one key
     must see a single build."""
-    with _DERIVED_LOCK:
-        path = _DERIVED.get(key)
-        if path is None:
-            base = tempfile.mkdtemp(prefix="zebra_derived_")
-            atexit.register(shutil.rmtree, base, ignore_errors=True)
-            path = f"{base}/data"
-            # the build's internal persists (signatures, token sets,
-            # assignment blocks) are scoped to the build: the parquet
-            # write is their terminal action, so they must not linger
-            # until the caller's harness-level release
-            with cache_scope():
-                build().write.mode("overwrite").parquet(path)
-            _DERIVED[key] = path
+    # double-checked: a built table's readers must not serialize behind
+    # an unrelated key's (long) build — the registry dict is only ever
+    # grown, and entries are published AFTER their files exist
+    path = _DERIVED.get(key)
+    if path is None:
+        with _DERIVED_LOCK:
+            path = _DERIVED.get(key)
+            if path is None:
+                base = tempfile.mkdtemp(prefix="zebra_derived_")
+                atexit.register(shutil.rmtree, base, ignore_errors=True)
+                path = f"{base}/data"
+                # the build's internal persists (signatures, token sets,
+                # assignment blocks) are scoped to the build: the parquet
+                # write is their terminal action, so they must not linger
+                # until the caller's harness-level release
+                with cache_scope():
+                    build().write.mode("overwrite").parquet(path)
+                _DERIVED[key] = path
     return spark.read.parquet(path)
 
 
