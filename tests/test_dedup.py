@@ -249,6 +249,38 @@ def test_pair_table_delta(spark):
     assert _vhash(delta) == _vhash(want)
 
 
+def test_pair_table_delta_capped(spark):
+    """The delta honours the giant-bucket guard (ADVICE r6): with a cap
+    that BINDS at this SF, delta(max_bucket=c) must equal exactly the
+    new-involving slice of the capped rebuild — batch docs landing in
+    over-cap buckets generate no pairs, matching what a capped rebuild
+    would drop — and must be a strict subset of the uncapped delta."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    cap = dd.CAPPED_BUCKET  # the oracle-pinned binding cap
+    full_capped = dd.pair_table(spark, SF_ORACLE, max_bucket=cap).toPandas()
+    new_ids = (
+        dd.sig_table(spark, SF_ORACLE)
+        .select("doc_id")
+        .distinct()
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    delta = dd.pair_table_delta(
+        spark, SF_ORACLE, new_ids, max_bucket=cap
+    ).toPandas()
+    uncapped = dd.pair_table_delta(spark, SF_ORACLE, new_ids).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    want = full_capped[
+        (full_capped.doc_a % 10 == 0) | (full_capped.doc_b % 10 == 0)
+    ]
+    assert 0 < len(delta) < len(uncapped)  # the cap binds
+    assert _vhash(delta) == _vhash(want)
+
+
 def test_pair_table_empty_corpus(spark, tmp_path):
     """An empty documents table must yield empty (not crashing) derived
     tables and empty consumer output, with schemas intact."""

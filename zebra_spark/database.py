@@ -408,7 +408,13 @@ class ZebraDatabase:
         if reliable:
             # the staging files served their purpose (both appends are
             # committed); re-point the returned handle at the committed
-            # table, restricted to this batch's id range, and drop them
+            # table, restricted to this batch's id range, and drop them.
+            # Deletion goes through the Hadoop-FS-aware helper and
+            # removes only THIS batch's tagged subdirs: shutil on a
+            # scheme'd store path silently no-ops (leaking every
+            # reliable batch's staging parquet), and removing the whole
+            # _staging dir would delete a concurrent insert's staging
+            # mid-write (ADVICE r6).
             inserted = (
                 self.spark.read.parquet(f"{self.path}/embeddings")
                 .filter(
@@ -417,7 +423,16 @@ class ZebraDatabase:
                 )
                 .select("vec_id", "embedding")
             )
-            shutil.rmtree(f"{self.path}/_staging", ignore_errors=True)
+            from zebra_spark.fsutil import rmtree as _rmtree
+
+            for tag in (f"in_{base}", f"ids_{base}"):
+                _rmtree(self.spark, f"{self.path}/_staging/{tag}")
+            try:
+                # drop the parent only when empty: rmdir refuses a
+                # non-empty dir, so a concurrent insert's staging is safe
+                os.rmdir(f"{self.path}/_staging")
+            except OSError:
+                pass
         else:
             # return the checkpointed rows directly: no re-scan of every
             # batch's files, and the handle stays valid even if a later

@@ -11,6 +11,7 @@ cluster store round-trips without local-disk assumptions.
 from __future__ import annotations
 
 import os
+import shutil
 
 
 def _is_local(path: str) -> bool:
@@ -36,6 +37,40 @@ def write_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def exists(spark, path: str) -> bool:
+    """Probe a path on whatever filesystem owns it.  os.path.exists is
+    local-only: on a scheme'd store (hdfs://, s3a://) it always returns
+    False, which silently turned every maintained-pair-table batch into
+    a no-state batch (ADVICE r6) — so state probes must come here."""
+    if _is_local(path):
+        return os.path.exists(path)
+    fs, hpath = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def rmtree(spark, path: str) -> None:
+    """Delete a directory tree on whatever filesystem owns `path`.
+    Missing paths are a no-op on both branches (FileSystem.delete
+    returns false rather than raising)."""
+    if _is_local(path):
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+
+
+def rename(spark, src: str, dst: str) -> None:
+    """Directory rename (atomic on POSIX and HDFS; object stores give a
+    copy+delete — callers that need atomic swap document the caveat)."""
+    if _is_local(src) and _is_local(dst):
+        os.rename(src, dst)
+        return
+    fs, hsrc = _hadoop_fs(spark, src)
+    hdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"rename {src} -> {dst} failed")
 
 
 def read_text(spark, path: str) -> str:

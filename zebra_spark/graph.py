@@ -36,21 +36,14 @@ SMALL_GRAPH_EDGES = 5_000_000
 
 
 def _fs_rmtree(spark, path: str) -> None:
-    """Delete a spill directory on whatever filesystem owns `path`.
+    """Delete a spill directory on whatever filesystem owns `path` —
+    shutil for plain local paths, the Hadoop FileSystem API for scheme'd
+    stores (hdfs://, s3a://, file:), so round deletion works unchanged
+    on a real cluster's shared store.  Consolidated into fsutil (r7);
+    this alias stays because it is the name scale scripts import."""
+    from zebra_spark.fsutil import rmtree
 
-    Plain local paths use shutil; any path with a scheme (hdfs://,
-    s3a://, file:) goes through the Hadoop FileSystem API on the JVM
-    gateway, so round deletion works unchanged when the spill dir lives
-    on a real cluster's shared store.  Missing paths are a no-op on
-    both branches (FileSystem.delete returns false rather than raising).
-    """
-    if "://" not in path and not path.startswith("file:"):
-        shutil.rmtree(path, ignore_errors=True)
-        return
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    rmtree(spark, path)
 
 
 def _cc_single_task(nodes: DataFrame, edges_m: DataFrame) -> DataFrame:

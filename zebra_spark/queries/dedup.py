@@ -365,6 +365,7 @@ def pair_table_delta(
     new_ids: DataFrame,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental pair-table maintenance: the scored pairs INVOLVING at
     least one doc from `new_ids` (one column `doc_id`) — exactly the
@@ -379,11 +380,32 @@ def pair_table_delta(
     At 100 TB this is the per-snapshot update path: signatures for the
     batch append to the signature table, this delta appends to the pair
     table, and every downstream consumer (clusters, PageRank, splits)
-    re-reads the maintained tables."""
+    re-reads the maintained tables.
+
+    `max_bucket` applies the same giant-bucket guard as the capped
+    rebuild (_minhash_scored), with bucket sizes counted over the FULL
+    post-batch signature table — so the delta for a capped config is
+    exactly the new-involving slice of a capped rebuild AT THIS
+    SNAPSHOT (ADVICE r6: without the guard, batch docs landing in
+    over-cap buckets emitted pairs a capped rebuild would drop).  One
+    caveat is inherent to append-only maintenance: when a batch pushes
+    a bucket OVER the cap, pairs that earlier deltas emitted from that
+    bucket (while it was under cap) are not retracted — the maintained
+    table is then a superset of the rebuild until the next
+    compaction/rebuild.  The equivalence test covers both the uncapped
+    default and a binding cap (tests/test_dedup.py)."""
     keyed = (
         sig_table(spark, sf_dir, n_hashes, n_bands)
         .select("doc_id", F.xxhash64("band", "key").alias("bk"))
     )
+    if max_bucket is not None:
+        ok = (
+            keyed.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("g"))
+            .filter(F.col("g") <= max_bucket)
+            .select("bk")
+        )
+        keyed = keyed.join(ok, "bk", "left_semi")
     newk = keyed.join(
         new_ids.select("doc_id"), "doc_id", "left_semi"
     ).select(F.col("doc_id").alias("doc_n"), "bk")

@@ -409,7 +409,7 @@ def maintain_pair_tables(spark: SparkSession, state_dir: str, batch_df: DataFram
     the batch pair_table (pinned by tests/test_streaming.py).  Used as
     a foreachBatch body (stream_maintain_pair_tables) or called
     directly for batch backfill."""
-    import os
+    from zebra_spark.fsutil import exists as fs_exists
 
     sig_p, tok_p, pair_p = (f"{state_dir}/{n}" for n in ("sigs", "toks", "pairs"))
     batch = batch_df.select(
@@ -421,7 +421,10 @@ def maintain_pair_tables(spark: SparkSession, state_dir: str, batch_df: DataFram
         batch.select("doc_id", F.explode(minhash_band_keys("tids")).alias("b"))
         .select("doc_id", F.xxhash64("b.band", "b.key").alias("bk"))
     )
-    have_state = os.path.exists(sig_p)
+    # Hadoop-FS-aware probe: os.path.exists on a scheme'd state_dir
+    # (hdfs://, s3a:// — the deployments this path targets) is always
+    # False, which would silently omit every new-vs-old pair (ADVICE r6)
+    have_state = fs_exists(spark, sig_p)
     all_bks = (
         bks.unionByName(spark.read.parquet(sig_p)) if have_state else bks
     )
