@@ -281,6 +281,51 @@ def test_pair_table_delta_capped(spark):
     assert _vhash(delta) == _vhash(want)
 
 
+def test_incremental_screen_generic_batch(spark):
+    """incremental_screen (the maintained-delta path q_dedup_incremental
+    routes through since r7) must agree with an independent reference
+    built from the full pair table, for an arbitrary batch predicate —
+    not just the oracled doc_id % 10 split."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    full = dd.pair_table(spark, SF_ORACLE).toPandas()
+    new_ids = (
+        dd.sig_table(spark, SF_ORACLE)
+        .select("doc_id")
+        .distinct()
+        .filter(F.col("doc_id") % 7 == 3)
+    )
+    got = dd.incremental_screen(spark, SF_ORACLE, new_ids).toPandas()
+    new_set = set(new_ids.toPandas().doc_id)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+    # reference: exactly-one-new pairs from the full table, threshold,
+    # per-new-doc argmax (ties broken by lowest corpus id)
+    best: dict[int, tuple[float, int]] = {}
+    for r in full.itertuples(index=False):
+        a_new, b_new = r.doc_a in new_set, r.doc_b in new_set
+        if a_new == b_new:
+            continue
+        n, c = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+        j = r.n_common / (r.na + r.nb - r.n_common)
+        if j < dd.MINHASH_THRESHOLD:
+            continue
+        cur = best.get(n)
+        if cur is None or (-j, c) < (-cur[0], cur[1]):
+            best[n] = (j, c)
+    got = got.set_index("doc_id")
+    assert set(got.index) == new_set
+    dups = set(got[got.is_dup == 1].index)
+    assert dups == set(best)
+    for n, (j, c) in best.items():
+        assert got.loc[n].dup_of == c
+        assert abs(got.loc[n].jaccard - j) < 1e-3
+
+
 def test_pair_table_empty_corpus(spark, tmp_path):
     """An empty documents table must yield empty (not crashing) derived
     tables and empty consumer output, with schemas intact."""

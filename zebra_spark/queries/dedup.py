@@ -722,57 +722,74 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the corpus signature table is date-partitioned parquet
     and each ingest batch joins against it; cost scales with batch
     size, never with corpus size squared.  The per-batch-doc argmax is
-    a window over candidate groups (bounded by band collisions)."""
-    # same hashed-band-key trick as _minhash_pairs: bigint equi-join,
-    # false candidates (2^-64) are dropped by the exact verify; both
-    # the batch and corpus sides read the shared sig_table parquet
-    sigs = sig_table(spark, sf_dir, N_HASHES, N_BANDS).select(
-        "doc_id", F.xxhash64("band", "key").alias("bk")
-    )
-    batch = sigs.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("doc_b"), "bk"
-    )
-    corpus = sigs.filter(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("doc_c"), F.col("bk").alias("bk_c")
-    )
-    cand = (
-        batch.join(corpus, F.col("bk") == F.col("bk_c"))
-        .select("doc_b", "doc_c")
-        .distinct()
-    )
-    toksets = tokset_table(spark, sf_dir)
-    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
-    tc = toksets.select(F.col("doc_id").alias("doc_c"), F.col("words").alias("wc"))
-    jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
-    scored = (
-        cand.join(tb, "doc_b")
-        .join(tc, "doc_c")
-        .select(
-            "doc_b",
-            "doc_c",
-            F.size(F.array_intersect("wb", "wc")).cast("bigint").alias("n_common"),
-            F.size("wb").alias("nb"),
-            F.size("wc").alias("nc"),
-        )
-        .withColumn("j", jac)
-        .filter(F.col("j") >= MINHASH_THRESHOLD)
-    )
-    from pyspark.sql import Window
+    a window over candidate groups (bounded by band collisions).
 
-    w = Window.partitionBy("doc_b").orderBy(F.col("j").desc(), F.col("doc_c"))
-    best = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_b", "doc_c", "j")
-    )
+    Since r7 this oracled query IS the maintained-delta code path: it
+    routes through incremental_screen -> pair_table_delta, so the
+    driver gate hash-checks the exact pipeline a production ingest
+    runs (VERDICT r6 #5), not a parallel formulation."""
     from zebra_spark.io import load
 
-    new_docs = (
+    new_ids = (
         load(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % 10 == 0)
     )
-    return new_docs.join(best, new_docs.doc_id == best.doc_b, "left").select(
+    return incremental_screen(spark, sf_dir, new_ids)
+
+
+def incremental_screen(
+    spark: SparkSession,
+    sf_dir: str,
+    new_ids: DataFrame,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_id, is_dup, dup_of, jaccard) for every doc in `new_ids` (one
+    column `doc_id`): the generic incremental-ingest screen, built on
+    the SAME pair_table_delta that maintains the shared pair table — so
+    the screen and the table maintenance cannot drift apart.
+
+    The delta yields every scored pair involving a new doc; the screen
+    keeps pairs with exactly ONE new endpoint (new-vs-corpus — new-vs-new
+    pairs are the batch's internal dups, handled by the batch's own
+    dedup), orients them (doc_b = new, doc_c = corpus), thresholds on
+    true Jaccard, and takes the per-new-doc argmax."""
+    delta = pair_table_delta(spark, sf_dir, new_ids, max_bucket=max_bucket)
+    flags = new_ids.select("doc_id").distinct().withColumn("_n", F.lit(1))
+    fa = flags.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("an"))
+    fb = flags.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("bn"))
+    oriented = (
+        delta.join(fa, "doc_a", "left")
+        .join(fb, "doc_b", "left")
+        .filter(F.coalesce("an", F.lit(0)) != F.coalesce("bn", F.lit(0)))
+        .select(
+            F.when(F.col("an") == 1, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_n"),
+            F.when(F.col("an") == 1, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_c"),
+            "n_common",
+            # Jaccard is symmetric in the two set sizes, so orientation
+            # does not change the value (bit-identical to the pre-r7
+            # direct formulation, preserving the driver hash)
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= MINHASH_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_n").orderBy(F.col("j").desc(), F.col("doc_c"))
+    best = (
+        oriented.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_n", "doc_c", "j")
+    )
+    base = new_ids.select("doc_id").distinct()
+    return base.join(best, base.doc_id == best.doc_n, "left").select(
         "doc_id",
         F.when(F.col("doc_c").isNull(), 0).otherwise(1).cast("int").alias("is_dup"),
         F.coalesce(F.col("doc_c"), F.lit(-1).cast("bigint")).alias("dup_of"),
