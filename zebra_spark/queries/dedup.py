@@ -1105,29 +1105,47 @@ def _neardup_cosine(
     )
 
 
+def cosine_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id): the deterministic IVF multi-assignment behind
+    the cosine near-dup surface, materialized once per dataset per
+    session (same registry as sig_table/pair_table).  Keeping the
+    assignment itself as a maintained artifact is what makes the
+    embedding-space DELTA path possible: a new batch only needs ITS
+    assignments joined against this table, never a corpus re-pass."""
+
+    def build() -> DataFrame:
+        e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+        n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
+        seeds = e.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
+        )
+        from pyspark.sql import Window
+
+        wv = Window.partitionBy("vec_id").orderBy("d_seed", "cell_id")
+        return (
+            e.crossJoin(F.broadcast(seeds))
+            .select(
+                "vec_id",
+                "cell_id",
+                zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
+            )
+            .withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") <= NDUP_ASSIGN)
+            .select("vec_id", "cell_id")
+        )
+
+    key = ("cosassign", str(Path(sf_dir).resolve()))
+    return _derived_table(spark, key, build)
+
+
 def _cosine_candidates(spark: SparkSession, sf_dir: str):
     """IVF multi-assign blocking shared by the cosine near-dup surface:
     returns (cand, e) — the within-cell candidate pairs and the corpus
-    projection they score against."""
+    projection they score against.  Pairs come from per-cell sorted
+    member lists (each unordered pair emitted once) over the shared
+    assignment table."""
     e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
-    n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
-    seeds = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
-    )
-    from pyspark.sql import Window
-
-    wv = Window.partitionBy("vec_id").orderBy("d_seed", "cell_id")
-    assign = (
-        e.crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "cell_id",
-            zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
-        )
-        .withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= NDUP_ASSIGN)
-        .select("vec_id", "cell_id")
-    )
+    assign = cosine_assign_table(spark, sf_dir)
     cand = (
         assign.groupBy("cell_id")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
@@ -1144,6 +1162,86 @@ def _cosine_candidates(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return cand, e
+
+
+def cosine_pair_table_delta(
+    spark: SparkSession, sf_dir: str, new_ids: DataFrame
+) -> DataFrame:
+    """(id_a, id_b, dist): the embedding-space twin of pair_table_delta
+    (VERDICT r6 #2) — the exact-cosine scored pairs INVOLVING at least
+    one vector from `new_ids` (one column `vec_id`), i.e. exactly the
+    rows a full cosine_pair_table() rebuild would add for this ingest
+    batch, so the maintained table is `old_pairs UNION delta`.
+
+    Cost scales with |batch| x cell sizes, never |corpus|^2: the batch
+    side of the cell join is the batch's own assignments (semi-join
+    against the maintained assignment table), the corpus side reads the
+    same table's parquet, and only new-involving pairs reach the scoring
+    kernel.  Equivalence to the rebuild slice is pinned by
+    tests/test_dedup.py::test_cosine_pair_table_delta; consumers
+    (q_semantic_clusters, q_emb_knn_purity) pick up a maintained table
+    via register_maintained_table("cosine", ...)."""
+    assign = cosine_assign_table(spark, sf_dir)
+    newa = assign.join(
+        new_ids.select("vec_id"), "vec_id", "left_semi"
+    ).select(F.col("vec_id").alias("id_n"), "cell_id")
+    other = assign.select(
+        F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
+    )
+    # cell-collide new x all, normalize to (id_a < id_b); new-new pairs
+    # appear from either side — distinct dedups (multi-assign also
+    # yields one row per shared cell, collapsed by the same distinct)
+    cand = (
+        newa.join(
+            other,
+            (F.col("cell_id") == F.col("cell_o"))
+            & (F.col("id_n") != F.col("id_o")),
+        )
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    return _score_pairs(cand, e, vectorized=False)
+
+
+def register_maintained_table(
+    kind: str,
+    sf_dir: str,
+    path: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
+) -> str | None:
+    """Point the session's derived-table registry at an externally
+    MAINTAINED artifact — a parquet dir an ingest pipeline keeps
+    current as `base ∪ deltas` (pair_table_delta /
+    cosine_pair_table_delta output schema).  Every consumer
+    (q_dedup_minhash, clusters, PageRank, q_semantic_clusters,
+    q_emb_knn_purity, ...) then reads the maintained files instead of
+    triggering a session rebuild — the 100 TB shape, where the table is
+    an artifact of the corpus snapshot, not of the query run.
+
+    kind: 'minhash' | 'cosine' | 'sigs' | 'toksets' | 'cosassign'.
+    Returns the previously registered path (None if the table would
+    have been built fresh) so callers can restore it."""
+    resolved = str(Path(sf_dir).resolve())
+    keys: dict[str, tuple] = {
+        "minhash": ("minhash", resolved, n_hashes, n_bands, max_bucket),
+        "cosine": ("cosine", resolved),
+        "sigs": ("sigs", resolved, n_hashes, n_bands),
+        "toksets": ("toksets", resolved),
+        "cosassign": ("cosassign", resolved),
+    }
+    if kind not in keys:
+        raise ValueError(f"unknown maintained-table kind {kind!r}")
+    key = keys[kind]
+    with _DERIVED_LOCK:
+        prev = _DERIVED.get(key)
+        _DERIVED[key] = path
+    return prev
 
 
 # --- cluster dedup: connected components over the near-dup graph -----------
