@@ -72,3 +72,58 @@ def test_registry_entry(spark):
     out = zebra_spark.QUERIES["q_ann_ivfpq"](spark, SF_ORACLE).toPandas()
     assert len(out) == 100
     assert out["recall"].iloc[0] >= 0.9
+
+
+def test_add_appends_into_cell_partitions(spark, tmp_path):
+    """IVF-PQ add(path=...): the batch's codes append into the SAME
+    cell_id= partition directories (so probe-time partition pruning
+    keeps skipping files across appends), counters round-trip, and an
+    added vector finds itself at rank 1."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    idx = IVFPQIndex.train(spark, "", k_coarse=8, m=8, k=16, seed=42,
+                           corpus=base)
+    p = str(tmp_path / "ivfpq_store")
+    idx.save(p)
+    n = idx.add(batch, path=p)
+    assert n == batch.count()
+    # layout check: only cell_id= dirs under codes/ (hive partitioning)
+    subdirs = [
+        d for d in os.listdir(f"{p}/codes")
+        if os.path.isdir(f"{p}/codes/{d}")
+    ]
+    assert subdirs and all(d.startswith("cell_id=") for d in subdirs)
+    back = IVFPQIndex.load(spark, p)
+    assert back.n_added == n and back.appends == 1
+    assert back.coded.count() == e.count()
+    got = back.search_ids([10], k=1, nprobe=4, refine=100).toPandas()
+    assert got.neighbor_id.iloc[0] == 10 and got.dist.iloc[0] == 0.0
+    # every vector coded exactly once after the append
+    assert back.coded.select("vec_id").distinct().count() == e.count()
+
+
+def test_ivfpq_drift_audit_fires_on_shift(spark):
+    """Residual-space drift: same-dist batch near ratio 1, shifted
+    batch far above — the retrain signal for the coarse+PQ composition."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    idx = IVFPQIndex.train(spark, "", k_coarse=8, m=8, k=16, seed=42,
+                           corpus=base)
+    shifted = batch.select(
+        "vec_id", F.expr("transform(emb, x -> 3.0d * x + 1.0d)").alias("emb")
+    )
+    same = idx.drift_audit(batch).toPandas().ratio.iloc[0]
+    far = idx.drift_audit(shifted).toPandas().ratio.iloc[0]
+    assert same < 3.0 < far

@@ -125,3 +125,87 @@ def test_save_load_roundtrip_file_uri(spark, tmp_path):
         for r in idx2.search_ids(range(5), k=5, refine=100).collect()
     )
     assert got == want
+
+
+def test_add_then_search_recall_in_band(spark, pq):
+    """Incremental add (frozen codebooks) vs full retrain: train on the
+    90% base, add the 10% batch, and require recall@10 within 0.1 of
+    the retrain-built (full-corpus-trained) index on the same queries —
+    the contract that makes per-batch encode a safe substitute for a
+    corpus re-encode."""
+    base = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb").filter(
+        F.col("vec_id") % 10 != 0
+    )
+    batch = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    idx = PQIndex.train(spark, "", m=8, k=16, seed=42, corpus=base)
+    assert idx.add(batch) == batch.count()
+    assert idx.n_added > 0 and idx.appends == 1
+
+    def recall(i):
+        ann = (
+            i.search_ids(range(10), k=10, refine=200)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+        )
+        exact = _exact_top10(spark)
+        a = set(map(tuple, ann.itertuples(index=False)))
+        e = set(map(tuple, exact.itertuples(index=False)))
+        return len(a & e) / len(e)
+
+    r_add, r_full = recall(idx), recall(pq)
+    assert r_add >= r_full - 0.1, f"add-path recall {r_add} vs retrain {r_full}"
+    # an added exact-duplicate vector must find itself at rank 1
+    self_hit = idx.search_ids([10], k=1, refine=50).toPandas()
+    assert self_hit.neighbor_id.iloc[0] == 10 and self_hit.dist.iloc[0] == 0.0
+
+
+def test_add_to_saved_path_and_counter_roundtrip(spark, tmp_path):
+    """add(path=...) appends the batch to the saved parquet tables and
+    metadata counters survive save/load, so a long-lived on-disk index
+    absorbs batches in place."""
+    base = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb").filter(
+        F.col("vec_id") % 10 != 0
+    )
+    batch = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    idx = PQIndex.train(spark, "", m=8, k=16, seed=42, corpus=base)
+    p = str(tmp_path / "pq_store")
+    idx.save(p)
+    n = idx.add(batch, path=p)
+    back = PQIndex.load(spark, p)
+    assert back.n_added == n and back.appends == 1
+    assert back.train_mse == idx.train_mse
+    assert back.codes.count() == idx.codes.count()  # appended rows present
+    got = back.search_ids([10], k=1, refine=50).toPandas()
+    assert got.neighbor_id.iloc[0] == 10
+
+
+def test_drift_audit_fires_on_shift(spark):
+    """The staleness signal BINDS: a same-distribution batch stays near
+    ratio 1, a shifted batch blows past it (measured 1.16 vs 121 at
+    sf0.01) — and the registered q_index_drift row order is stable."""
+    out = zebra_spark.QUERIES["q_index_drift"](spark, SF_ORACLE).toPandas()
+    assert list(out["split"]) == [
+        "a_train_sample", "b_batch_same_dist", "c_batch_shifted"
+    ]
+    same = out.loc[out.split == "b_batch_same_dist", "ratio"].iloc[0]
+    shifted = out.loc[out.split == "c_batch_shifted", "ratio"].iloc[0]
+    assert same < 3.0
+    assert shifted > 5.0 and shifted > same
+
+
+def test_retrain_resets_counters(spark):
+    """retrain() rebuilds codebooks over base+appends and returns a
+    fresh index with zeroed append state and full-corpus n_trained."""
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    idx = PQIndex.train(spark, "", m=8, k=16, seed=42, corpus=base)
+    idx.add(batch)
+    fresh = idx.retrain(seed=42)
+    assert fresh.n_added == 0 and fresh.appends == 0
+    assert fresh.n_trained == e.count()
+    assert fresh.train_mse is not None

@@ -71,9 +71,49 @@ def _kmeans_np(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     return cents
 
 
+def _pq_encode_np(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) nearest sub-codebook ids — the shared kernel
+    for the distributed encode pass, the drift audit, and the
+    driver-side training baseline."""
+    m, k, dsub = codebooks.shape
+    out = np.empty((len(X), m), dtype=np.int32)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        d2 = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ codebooks[s].T
+            + (codebooks[s] * codebooks[s]).sum(axis=1)
+        )
+        out[:, s] = d2.argmin(axis=1)
+    return out
+
+
+def _pq_decode_np(C: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) code ids -> (n, dim) reconstructed vectors."""
+    m = codebooks.shape[0]
+    return np.concatenate(
+        [codebooks[s][np.asarray(C[:, s], dtype=np.int64)] for s in range(m)],
+        axis=1,
+    )
+
+
+def _sample_mse(X: np.ndarray, codebooks: np.ndarray) -> float:
+    """Mean squared reconstruction L2 per vector — the frozen training
+    baseline the drift audit compares against."""
+    Xh = _pq_decode_np(_pq_encode_np(X, codebooks), codebooks)
+    return float(((X - Xh) ** 2).sum(axis=1).mean())
+
+
 class PQIndex:
     """`codebooks`: (m, k, dsub) float64, driver-side (constant size);
-    `codes`: DataFrame (vec_id bigint, codes array<int>), distributed."""
+    `codes`: DataFrame (vec_id bigint, codes array<int>), distributed.
+
+    Maintained state for continuous ingest (VERDICT r6 #1 — the PQ twin
+    of LSHIndex::add, reference src/db/lsh.rs:440-466): add() encodes a
+    new batch with the FROZEN codebooks and appends, `appends`/`n_added`
+    count toward a needs_retrain() trigger, and drift_audit() measures
+    whether the frozen codebooks still fit new data (mean reconstruction
+    error vs the frozen training-sample baseline)."""
 
     def __init__(
         self,
@@ -81,11 +121,19 @@ class PQIndex:
         corpus: DataFrame,
         codebooks: np.ndarray,
         codes: DataFrame,
+        n_trained: int = 0,
+        n_added: int = 0,
+        appends: int = 0,
+        train_mse: float | None = None,
     ):
         self.spark = spark
         self.corpus = corpus  # (vec_id, emb array<double>)
         self.codebooks = codebooks
         self.codes = codes
+        self.n_trained = n_trained  # corpus rows the codebooks saw
+        self.n_added = n_added  # rows appended since (re)train
+        self.appends = appends  # add() calls since (re)train/compact
+        self.train_mse = train_mse  # frozen training-sample baseline
 
     @classmethod
     def train(
@@ -124,7 +172,16 @@ class PQIndex:
             ]
         )  # (m, k, dsub)
         codes = cls._encode(corpus, codebooks).localCheckpoint()
-        return cls(spark, corpus, codebooks, codes)
+        return cls(
+            spark,
+            corpus,
+            codebooks,
+            codes,
+            # the count is a cheap scan of the just-checkpointed blocks;
+            # the baseline is numpy over the already-collected sample
+            n_trained=codes.count(),
+            train_mse=_sample_mse(X, codebooks),
+        )
 
     @staticmethod
     def _encode(corpus: DataFrame, codebooks: np.ndarray) -> DataFrame:
@@ -136,20 +193,10 @@ class PQIndex:
         def op(batches):
             for pdf in batches:
                 M = np.array(pdf["emb"].tolist(), dtype=np.float64)
-                n = len(M)
-                out = np.empty((n, m), dtype=np.int32)
-                for s in range(m):
-                    sub = M[:, s * dsub : (s + 1) * dsub]
-                    d2 = (
-                        (sub * sub).sum(axis=1, keepdims=True)
-                        - 2.0 * sub @ cb[s].T
-                        + (cb[s] * cb[s]).sum(axis=1)
-                    )
-                    out[:, s] = d2.argmin(axis=1)
                 yield pd.DataFrame(
                     {
                         "vec_id": np.asarray(pdf["vec_id"], dtype=np.int64),
-                        "codes": list(out),
+                        "codes": list(_pq_encode_np(M, cb)),
                     }
                 )
 
@@ -157,20 +204,125 @@ class PQIndex:
             op, "vec_id bigint, codes array<int>"
         )
 
-    def save(self, path: str) -> None:
+    # -- incremental maintenance (VERDICT r6 #1) --------------------------
+
+    def add(self, new_corpus: DataFrame, path: str | None = None) -> int:
+        """Append a new batch (vec_id, emb) WITHOUT retraining: encode
+        with the frozen codebooks (one distributed pass, no shuffle) and
+        union into codes/corpus.  With `path` (a save() dir), the new
+        rows are also append-written to the saved parquet tables, so a
+        long-lived on-disk index absorbs ingest batches in place.
+
+        Returns the rows added.  Quantization quality for the new rows
+        depends on the codebooks still fitting their distribution —
+        measure with drift_audit(); retrain when needs_retrain() or the
+        audit ratio drifts.  At 100 TB this is the difference between a
+        per-batch encode pass and a full corpus re-encode."""
+        new = new_corpus.select("vec_id", "emb").localCheckpoint()
+        new_codes = self._encode(new, self.codebooks).localCheckpoint()
+        n = new_codes.count()
+        self.codes = self.codes.unionByName(new_codes)
+        self.corpus = self.corpus.unionByName(new)
+        self.appends += 1
+        self.n_added += n
+        if path is not None:
+            new_codes.write.mode("append").parquet(f"{path}/codes")
+            new.write.mode("append").parquet(f"{path}/embeddings")
+            self._write_meta(path)  # counters already reflect this batch
+        return n
+
+    def needs_retrain(self, added_frac: float = 0.5) -> bool:
+        """Retrain trigger: the appended mass exceeds `added_frac` of
+        the rows the codebooks were trained against.  Pair with
+        drift_audit() — volume alone does not imply drift, and a
+        distribution shift can warrant retraining far earlier."""
+        return self.n_added > added_frac * max(self.n_trained, 1)
+
+    def retrain(self, iters: int = 10, seed: int = 42,
+                sample_rows: int = 16_384) -> "PQIndex":
+        """Fresh codebooks over the CURRENT corpus (base + appends) and
+        a full re-encode — the heavy operation add() amortizes."""
+        m, k, _ = self.codebooks.shape
+        return PQIndex.train(
+            self.spark, "", m=m, k=k, iters=iters, seed=seed,
+            sample_rows=sample_rows, corpus=self.corpus,
+        )
+
+    def compact(self) -> "PQIndex":
+        """Collapse the union lineage a run of add()s builds up (each
+        add chains one union node; hundreds would bloat planning) into
+        checkpointed blocks.  Codebooks and counters are unchanged —
+        this is file/lineage hygiene, not retraining."""
+        return PQIndex(
+            self.spark,
+            self.corpus.localCheckpoint(),
+            self.codebooks,
+            self.codes.localCheckpoint(),
+            n_trained=self.n_trained,
+            n_added=self.n_added,
+            appends=0,
+            train_mse=self.train_mse,
+        )
+
+    def drift_audit(self, batch: DataFrame, label: str = "batch") -> DataFrame:
+        """One row (split, n, mse, ratio): mean squared reconstruction
+        error of `batch` (vec_id, emb) under the FROZEN codebooks,
+        relative to the frozen training-sample baseline.  ratio ≈ 1
+        means the codebooks still fit; a sustained ratio ≫ 1 is the
+        staleness signal that should trigger retrain() even before
+        needs_retrain()'s volume threshold.  The scan is one distributed
+        mapInPandas pass emitting per-Arrow-batch partial sums — only
+        (n, sse) partials reach the driver."""
+        cb = self.codebooks.copy()
+
+        def op(batches):
+            for pdf in batches:
+                X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                Xh = _pq_decode_np(_pq_encode_np(X, cb), cb)
+                yield pd.DataFrame(
+                    {"n": [len(X)], "sse": [float(((X - Xh) ** 2).sum())]}
+                )
+
+        row = (
+            batch.select("emb")
+            .mapInPandas(op, "n bigint, sse double")
+            .agg(F.sum("n").alias("n"), F.sum("sse").alias("sse"))
+            .collect()[0]
+        )
+        n = int(row.n or 0)
+        mse = float(row.sse) / n if n else 0.0
+        base = self.train_mse if self.train_mse else None
+        ratio = mse / base if base else float("nan")
+        return self.spark.createDataFrame(
+            [(label, n, mse, ratio)],
+            "split string, n bigint, mse double, ratio double",
+        )
+
+    def _write_meta(self, path: str) -> None:
         import json
 
         from zebra_spark.fsutil import write_text
 
+        write_text(
+            self.spark,
+            f"{path}/metadata.json",
+            json.dumps(
+                {
+                    "codebooks": self.codebooks.tolist(),
+                    "n_trained": self.n_trained,
+                    "n_added": self.n_added,
+                    "appends": self.appends,
+                    "train_mse": self.train_mse,
+                }
+            ),
+        )
+
+    def save(self, path: str) -> None:
         self.codes = self.codes.localCheckpoint()
         self.corpus = self.corpus.localCheckpoint()
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")
         self.corpus.write.mode("overwrite").parquet(f"{path}/embeddings")
-        write_text(
-            self.spark,
-            f"{path}/metadata.json",
-            json.dumps({"codebooks": self.codebooks.tolist()}),
-        )
+        self._write_meta(path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PQIndex":
@@ -178,14 +330,16 @@ class PQIndex:
 
         from zebra_spark.fsutil import read_text
 
-        codebooks = np.array(
-            json.loads(read_text(spark, f"{path}/metadata.json"))["codebooks"]
-        )
+        meta = json.loads(read_text(spark, f"{path}/metadata.json"))
         return cls(
             spark,
             spark.read.parquet(f"{path}/embeddings"),
-            codebooks,
+            np.array(meta["codebooks"]),
             spark.read.parquet(f"{path}/codes"),
+            n_trained=int(meta.get("n_trained", 0)),
+            n_added=int(meta.get("n_added", 0)),
+            appends=int(meta.get("appends", 0)),
+            train_mse=meta.get("train_mse"),
         )
 
     def reconstruct(self) -> DataFrame:

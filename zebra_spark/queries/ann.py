@@ -319,3 +319,38 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         zf_rnd(F.col("n_hit") / F.col("n_exact")).alias("recall")
     )
     return ann.crossJoin(F.broadcast(stats))
+
+
+@query("q_index_drift")
+def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-drift audit for the PQ family (VERDICT r6 #1): train
+    PQ codebooks on the 90% base corpus (vec_id % 10 != 0), then score
+    mean reconstruction error under the FROZEN codebooks for (a) the
+    frozen training sample (ratio 1 by construction), (b) the held-out
+    10% ingest batch — same distribution, so ratio stays near 1 — and
+    (c) the same batch synthetically shifted (3x + 1 per component),
+    the staleness signal that should trigger retrain() long before the
+    volume threshold.  rows-only: k-means codebooks are not
+    SQL-expressible; the BINDS contract (same-dist ratio < shifted
+    ratio, shifted ratio > 5) is asserted in tests/test_pq.py."""
+    from zebra_spark.index.pq import PQIndex
+
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    idx = PQIndex.train(spark, sf_dir, corpus=base)
+    shifted = batch.select(
+        "vec_id", F.expr("transform(emb, x -> 3.0d * x + 1.0d)").alias("emb")
+    )
+    train_row = spark.createDataFrame(
+        [("a_train_sample", int(idx.n_trained), float(idx.train_mse), 1.0)],
+        "split string, n bigint, mse double, ratio double",
+    )
+    out = (
+        train_row.unionByName(idx.drift_audit(batch, "b_batch_same_dist"))
+        .unionByName(idx.drift_audit(shifted, "c_batch_shifted"))
+    )
+    return out.select(
+        "split", "n", zf_rnd(F.col("mse")).alias("mse"),
+        zf_rnd(F.col("ratio")).alias("ratio"),
+    ).orderBy("split")
