@@ -509,3 +509,111 @@ def test_stream_maintain_pair_tables_end_to_end(spark, tmp_path):
 
     release_caches()
     assert (got.n, got.s) == (want.n, want.s) and got.n > 0
+
+
+def test_epoch_mode_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """Exactly-once maintenance (r7): (a) ingesting the corpus in 3
+    epoch-keyed batches yields pairs identical to the batch pair_table;
+    (b) REPLAYING an epoch (the foreachBatch crash-recovery case)
+    changes nothing — the replay recomputes the same delta from the
+    same `epoch < N` state and overwrites its own directory."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import maintain_pair_tables, read_pair_state
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    for part in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == part)
+        maintain_pair_tables(spark, state, batch, epoch_id=part)
+    _, _, pairs = read_pair_state(spark, state)
+    got = pairs.toPandas()
+    want = dd.pair_table(spark, SF_SMOKE).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert len(got) == len(want) > 0
+    assert vhash(got) == vhash(want)
+
+    # replay epoch 1 (as a restarted stream would) — bit-identical state
+    maintain_pair_tables(
+        spark, state, docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1
+    )
+    _, _, pairs2 = read_pair_state(spark, state)
+    assert vhash(pairs2.toPandas()) == vhash(want)
+
+
+def test_compact_pair_state_idempotent(spark, tmp_path):
+    """Compaction folds the per-epoch dirs into one epoch=0 snapshot:
+    rows unchanged, file count reduced, compacting twice == once, and a
+    post-compaction epoch still maintains correctly on top."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        compact_pair_state,
+        maintain_pair_tables,
+        read_pair_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    def n_parquet_files(p):
+        return sum(
+            1 for root, _, files in os.walk(p)
+            for f in files if f.endswith(".parquet")
+        )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    # epochs 0..3 over 4 splits of the first 3 thirds... use 4 batches
+    for part in range(4):
+        batch = docs.filter(F.col("doc_id") % 4 == part)
+        maintain_pair_tables(spark, state, batch, epoch_id=part)
+    before = read_pair_state(spark, state)[2].toPandas()
+    files_before = n_parquet_files(f"{state}/pairs")
+
+    compact_pair_state(spark, state, n_files=2)
+    after = read_pair_state(spark, state)[2].toPandas()
+    assert vhash(after) == vhash(before)
+    assert n_parquet_files(f"{state}/pairs") < files_before
+    assert os.path.isdir(f"{state}/pairs/epoch=0")
+
+    compact_pair_state(spark, state, n_files=2)  # idempotent
+    assert vhash(read_pair_state(spark, state)[2].toPandas()) == vhash(before)
+
+    # the stream resumes: a later epoch on top of the snapshot still
+    # sees the full state (epoch ids only grow past 0)
+    extra = spark.createDataFrame(
+        [(10_000_000, "a brand new document entirely")],
+        "doc_id bigint, text string",
+    )
+    maintain_pair_tables(spark, state, extra, epoch_id=5)
+    sigs, _, pairs3 = read_pair_state(spark, state)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert sigs.filter(F.col("doc_id") == 10_000_000).count() > 0
+    assert len(pairs3.toPandas()) >= len(before)

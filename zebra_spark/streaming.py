@@ -393,7 +393,12 @@ def screen_neardups(
     )
 
 
-def maintain_pair_tables(spark: SparkSession, state_dir: str, batch_df: DataFrame) -> None:
+def maintain_pair_tables(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    epoch_id: int | None = None,
+) -> None:
     """Process ONE ingest batch of documents (doc_id, text) against the
     maintained near-dup state under `state_dir`:
 
@@ -403,12 +408,24 @@ def maintain_pair_tables(spark: SparkSession, state_dir: str, batch_df: DataFram
 
     Each batch emits exactly its pair DELTA — batch docs band-joined
     against (state + batch), so a pair appears once, when its later
-    endpoint arrives — then appends its own signatures/token sets.
+    endpoint arrives — then writes its own signatures/token sets.
     This is the streaming twin of queries.dedup.pair_table_delta: after
     ingesting a corpus in any batch split, pairs/ is bit-identical to
-    the batch pair_table (pinned by tests/test_streaming.py).  Used as
-    a foreachBatch body (stream_maintain_pair_tables) or called
-    directly for batch backfill."""
+    the batch pair_table (pinned by tests/test_streaming.py).
+
+    Two write modes (r7 — exactly-once, VERDICT r6 #3):
+    - epoch_id=None (batch backfill): plain mode("append") — the caller
+      guarantees each batch is applied once.
+    - epoch_id=N (foreachBatch): every output lands in hive-style
+      `epoch=N` subdirs with mode("overwrite"), and the state view is
+      `epoch < N`.  A replayed epoch therefore recomputes the SAME
+      delta from the SAME state and overwrites ITS OWN directory —
+      idempotent replay, which is exactly-once without a ledger: the
+      commit marker IS the directory.  (stream_ingest_texts needs its
+      epoch stamp because parquet append is not idempotent; partitioned
+      overwrite is.)  Reads go through read_pair_state, which drops the
+      epoch column; compact_pair_state folds the accumulated epoch dirs
+      into one for file hygiene."""
     from zebra_spark.fsutil import exists as fs_exists
 
     sig_p, tok_p, pair_p = (f"{state_dir}/{n}" for n in ("sigs", "toks", "pairs"))
@@ -425,12 +442,21 @@ def maintain_pair_tables(spark: SparkSession, state_dir: str, batch_df: DataFram
     # (hdfs://, s3a:// — the deployments this path targets) is always
     # False, which would silently omit every new-vs-old pair (ADVICE r6)
     have_state = fs_exists(spark, sig_p)
-    all_bks = (
-        bks.unionByName(spark.read.parquet(sig_p)) if have_state else bks
-    )
+
+    def read_state(path: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        if "epoch" in df.columns:
+            if epoch_id is not None:
+                # replay determinism: state is strictly pre-this-epoch,
+                # even if a crashed later write left epoch >= N dirs
+                df = df.filter(F.col("epoch") < epoch_id)
+            df = df.drop("epoch")
+        return df
+
+    all_bks = bks.unionByName(read_state(sig_p)) if have_state else bks
     all_toks = batch.select("doc_id", "words")
     if have_state:
-        all_toks = all_toks.unionByName(spark.read.parquet(tok_p))
+        all_toks = all_toks.unionByName(read_state(tok_p))
     nk = bks.select(F.col("doc_id").alias("doc_n"), "bk")
     ok = all_bks.select(F.col("doc_id").alias("doc_o"), F.col("bk").alias("bk_o"))
     cand = (
@@ -457,9 +483,66 @@ def maintain_pair_tables(spark: SparkSession, state_dir: str, batch_df: DataFram
             F.size("wb").alias("nb"),
         )
     )
-    delta.write.mode("append").parquet(pair_p)
-    bks.write.mode("append").parquet(sig_p)
-    batch.select("doc_id", "words").write.mode("append").parquet(tok_p)
+    toks_out = batch.select("doc_id", "words")
+    if epoch_id is None:
+        delta.write.mode("append").parquet(pair_p)
+        bks.write.mode("append").parquet(sig_p)
+        toks_out.write.mode("append").parquet(tok_p)
+    else:
+        delta.write.mode("overwrite").parquet(f"{pair_p}/epoch={epoch_id}")
+        bks.write.mode("overwrite").parquet(f"{sig_p}/epoch={epoch_id}")
+        toks_out.write.mode("overwrite").parquet(f"{tok_p}/epoch={epoch_id}")
+
+
+def read_pair_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sigs, toks, pairs) views over a maintained state dir, epoch
+    partition column stripped — what consumers (and
+    dedup.register_maintained_table) should read, valid for both the
+    append layout and the epoch-partitioned exactly-once layout."""
+    out = []
+    for name in ("sigs", "toks", "pairs"):
+        df = spark.read.parquet(f"{state_dir}/{name}")
+        if "epoch" in df.columns:
+            df = df.drop("epoch")
+        out.append(df)
+    return tuple(out)
+
+
+def compact_pair_state(
+    spark: SparkSession, state_dir: str, n_files: int = 4
+) -> None:
+    """File-count hygiene for a long-running maintained state: fold the
+    accumulated per-epoch directories of sigs/ toks/ pairs/ into a
+    single `epoch=0` snapshot of `n_files` files each, swapped in via
+    rename.  Rows are unchanged (idempotent — compacting twice equals
+    once, pinned by tests).
+
+    MUST run at rest: stop the stream and let its last epoch commit
+    first.  Folding into epoch=0 is safe for every FUTURE epoch (ids
+    only grow, so `epoch < N` keeps including the snapshot), but a
+    replay of an epoch that was folded in would re-add its rows — the
+    stream's committed checkpoint is what rules that out."""
+    from zebra_spark.fsutil import exists as fs_exists
+    from zebra_spark.fsutil import rename, rmtree
+
+    for name in ("sigs", "toks", "pairs"):
+        p = f"{state_dir}/{name}"
+        if not fs_exists(spark, p):
+            continue
+        df = spark.read.parquet(p)
+        if "epoch" in df.columns:
+            df = df.drop("epoch")
+        tmp = f"{p}__compact"
+        df.coalesce(n_files).write.mode("overwrite").parquet(
+            f"{tmp}/epoch=0"
+        )
+        old = f"{p}__old"
+        rmtree(spark, old)
+        rename(spark, p, old)
+        rename(spark, tmp, p)
+        rmtree(spark, old)
 
 
 def stream_maintain_pair_tables(
@@ -467,13 +550,18 @@ def stream_maintain_pair_tables(
     checkpoint_dir: str,
 ):
     """Wire maintain_pair_tables as a foreachBatch sink over a document
-    stream (doc_id, text).  At-least-once on restart: a replayed epoch
-    re-appends its delta; exactly-once needs an epoch ledger like
-    stream_ingest_texts' or a transactional table format."""
+    stream (doc_id, text).  EXACTLY-once on restart (r7): each epoch's
+    delta/signatures/token-sets land in their own `epoch=N` dirs via
+    overwrite, so the one epoch foreachBatch replays after a crash
+    recomputes against the same `epoch < N` state and overwrites its
+    own output — no ledger, no duplicate pairs (pinned by
+    tests/test_streaming.py::test_epoch_replay_idempotent).  Read the
+    result via read_pair_state; compact with compact_pair_state once
+    the stream is stopped."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
-            maintain_pair_tables(spark, state_dir, batch_df)
+            maintain_pair_tables(spark, state_dir, batch_df, epoch_id=epoch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(sink)
