@@ -285,3 +285,27 @@ def test_database_auto_compacts_index(spark, tmp_path, monkeypatch):
     # distance (an exact-duplicate embedding is guaranteed present)
     hits = db.query_texts(["seed doc 7"], k=1).collect()
     assert hits[0].dist == 0.0
+
+
+def test_search_ids_df_matches_search_ids(spark, index):
+    """The distributed id-batch path (no driver vector transfer) must
+    return exactly what the driver-side search_ids path returns."""
+    ids = list(range(0, 120))
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+    via_df = (
+        index.search_ids_df(ids_df, k=10, probes=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    via_drv = (
+        index.search_ids(ids, k=10, probes=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert via_df.equals(via_drv)
+    # and the plan is driver-transfer-free: the probe stage is a python
+    # map over the corpus join, not a broadcast of collected keys
+    plan = index.search_ids_df(ids_df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan

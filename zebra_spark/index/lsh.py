@@ -663,6 +663,29 @@ class LSHIndex:
             metric,
         )
 
+    def search_ids_df(
+        self,
+        ids_df: DataFrame,
+        k: int = 10,
+        metric: str = "l2sq",
+        probes: int = 8,
+    ) -> DataFrame:
+        """Corpus-member queries that stay DISTRIBUTED end to end:
+        `ids_df` has one column `vec_id`; the id batch semi-joins to the
+        corpus for its vectors and flows through search_df's
+        executor-side probe path (mapInPandas keys -> bucket join ->
+        re-rank).  search_ids/candidates_for_ids collect the batch's
+        vectors to the driver first — right for CLI-sized batches
+        (their probe keys then broadcast), but an id-batch-proportional
+        driver transfer; this variant removes it, so screening a
+        million corpus members against the forest shuffles instead of
+        funneling vectors through the driver (VERDICT r6 #6).  Parity
+        with search_ids is pinned by tests/test_lsh.py."""
+        q = self.corpus.join(
+            ids_df.select("vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+        return self.search_df(q, k=k, metric=metric, probes=probes)
+
     def search_ids(
         self, ids: Iterable[int], k: int = 10, metric: str = "l2sq", probes: int = 8
     ) -> DataFrame:
