@@ -103,6 +103,11 @@ def main() -> None:
         "q_text_gopher_filters",
         "q_graph_degree_hist",
         "q_eval_decontaminate",
+        # round-7: the nightly composite — all six snapshot-audit
+        # sections over the already-built shared tables (steady-state
+        # cost of "what a user actually runs"), and the PQ drift audit
+        "q_snapshot_audit",
+        "q_index_drift",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -1,0 +1,49 @@
+"""Corpus-snapshot audit composite (zebra_spark/queries/audit.py):
+section wiring byte-equality and summary integrity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import zebra_spark
+from tests.conftest import SF_ORACLE
+from zebra_spark.queries.audit import AUDIT_SECTIONS, snapshot_audit
+
+zebra_spark.load_all_queries()
+
+
+def _vhash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = sorted(tuple(str(v) for v in r) for r in pdf.itertuples(index=False))
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def test_sections_byte_equal_to_individual_queries(spark):
+    """Each snapshot_audit section must be byte-equal to running the
+    individually registered query — the 'one call == the six calls'
+    contract (VERDICT r6 #4)."""
+    frames = snapshot_audit(spark, SF_ORACLE)
+    assert set(frames) == set(AUDIT_SECTIONS)
+    for section, qname in AUDIT_SECTIONS.items():
+        got = frames[section].toPandas()
+        want = zebra_spark.QUERIES[qname](spark, SF_ORACLE).toPandas()
+        assert _vhash(got) == _vhash(want), section
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+
+def test_summary_row_per_section_and_checksum_sensitivity(spark):
+    """q_snapshot_audit: one row per section, stable across runs, and
+    the checksum actually covers the section values (n_rows matches the
+    underlying frame)."""
+    out = zebra_spark.QUERIES["q_snapshot_audit"](spark, SF_ORACLE).toPandas()
+    assert list(out["section"]) == sorted(AUDIT_SECTIONS)
+    for section, qname in AUDIT_SECTIONS.items():
+        n = len(zebra_spark.QUERIES[qname](spark, SF_ORACLE).toPandas())
+        assert out.loc[out.section == section, "n_rows"].iloc[0] == n
+    again = zebra_spark.QUERIES["q_snapshot_audit"](spark, SF_ORACLE).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert out.equals(again)

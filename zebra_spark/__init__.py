@@ -26,6 +26,7 @@ def load_all_queries() -> None:
         dedup,
         ann,
         tpch,
+        audit,
     )
 
 
