@@ -40,13 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already have
-# a driver row (VERDICT r5 #2): the 7 rows-only queries' expected
-# terminal state is a fresh clean `no_oracle` row — in particular
-# q_emb_pca, whose only driver row ever is the r4 canonicalizer error
-# (fixed in r5, proven locally, but never re-run by the driver).
+# a driver row.  r5/r6 used this to refresh the rows-only queries'
+# terminal state (all 7 got clean `no_oracle` rows in r6, so that pin
+# is retired); r7 pins its four NEW queries — two oracled maintenance
+# deltas and two rows-only audits — which would land first anyway as
+# never-driver-checked, but the pin keeps them first even if a later
+# round's additions compete for gate slots.
 _FORCE_FIRST = [
-    "q_emb_pca", "q_ann_pq", "q_ann_ivfpq", "q_knn_lsh",
-    "q_lsh_bucket_counts", "q_multimodal_features", "q_agg_approx",
+    "q_pair_table_delta", "q_cosine_table_delta",
+    "q_snapshot_audit", "q_index_drift",
 ]
 
 _PRIORITY = [

@@ -439,6 +439,41 @@ def pair_table_delta(
     )
 
 
+@query(
+    "q_pair_table_delta",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_CORE}
+    SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.doc_a % 10 = 0 OR i.doc_b % 10 = 0
+    """,
+)
+def q_pair_table_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance path itself, driver-hash-checked:
+    pair_table_delta for the doc_id % 10 == 0 ingest batch must equal
+    the new-involving slice of a full rebuild — the oracle computes
+    that slice from scratch (full band join, then the slice filter), so
+    a delta that misses or invents a pair breaks the hash.  This
+    promotes the r6 contract from pytest-only to the driver gate."""
+    from zebra_spark.io import load
+
+    new_ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return pair_table_delta(spark, sf_dir, new_ids).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+    )
+
+
 def _minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -1205,6 +1240,59 @@ def cosine_pair_table_delta(
     )
     e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
     return _score_pairs(cand, e, vectorized=False)
+
+
+_SQL_COSINE_ASSIGN = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
+              WHERE vec_id < greatest({NDUP_CELLS},
+                CAST(floor((SELECT count(*) FROM e) / {NDUP_PER_CELL}.0)
+                     AS BIGINT))),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {zf.sql_metric("l2sq", a="e.emb", b="s.ce", dim=64)},
+                 s.cell_id) AS rk
+        FROM e CROSS JOIN seeds s
+      ) WHERE rk <= {NDUP_ASSIGN}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    )
+"""
+
+
+@query(
+    "q_cosine_table_delta",
+    oracle=f"""
+    WITH {_SQL_COSINE_ASSIGN.strip()}
+    SELECT c.id_a, c.id_b,
+           {sql_rnd(zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64))}
+             AS dist
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE c.id_a % 10 = 0 OR c.id_b % 10 = 0
+    """,
+)
+def q_cosine_table_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space delta maintenance, driver-hash-checked (the
+    cosine twin of q_pair_table_delta): cosine_pair_table_delta for the
+    vec_id % 10 == 0 ingest batch must equal the oracle's from-scratch
+    IVF-blocked candidate slice with exact cosine distances — so the
+    maintained-table path q_semantic_clusters/q_emb_knn_purity consume
+    via register_maintained_table is itself at the driver gate."""
+    new_ids = (
+        embeddings_d(spark, sf_dir)
+        .select("vec_id")
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+    return cosine_pair_table_delta(spark, sf_dir, new_ids).select(
+        "id_a", "id_b", rnd(F.col("dist")).alias("dist")
+    )
 
 
 def register_maintained_table(
