@@ -87,10 +87,13 @@ def test_neardup_cosine_pair_join_is_blocked(spark):
     assert "CartesianProduct" not in p
     hash_joins = len(re.findall(r"(?:BroadcastHash|ShuffledHash|SortMerge)Join", p))
     assert hash_joins >= 2, p[:2000]  # the two embedding-side joins
-    # exactly one window operator node (the top-R cell rank) — the r2
-    # shape evaluated the assignment window twice, once per side of the
-    # pair self-join
-    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p[:2000]
+    # ZERO window operator nodes in the scoring plan (r7): the top-R
+    # cell-rank window now runs exactly once inside the materialized
+    # cosine_assign_table build, so candidate generation is a parquet
+    # scan of the assignment — the r2 double-evaluation cannot recur
+    # structurally.  (r6 asserted ==1 when the window was inline.)
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 0, p[:2000]
+    assert "Scan parquet" in p, p[:2000]  # the shared assign table
     # ...while the CONSUMER plan is a scan of that table + a
     # distributed partial top-k, nothing recomputed
     pc = plan_of(spark, "q_neardup_cosine")
