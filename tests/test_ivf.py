@@ -127,3 +127,42 @@ def test_ivf_search_df_matches_numpy_path(spark):
         .reset_index(drop=True)
     )
     assert via_df.equals(via_np)
+
+
+def test_ivf_add_and_remove(spark):
+    """Incremental IVF maintenance: added vectors are assigned with the
+    frozen centroids (identical to training-time assignment of the same
+    data) and become searchable; removed ids vanish from corpus and
+    assignments alike."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.index.ivf import IVFIndex, _assign
+    from zebra_spark.io import embeddings_d
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    idx = IVFIndex.train(spark, "", k=8, seed=42, corpus=base)
+    n = idx.add(batch)
+    assert n == batch.count()
+    # assignment of the added rows == frozen-centroid assignment
+    got = (
+        idx.assignments.join(batch.select("vec_id"), "vec_id", "left_semi")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    want = (
+        _assign(batch, idx.centroids)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # an added vector finds itself
+    hit = idx.search_vectors(
+        [[float(x) for x in batch.filter("vec_id = 10").first().emb]],
+        k=1, nprobe=2,
+    ).toPandas()
+    assert hit.neighbor_id.iloc[0] == 10
+
+    ids = spark.createDataFrame([(10,), (20,)], "vec_id bigint")
+    idx.remove(ids)
+    assert idx.corpus.filter(F.col("vec_id").isin(10, 20)).count() == 0
+    assert idx.assignments.filter(F.col("vec_id").isin(10, 20)).count() == 0

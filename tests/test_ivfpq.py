@@ -127,3 +127,21 @@ def test_ivfpq_drift_audit_fires_on_shift(spark):
     same = idx.drift_audit(batch).toPandas().ratio.iloc[0]
     far = idx.drift_audit(shifted).toPandas().ratio.iloc[0]
     assert same < 3.0 < far
+
+
+def test_ivfpq_remove(spark, idx):
+    """remove() on a fresh copy: ids vanish from coded table and corpus."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.index.ivfpq import IVFPQIndex
+    from zebra_spark.io import embeddings_d
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    fresh = IVFPQIndex.train(spark, "", k_coarse=8, m=8, k=16, seed=42,
+                             corpus=e)
+    ids = spark.createDataFrame([(10,), (11,)], "vec_id bigint")
+    fresh.remove(ids)
+    assert fresh.coded.filter(F.col("vec_id").isin(10, 11)).count() == 0
+    assert fresh.corpus.filter(F.col("vec_id").isin(10, 11)).count() == 0
+    got = fresh.search_ids([20], k=10, nprobe=8, refine=400).toPandas()
+    assert not set(got.neighbor_id) & {10, 11}

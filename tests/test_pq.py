@@ -209,3 +209,20 @@ def test_retrain_resets_counters(spark):
     assert fresh.n_added == 0 and fresh.appends == 0
     assert fresh.n_trained == e.count()
     assert fresh.train_mse is not None
+
+
+def test_pq_remove(spark):
+    """remove(): ids vanish from codes and corpus; search no longer
+    returns them (the former self-match yields its next neighbor)."""
+    base = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    idx = PQIndex.train(spark, "", m=8, k=16, seed=42, corpus=base)
+    ids = spark.createDataFrame([(10,)], "vec_id bigint")
+    before = idx.search_ids([20], k=10, refine=200).toPandas()
+    idx.remove(ids)
+    assert idx.codes.filter(F.col("vec_id") == 10).count() == 0
+    assert idx.corpus.filter(F.col("vec_id") == 10).count() == 0
+    after = idx.search_ids([20], k=10, refine=200).toPandas()
+    assert 10 not in set(after.neighbor_id)
+    # the remaining order is the before-order with id 10 dropped
+    keep = [n for n in before.neighbor_id if n != 10][: len(after)]
+    assert list(after.neighbor_id) == keep

@@ -113,6 +113,31 @@ class IVFIndex:
         assignments = _assign(corpus, centroids).localCheckpoint()
         return cls(spark, corpus, centroids, assignments)
 
+    def add(self, new_corpus: DataFrame) -> int:
+        """Incremental maintenance (≙ LSHIndex::add, reference
+        lsh.rs:440-466, and the r7 PQ-family contract): assign a new
+        batch (vec_id, emb) to the FROZEN centroids — one broadcast
+        join, no re-clustering — and union into the index.  Returns
+        rows added.  Cell balance drifts as batches accumulate;
+        cell_sizes() is the audit, retraining restores it."""
+        new = new_corpus.select("vec_id", "emb").localCheckpoint()
+        new_assign = _assign(new, self.centroids).localCheckpoint()
+        n = new_assign.count()
+        self.assignments = self.assignments.unionByName(new_assign)
+        self.corpus = self.corpus.unionByName(new)
+        return n
+
+    def remove(self, ids_df: DataFrame) -> None:
+        """Delete by id (one column `vec_id`) everywhere — corpus and
+        assignments — via anti-join (≙ Database::remove +
+        LSHIndex::remove; complete, like the LSH path, where the
+        reference strips only root leaves at lsh.rs:487)."""
+        ids = ids_df.select("vec_id")
+        self.assignments = self.assignments.join(
+            ids, "vec_id", "left_anti"
+        ).localCheckpoint()
+        self.corpus = self.corpus.join(ids, "vec_id", "left_anti").localCheckpoint()
+
     def save(self, path: str) -> None:
         import json
 

@@ -212,6 +212,16 @@ class IVFPQIndex:
             self._write_meta(path)  # counters already reflect this batch
         return n
 
+    def remove(self, ids_df: DataFrame) -> None:
+        """Delete by id (one column `vec_id`) from the coded table and
+        corpus via anti-join — see PQIndex.remove for the counter
+        convention."""
+        ids = ids_df.select("vec_id")
+        self.coded = self.coded.join(ids, "vec_id", "left_anti").localCheckpoint()
+        self.corpus = self.corpus.join(
+            ids, "vec_id", "left_anti"
+        ).localCheckpoint()
+
     def needs_retrain(self, added_frac: float = 0.5) -> bool:
         return self.n_added > added_frac * max(self.n_trained, 1)
 

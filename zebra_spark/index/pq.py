@@ -231,6 +231,18 @@ class PQIndex:
             self._write_meta(path)  # counters already reflect this batch
         return n
 
+    def remove(self, ids_df: DataFrame) -> None:
+        """Delete by id (one column `vec_id`) from codes and corpus via
+        anti-join — complete, like LSHIndex.remove (the reference's
+        partial variant is lsh.rs:487).  Counters are not decremented:
+        n_trained/n_added track what the codebooks have SEEN (the
+        staleness signal), not the live row count."""
+        ids = ids_df.select("vec_id")
+        self.codes = self.codes.join(ids, "vec_id", "left_anti").localCheckpoint()
+        self.corpus = self.corpus.join(
+            ids, "vec_id", "left_anti"
+        ).localCheckpoint()
+
     def needs_retrain(self, added_frac: float = 0.5) -> bool:
         """Retrain trigger: the appended mass exceeds `added_frac` of
         the rows the codebooks were trained against.  Pair with
