@@ -309,3 +309,17 @@ def test_search_ids_df_matches_search_ids(spark, index):
     # map over the corpus join, not a broadcast of collected keys
     plan = index.search_ids_df(ids_df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_candidates_for_ids_df_matches_driver_path(spark, index):
+    ids = list(range(0, 60))
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+    got = (
+        index.candidates_for_ids_df(ids_df)
+        .toPandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    want = (
+        index.candidates_for_ids(ids)
+        .toPandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    assert got.equals(want)

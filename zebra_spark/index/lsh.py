@@ -724,6 +724,34 @@ class LSHIndex:
         )
         return self._candidates(F.broadcast(keys_df))
 
+    def candidates_for_ids_df(
+        self, ids_df: DataFrame, probes: int = 8
+    ) -> DataFrame:
+        """Distributed twin of candidates_for_ids (same contract as
+        search_ids_df vs search_ids): the deduped (query_id, vec_id)
+        candidate set, with probe keys computed executor-side — no
+        id-batch-proportional driver transfer."""
+        q = self.corpus.join(
+            ids_df.select("vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+        normals, constants = self.normals, self.constants
+        split_meta = self.split_meta
+
+        def probe_op(batches):
+            for pdf in batches:
+                M = np.array(pdf["qe"].tolist(), dtype=np.float64)
+                keys = _probe_keys_np(M, normals, constants, split_meta, probes)
+                keys["query_id"] = keys["query_id"].map(
+                    dict(enumerate(pdf["query_id"]))
+                )
+                yield keys.drop_duplicates()
+
+        keys_df = q.mapInPandas(
+            probe_op,
+            "query_id bigint, tree_id int, bucket_id bigint, nbits int",
+        )
+        return self._candidates(keys_df)
+
     def compact(self) -> "LSHIndex":
         """Maintenance: re-cluster the index by tree after a run of
         incremental add()s (which append unions without re-partitioning),
