@@ -617,3 +617,36 @@ def test_compact_pair_state_idempotent(spark, tmp_path):
     release_caches()
     assert sigs.filter(F.col("doc_id") == 10_000_000).count() > 0
     assert len(pairs3.toPandas()) >= len(before)
+
+
+def test_ingest_replay_after_meta_crash(spark, tmp_path):
+    """The previously documented residual window — crash AFTER the
+    batch-manifest rename but BEFORE the metadata write, then foreachBatch
+    replays the epoch — must no longer duplicate rows: the epoch rides
+    the manifest (atomic with the batch commit), and a restarted sink
+    reads that floor from disk."""
+    from zebra_spark.database import ZebraDatabase
+    from zebra_spark.streaming import make_ingest_sink
+
+    db = ZebraDatabase.create(spark, str(tmp_path / "db"), dim=32)
+    sink = make_ingest_sink(db)
+    batch = spark.createDataFrame([("alpha beta",), ("gamma delta",)], "doc string")
+    sink(batch, 0)
+    n_after_commit = db.count()
+    assert n_after_commit == 2
+
+    # simulate the crash: on-disk metadata regresses to the pre-epoch
+    # state (as if _write_meta never ran), process restarts
+    db.meta["last_stream_epoch"] = -1
+    db._write_meta()
+    db2 = ZebraDatabase.open(spark, str(tmp_path / "db"))
+    assert db2.meta.get("last_stream_epoch", -1) == -1  # stale, as after a crash
+    assert db2.last_manifest_epoch() == 0  # but the manifest proves epoch 0
+
+    sink2 = make_ingest_sink(db2)
+    sink2(batch, 0)  # the replay
+    assert db2.count() == n_after_commit  # no duplicate rows
+
+    # and a genuinely new epoch still applies
+    sink2(spark.createDataFrame([("epsilon zeta",)], "doc string"), 1)
+    assert db2.count() == n_after_commit + 1

@@ -178,6 +178,27 @@ class ZebraDatabase:
             if n.endswith(".json")
         ]
 
+    def last_manifest_epoch(self) -> int:
+        """Highest `stream_epoch` recorded in any batch manifest, -1 if
+        none.  The manifest rename is the batch's atomic commit point,
+        so an epoch read from here is PROVEN applied even if the crash
+        happened before the metadata write — the streaming ingest sink
+        consults this once at (re)start to close that replay window
+        (r7; the window is gone, not merely documented)."""
+        best = -1
+        d = f"{self.path}/_batches"
+        if not os.path.isdir(d):
+            return best
+        for n in os.listdir(d):
+            if not n.endswith(".json"):
+                continue
+            try:
+                with open(f"{d}/{n}") as f:
+                    best = max(best, int(json.load(f).get("stream_epoch", -1)))
+            except (OSError, ValueError):
+                continue
+        return best
+
     def _read(self, table: str, committed_only: bool = True) -> DataFrame | None:
         # crash recovery is _recover_swaps' job (runs at construction);
         # resurrecting a {table}_old would UNDO a delete the
@@ -246,8 +267,14 @@ class ZebraDatabase:
         df = self.spark.createDataFrame([(t,) for t in texts], "doc string")
         return self.insert_documents(df, text_col="doc")
 
-    def insert_documents(self, df: DataFrame, text_col: str = "doc") -> DataFrame:
-        """Embed with the configured model, then append records."""
+    def insert_documents(
+        self,
+        df: DataFrame,
+        text_col: str = "doc",
+        manifest_extra: dict | None = None,
+    ) -> DataFrame:
+        """Embed with the configured model, then append records.
+        `manifest_extra` rides the batch manifest (see insert_records)."""
         # checkpoint BEFORE embedding: hash_tf_embedding joins the tagged
         # frame back to itself on _tmp_id, and monotonically_increasing_id
         # is only stable across the two join branches if the lineage is
@@ -261,7 +288,8 @@ class ZebraDatabase:
                 F.col(text_col).alias("doc"),
                 F.col("embedding"),
                 F.lit("text").alias("modality"),
-            )
+            ),
+            manifest_extra=manifest_extra,
         )
 
     def _embed_frame(self, df: DataFrame, text_col: str) -> DataFrame:
@@ -296,7 +324,10 @@ class ZebraDatabase:
         return self.spark.read.parquet(path)
 
     def insert_records(
-        self, df: DataFrame, reliable: bool = False
+        self,
+        df: DataFrame,
+        reliable: bool = False,
+        manifest_extra: dict | None = None,
     ) -> DataFrame:
         """df: (doc, embedding array<double>[, modality]).  Assigns batch-
         scoped DENSE unique ids (base + 0..n-1) and appends both tables.
@@ -331,6 +362,11 @@ class ZebraDatabase:
                 .m
             )
         base = ((cur_max >> _BATCH_SHIFT) + 1) << _BATCH_SHIFT
+        # caller-supplied fields committed ATOMICALLY with the batch via
+        # the manifest rename — e.g. the streaming sink's stream_epoch,
+        # which makes epoch application provable even if the crash lands
+        # before the metadata write (see last_manifest_epoch)
+        manifest_extra = dict(manifest_extra or {})
         if "modality" not in df.columns:
             df = df.withColumn("modality", F.lit("text"))
         # capture physical provenance BEFORE materializing: _pid/_mid are
@@ -401,7 +437,7 @@ class ZebraDatabase:
         os.makedirs(bdir, exist_ok=True)
         tmp = f"{bdir}/.{base}.json.tmp"
         with open(tmp, "w") as f:
-            json.dump({"base": base, "rows": acc}, f)
+            json.dump({**manifest_extra, "base": base, "rows": acc}, f)
         os.replace(tmp, f"{bdir}/{base}.json")
         self.meta["n_batches"] = batch + 1
         self._write_meta()

@@ -179,41 +179,53 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def make_ingest_sink(db):
+    """The foreachBatch body for stream_ingest_texts, EXACTLY-once (r7):
+
+    The epoch now rides the batch MANIFEST (insert_records'
+    manifest_extra), whose atomic rename is the batch's commit point —
+    so epoch application is provable from disk no matter where a crash
+    lands.  Replay check is two-tier: the fast path is the epoch
+    stamped in db metadata; the floor is the highest stream_epoch in
+    any manifest, scanned ONCE here at wiring time (a crash between
+    manifest rename and metadata write previously replayed that batch
+    as duplicate rows — that residual window is closed, pinned by
+    tests/test_streaming.py::test_ingest_replay_after_meta_crash)."""
+    floor = db.last_manifest_epoch()
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= max(db.meta.get("last_stream_epoch", -1), floor):
+            return  # replayed epoch after restart — already applied
+        # stamp the epoch BEFORE inserting: insert_documents persists the
+        # metadata itself (one durable write covers batch counter and
+        # epoch), and the same epoch rides the manifest as the
+        # crash-proof record
+        db.meta["last_stream_epoch"] = epoch_id
+        if not batch_df.isEmpty():
+            db.insert_documents(
+                batch_df, text_col="doc",
+                manifest_extra={"stream_epoch": epoch_id},
+            )
+        else:
+            db._write_meta()
+
+    return sink
+
+
 def stream_ingest_texts(
     spark: SparkSession, src_dir: str, db, checkpoint_dir: str
 ):
     """Streaming ingest: text documents arriving as files -> embed ->
-    append to a ZebraDatabase via foreachBatch.
-
-    foreachBatch is at-least-once on restart; the sink records the last
-    applied epoch in the database metadata (persisted atomically with
-    the insert's own metadata write) and skips replayed epochs.
-    Residual window: a crash between the parquet append and the
-    metadata write replays that one batch as duplicate ROWS under fresh
-    ids (never id collisions — see insert_records); deduplicate()
-    repairs, or use a transactional table format for exactly-once."""
+    append to a ZebraDatabase via foreachBatch.  Exactly-once on
+    restart — see make_ingest_sink."""
     stream = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", 1)
         .load(src_dir)
         .withColumnRenamed("value", "doc")
     )
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id <= db.meta.get("last_stream_epoch", -1):
-            return  # replayed epoch after restart — already applied
-        # stamp the epoch BEFORE inserting: insert_documents persists the
-        # metadata itself, so one durable write covers both the batch
-        # counter and the epoch — no crash window where the insert
-        # committed but the epoch didn't
-        db.meta["last_stream_epoch"] = epoch_id
-        if not batch_df.isEmpty():
-            db.insert_documents(batch_df, text_col="doc")
-        else:
-            db._write_meta()
-
     return (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(make_ingest_sink(db))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
