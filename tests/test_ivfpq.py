@@ -145,3 +145,20 @@ def test_ivfpq_remove(spark, idx):
     assert fresh.corpus.filter(F.col("vec_id").isin(10, 11)).count() == 0
     got = fresh.search_ids([20], k=10, nprobe=8, refine=400).toPandas()
     assert not set(got.neighbor_id) & {10, 11}
+
+
+def test_search_df_matches_driver_path(spark, idx):
+    """The distributed query-batch path must return the same top-k as
+    the driver-side LUT path for the same queries (exact re-rank makes
+    the outputs identical once refine captures the true candidates)."""
+    ids = list(range(10))
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+    via_df = (
+        idx.search_ids_df(ids_df, k=10, nprobe=12, refine=400)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    via_drv = (
+        idx.search_ids(ids, k=10, nprobe=12, refine=400)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert via_df.equals(via_drv)

@@ -456,6 +456,127 @@ class IVFPQIndex:
             )
         )
 
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        refine: int = 100,
+    ) -> DataFrame:
+        """Distributed IVF-PQ search for LARGE query batches: `queries`
+        is (query_id bigint, qe array<double>) and NOTHING
+        batch-proportional touches the driver (the PQ/LSH search_df
+        contract, extended to the coarse-quantized layout).
+
+        Plan shape:
+        1. probe assignment: one mapInPandas over the query batch emits
+           (query_id, cell_id, qe) — the nprobe nearest frozen
+           centroids per query, centroid matrix in the closure;
+        2. the probe frame joins the coded table on cell_id (the ONLY
+           corpus-sized shuffle, bounded by sum over probed cells of
+           |cell| x queries-probing-it — exactly the ADC work itself);
+        3. applyInPandas per (cell_id, query_id) group builds that
+           query's residual LUT once and scores the cell's codes via
+           numpy take+sum, emitting a partial top-`refine`;
+        4. global per-query top-`refine` window, exact re-rank against
+           the full vectors (distances exact, quantization affects
+           recall only — same guarantee as _search).
+
+        search_ids/_search stay the low-latency path for driver-sized
+        batches (their per-query LUTs ride the scan closure instead of
+        a join).  Results match _search for any refine that captures
+        the true top-k candidates (parity test in tests/test_ivfpq.py)."""
+        cents, cb = self.centroids.copy(), self.codebooks.copy()
+        m, kk, dsub = cb.shape
+        nprobe_ = nprobe
+
+        def probe_op(batches):
+            for pdf in batches:
+                Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
+                d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                probe = np.argsort(d2, axis=1)[:, :nprobe_]  # (nq, nprobe)
+                nq = len(Q)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            np.asarray(pdf["query_id"], dtype=np.int64), nprobe_
+                        ),
+                        "cell_id": probe.reshape(-1).astype(np.int64),
+                        "qe": [q for q in Q for _ in range(nprobe_)],
+                    }
+                )
+
+        probes = queries.select("query_id", "qe").mapInPandas(
+            probe_op, "query_id bigint, cell_id int, qe array<double>"
+        )
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one (cell_id, query_id) group: LUT built once, numpy scan
+            c = int(pdf["cell_id"].iloc[0])
+            q = np.array(pdf["qe"].iloc[0], dtype=np.float64)
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            vids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            r = q - cents[c]
+            lut = np.stack(
+                [
+                    ((r[s * dsub : (s + 1) * dsub][None, :] - cb[s]) ** 2).sum(
+                        axis=1
+                    )
+                    for s in range(m)
+                ]
+            )
+            adist = np.zeros(len(C))
+            for s in range(m):
+                adist += lut[s][C[:, s]]
+            keep = min(refine, len(C))
+            part = np.argpartition(adist, keep - 1)[:keep]
+            return pd.DataFrame(
+                {
+                    "query_id": np.full(keep, int(pdf["query_id"].iloc[0])),
+                    "vec_id": vids[part],
+                    "adist": adist[part],
+                }
+            )
+
+        scored = (
+            self.coded.join(probes, "cell_id")
+            .groupBy("cell_id", "query_id")
+            .applyInPandas(
+                score_group, "query_id bigint, vec_id bigint, adist double"
+            )
+        )
+        wa = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+        cand = (
+            scored.withColumn("crk", F.row_number().over(wa))
+            .filter(F.col("crk") <= refine)
+            .select("query_id", "vec_id")
+        )
+        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        return (
+            cand.join(self.corpus, "vec_id")
+            .join(queries.select("query_id", "qe"), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                zf.l2sq(F.col("qe"), F.col("emb")).alias("dist"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
+            )
+        )
+
+    def search_ids_df(
+        self, ids_df: DataFrame, k: int = 10, nprobe: int = 4, refine: int = 100
+    ) -> DataFrame:
+        """Corpus-member queries, fully distributed (semi-join the id
+        frame to the corpus, then search_df)."""
+        q = self.corpus.join(
+            ids_df.select("vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+        return self.search_df(q, k=k, nprobe=nprobe, refine=refine)
+
     def cell_sizes(self) -> DataFrame:
         return (
             self.coded.groupBy("cell_id")
