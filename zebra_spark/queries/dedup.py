@@ -2248,3 +2248,87 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < 800, "train").when(h < 900, "valid").otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT doc_a AS node FROM edges
+        UNION ALL SELECT doc_b FROM edges
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM edges e1
+      JOIN edges e2 ON e2.doc_a = e1.doc_b
+      JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_tri FROM tri) AS n_triangles,
+           {sql_rnd("(SELECT n_tri FROM tri) * 3.0 /"
+                    " (SELECT sum(d * (d - 1)) / 2 FROM deg)")} AS global_cc
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph: node/edge/wedge/triangle
+    counts and the global clustering coefficient (3·triangles/wedges) —
+    one row.  A high coefficient says near-dups arrive as tight cliques
+    (template families, mirrored sites) rather than chains, which is
+    what justifies cluster-level dedup (keep one rep per component)
+    over pairwise removal.
+
+    Scale shape: edges come FROM THE SHARED PAIR TABLE (one scan, a<b
+    unique rows); triangle enumeration is the standard two-join on
+    oriented edges — join fan-out is exactly the wedge count, the same
+    work any distributed triangle count pays, shuffled on the shared
+    vertex, with AQE skew-splitting the hub vertices.  Output is five
+    numbers; nothing corpus-sized leaves the executors."""
+    edges = _minhash_pairs(spark, sf_dir, N_HASHES, N_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    # wedges centered anywhere: sum over nodes of C(deg, 2)
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # oriented (a<b<c) enumeration: each triangle counted exactly once
+    bc = edges.select(
+        F.col("doc_a").alias("b2"), F.col("doc_b").alias("c2")
+    )
+    ac = edges.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        edges.join(bc, F.col("doc_b") == F.col("b2"))
+        .join(
+            ac,
+            (F.col("doc_a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            rnd(
+                F.col("n_triangles") * 3.0 / F.col("n_wedges")
+            ).alias("global_cc"),
+        )
+    )
