@@ -1416,3 +1416,77 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+_PROFILE_COLS = [
+    # (column, kind) — kind picks the numeric min/max expression;
+    # strings get NULLs (no cross-engine float/string formatting risk)
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = sql_rnd(f"min({c})")
+            mx = sql_rnd(f"max({c})")
+        elif kind == "ts":
+            mn = sql_rnd(f"epoch_us(min({c})) / 86400000000.0")
+            mx = sql_rnd(f"epoch_us(max({c})) / 86400000000.0")
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+            f" count(*) - count({c}) AS n_null,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q_table_profile", oracle=_profile_oracle())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table: per column the
+    row count, null count, exact distinct count, and numeric min/max
+    (timestamps as epoch days; strings get NULL bounds so no
+    cross-engine string/float formatting can perturb the hash) — the
+    statistics block an optimizer or a data-quality monitor reads.
+
+    Scale shape: ONE scan computes every column's aggregates in a
+    single agg (the multi-distinct is Catalyst's expand — 6 distinct
+    columns is a constant fan-out), then a stack() pivots the single
+    row into one row per column.  No per-column re-scan."""
+    t = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(rnd(F.min(c).cast("double")).alias(f"{c}__mn"))
+            aggs.append(rnd(F.max(c).cast("double")).alias(f"{c}__mx"))
+        elif kind == "ts":
+            aggs.append(
+                rnd(F.unix_micros(F.min(c)) / 86400000000.0).alias(f"{c}__mn")
+            )
+            aggs.append(
+                rnd(F.unix_micros(F.max(c)) / 86400000000.0).alias(f"{c}__mx")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mx"))
+    one = t.agg(*aggs)
+    n = len(_PROFILE_COLS)
+    stack = ", ".join(
+        f"'{c}', n_rows - {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c, _ in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({n}, {stack}) AS (col_name, n_null, n_distinct, min_num, max_num)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_num", "max_num")
