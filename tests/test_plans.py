@@ -230,3 +230,27 @@ def test_pagerank_iterations_read_cached_edges(spark):
     p = plan_of(spark, "q_graph_pagerank")
     assert "InMemoryTableScan" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_table_profile_single_scan(spark):
+    """q_table_profile's claim: every column's stats come from ONE scan
+    of orders (multi-distinct via Expand), never a per-column re-scan."""
+    p = plan_of(spark, "q_table_profile")
+    assert scan_count(p) == 1, p[:1500]
+    assert "Expand" in p  # the multi-count-distinct rewrite
+    assert "CartesianProduct" not in p
+
+
+def test_heavy_hitters_windows_counted_vocab(spark):
+    """q_heavy_hitters: the rank window runs over the (source, word)
+    COUNT aggregate, raw tokens shuffle once into it; the per-source
+    totals join is a broadcast."""
+    import re
+
+    p = plan_of(spark, "q_graph_triangles")
+    assert "CartesianProduct" not in p
+    p = plan_of(spark, "q_heavy_hitters")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "CartesianProduct" not in p
+    # exactly one window operator (the per-source rank)
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p[:1500]
