@@ -165,3 +165,91 @@ def test_random_window_shapes(seed, spark, duck):
     import numpy as np
 
     assert np.array_equal(got["run"].values, want["run"].values), (part, n_prec)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_string_chains(seed, spark, duck):
+    """Random string-function chains (upper/lower/substr/concat/length)
+    over orders: expression-semantics drift (collation, 1-indexing,
+    null handling) that fixed queries can miss."""
+    rng = random.Random(3000 + seed)
+    col = rng.choice(["o_orderpriority", "o_orderstatus"])
+    # (spark_builder, sql_fmt) op palette — applied as a chain
+    sp = F.col(col)
+    sql = col
+    for _ in range(rng.randint(1, 3)):
+        op = rng.choice(["upper", "lower", "substr", "concat", "trim"])
+        if op == "upper":
+            sp, sql = F.upper(sp), f"upper({sql})"
+        elif op == "lower":
+            sp, sql = F.lower(sp), f"lower({sql})"
+        elif op == "substr":
+            start = rng.randint(1, 3)
+            ln = rng.randint(1, 6)
+            sp = F.substring(sp, start, ln)
+            sql = f"substr({sql}, {start}, {ln})"
+        elif op == "concat":
+            lit = rng.choice(["_x", "Q", "#9"])
+            sp = F.concat(sp, F.lit(lit))
+            sql = f"concat({sql}, '{lit}')"
+        else:
+            sp, sql = F.trim(sp), f"trim({sql})"
+
+    from zebra_spark.io import load
+
+    got = (
+        load(spark, SF_ORACLE, "orders")
+        .select(sp.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(
+            f"SELECT {sql} AS v, count(*) AS n FROM orders GROUP BY v ORDER BY v"
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert got["v"].tolist() == want["v"].tolist(), (seed, sql)
+    assert got["n"].tolist() == want["n"].tolist(), (seed, sql)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_date_arithmetic(seed, spark, duck):
+    """Random date_trunc/offset/format chains over o_orderdate: the
+    calendar-arithmetic drift catcher (truncation boundaries, day
+    offsets across months, formatting)."""
+    rng = random.Random(4000 + seed)
+    unit = rng.choice(["year", "quarter", "month", "week", "day"])
+    offset = rng.randint(-45, 45)
+
+    from zebra_spark.io import load
+
+    got = (
+        load(spark, SF_ORACLE, "orders")
+        .select(
+            F.date_format(
+                F.date_add(F.date_trunc(unit, F.col("o_orderdate")), offset),
+                "yyyy-MM-dd",
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(
+            f"SELECT strftime(date_trunc('{unit}', o_orderdate)"
+            f" + (INTERVAL 1 DAY) * ({offset}), '%Y-%m-%d') AS d,"
+            f" count(*) AS n FROM orders GROUP BY d ORDER BY d"
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert got["d"].tolist() == want["d"].tolist(), (seed, unit, offset)
+    assert got["n"].tolist() == want["n"].tolist(), (seed, unit, offset)
