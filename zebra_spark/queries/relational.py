@@ -1490,3 +1490,47 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         f"stack({n}, {stack}) AS (col_name, n_null, n_distinct, min_num, max_num)",
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_num", "max_num")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    parts = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+        f" {sql_rnd(f'corr({a}, {b})')} AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q_corr_matrix", oracle=_corr_oracle())
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns (the
+    upper triangle, 6 pairs) — the statistics block behind feature
+    selection and redundancy pruning.
+
+    Scale shape: ONE scan computes every pairwise corr in a single agg
+    (each is a co-moment aggregate with map-side partials), then
+    stack() pivots the row — no per-pair re-scan, no driver math."""
+    t = load(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs = [
+        rnd(F.corr(a, b)).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    one = t.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"
+    )
