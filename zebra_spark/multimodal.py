@@ -162,3 +162,62 @@ def to_multimodal(df: DataFrame, id_col: str, content_col: str, modality: str) -
             F.lit("n_bytes"), F.length(content_col).cast("string")
         ).alias("meta"),
     )
+
+
+def audio_windows(
+    df: DataFrame,
+    sample_rate: int = 16_000,
+    win_ms: int = 400,
+    hop_ms: int = 200,
+    n_mels: int = 16,
+) -> DataFrame:
+    """Audio windowing + per-window features (stub decode): treat each
+    blob as 16-bit PCM at `sample_rate`, slice into overlapping
+    windows (win_ms long, hop_ms apart), and emit one deterministic
+    `n_mels`-dim feature vector per window — the plumbing shape of a
+    spectrogram/mel front-end (whisper-style framing), with the real
+    librosa/torchaudio transform droppable into the same mapInPandas
+    without touching the Spark side.
+
+    Per-row output fan-out is duration/hop (bounded by blob size);
+    windows of one blob stay in its Arrow batch, so the op is one
+    shuffle-free pass and downstream aggs (per-id pooling) shuffle on
+    `id` only."""
+    bytes_per_win = int(sample_rate * win_ms / 1000) * 2
+    bytes_per_hop = int(sample_rate * hop_ms / 1000) * 2
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                n = max(1, (max(len(content) - bytes_per_win, 0))
+                        // bytes_per_hop + 1)
+                for w in range(n):
+                    chunk = content[
+                        w * bytes_per_hop : w * bytes_per_hop + bytes_per_win
+                    ]
+                    # deterministic fake mel vector from the window bytes
+                    # (real path: rfft/mel filterbank over the PCM)
+                    h = hashlib.sha256(chunk).digest()
+                    feats = [
+                        (int.from_bytes(h[2 * i : 2 * i + 2], "little")
+                         / 65535.0)
+                        for i in range(n_mels)
+                    ]
+                    rows.append(
+                        {
+                            "id": r.id,
+                            "win_no": w,
+                            "start_ms": w * hop_ms,
+                            "features": feats,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "win_no", "start_ms", "features"]
+            )
+
+    return df.mapInPandas(
+        op,
+        schema="id bigint, win_no int, start_ms int, features array<double>",
+    )
