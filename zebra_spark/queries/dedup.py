@@ -2332,3 +2332,85 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+@query(
+    "q_semantic_incremental",
+    oracle=f"""
+    WITH {_SQL_COSINE_ASSIGN.strip()},
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             {zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64)} AS dist
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b
+      WHERE (c.id_a % 10 = 0) <> (c.id_b % 10 = 0)
+    ),
+    oriented AS (
+      SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS vec_id,
+             CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS match_id,
+             dist
+      FROM scored WHERE dist <= {SEMC_TH}
+    ),
+    best AS (
+      SELECT vec_id, match_id, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, match_id) AS rk
+      FROM oriented
+    )
+    SELECT v.vec_id,
+           CAST(CASE WHEN b.match_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS is_dup,
+           coalesce(b.match_id, -1) AS dup_of,
+           {sql_rnd("coalesce(b.dist, -1.0)")} AS cos_dist
+    FROM (SELECT vec_id FROM e WHERE vec_id % 10 = 0) v
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.vec_id = v.vec_id
+    """,
+)
+def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest SEMANTIC screen — the embedding-space twin of
+    q_dedup_incremental: flag each new vector (vec_id % 10 == 0) as a
+    paraphrase-duplicate of its closest corpus match (cosine distance
+    <= {SEMC_TH}) or as novel.  Rides cosine_pair_table_delta, so the
+    driver gate checks the same maintained-delta path a production
+    semantic-dedup ingest runs; together with the lexical screen this
+    is the two-view ingest gate (copies AND paraphrases)."""
+    new_ids = (
+        embeddings_d(spark, sf_dir)
+        .select("vec_id")
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+    delta = cosine_pair_table_delta(spark, sf_dir, new_ids)
+    flags = new_ids.withColumn("_n", F.lit(1))
+    fa = flags.select(F.col("vec_id").alias("id_a"), F.col("_n").alias("an"))
+    fb = flags.select(F.col("vec_id").alias("id_b"), F.col("_n").alias("bn"))
+    oriented = (
+        delta.join(fa, "id_a", "left")
+        .join(fb, "id_b", "left")
+        .filter(F.coalesce("an", F.lit(0)) != F.coalesce("bn", F.lit(0)))
+        .select(
+            F.when(F.col("an") == 1, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("vec_n"),
+            F.when(F.col("an") == 1, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("match_id"),
+            "dist",
+        )
+        .filter(F.col("dist") <= SEMC_TH)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_n").orderBy("dist", "match_id")
+    best = (
+        oriented.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_n", "match_id", "dist")
+    )
+    return new_ids.join(best, new_ids.vec_id == best.vec_n, "left").select(
+        "vec_id",
+        F.when(F.col("match_id").isNull(), 0).otherwise(1).cast("int")
+        .alias("is_dup"),
+        F.coalesce(F.col("match_id"), F.lit(-1).cast("bigint")).alias("dup_of"),
+        rnd(F.coalesce(F.col("dist"), F.lit(-1.0))).alias("cos_dist"),
+    )
