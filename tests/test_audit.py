@@ -47,3 +47,34 @@ def test_summary_row_per_section_and_checksum_sensitivity(spark):
 
     release_caches()
     assert out.equals(again)
+
+
+def test_snapshot_audit_consumes_maintained_tables(spark, tmp_path):
+    """The nightly composite over externally MAINTAINED artifacts: write
+    both pair tables where an ingest pipeline would, register them, and
+    the full audit summary must equal the session-rebuilt one — the
+    end-to-end wiring a 100 TB deployment runs."""
+    from zebra_spark.queries import dedup as dd
+
+    want = zebra_spark.QUERIES["q_snapshot_audit"](spark, SF_ORACLE).toPandas()
+
+    pair_p = str(tmp_path / "pairs")
+    cos_p = str(tmp_path / "cosine_pairs")
+    dd.pair_table(spark, SF_ORACLE).write.mode("overwrite").parquet(pair_p)
+    dd.cosine_pair_table(spark, SF_ORACLE).write.mode("overwrite").parquet(cos_p)
+
+    prev_pair = dd.register_maintained_table("minhash", SF_ORACLE, pair_p)
+    prev_cos = dd.register_maintained_table("cosine", SF_ORACLE, cos_p)
+    try:
+        got = zebra_spark.QUERIES["q_snapshot_audit"](
+            spark, SF_ORACLE
+        ).toPandas()
+    finally:
+        if prev_pair is not None:
+            dd.register_maintained_table("minhash", SF_ORACLE, prev_pair)
+        if prev_cos is not None:
+            dd.register_maintained_table("cosine", SF_ORACLE, prev_cos)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert got.equals(want)
