@@ -162,3 +162,26 @@ def test_search_df_matches_driver_path(spark, idx):
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert via_df.equals(via_drv)
+
+
+def test_nprobe_clamped_to_cell_count(spark, idx):
+    """nprobe > k_coarse (reachable when tuning recall on a small
+    index) must behave as nprobe == k_coarse on BOTH search paths —
+    previously search_df's probe expansion emitted mismatched column
+    lengths (ADVICE r7)."""
+    ids = list(range(5))
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+    over = (
+        idx.search_ids_df(ids_df, k=5, nprobe=99, refine=400)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    exact_probe = (
+        idx.search_ids_df(ids_df, k=5, nprobe=16, refine=400)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert over.equals(exact_probe)
+    drv = (
+        idx.search_ids(ids, k=5, nprobe=99, refine=400)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert drv.equals(exact_probe)

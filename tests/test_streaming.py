@@ -556,7 +556,7 @@ def test_epoch_mode_equals_batch_and_replay_idempotent(spark, tmp_path):
 
 
 def test_compact_pair_state_idempotent(spark, tmp_path):
-    """Compaction folds the per-epoch dirs into one epoch=0 snapshot:
+    """Compaction folds the per-epoch dirs into one epoch=-1 snapshot:
     rows unchanged, file count reduced, compacting twice == once, and a
     post-compaction epoch still maintains correctly on top."""
     import hashlib
@@ -599,7 +599,9 @@ def test_compact_pair_state_idempotent(spark, tmp_path):
     after = read_pair_state(spark, state)[2].toPandas()
     assert vhash(after) == vhash(before)
     assert n_parquet_files(f"{state}/pairs") < files_before
-    assert os.path.isdir(f"{state}/pairs/epoch=0")
+    # epoch=-1, not 0: a fresh-checkpoint stream's first epoch (0) must
+    # never be able to overwrite the folded history
+    assert os.path.isdir(f"{state}/pairs/epoch=-1")
 
     compact_pair_state(spark, state, n_files=2)  # idempotent
     assert vhash(read_pair_state(spark, state)[2].toPandas()) == vhash(before)
@@ -650,3 +652,126 @@ def test_ingest_replay_after_meta_crash(spark, tmp_path):
     # and a genuinely new epoch still applies
     sink2(spark.createDataFrame([("epsilon zeta",)], "doc string"), 1)
     assert db2.count() == n_after_commit + 1
+
+
+def test_recover_state_swaps_crash_window(spark, tmp_path):
+    """ADVICE r7 (medium): a crash inside compact_state's swap —
+    between rename(p, __old) and rename(__compact, p) — leaves the live
+    dir absent.  Every maintain/read entry must roll the swap forward
+    (or back) instead of silently treating the state as empty."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.streaming import (
+        maintain_pair_tables,
+        read_pair_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    for part in range(2):
+        maintain_pair_tables(
+            spark, state, docs.filter(F.col("doc_id") % 2 == part),
+            epoch_id=part,
+        )
+    want = vhash(read_pair_state(spark, state)[2].toPandas())
+
+    # crash mid-swap: live dir renamed away, snapshot sits in __compact
+    shutil.copytree(f"{state}/pairs", f"{state}/pairs__compact")
+    os.rename(f"{state}/pairs", f"{state}/pairs__old")
+    got = vhash(read_pair_state(spark, state)[2].toPandas())  # recovers
+    assert got == want
+    assert os.path.isdir(f"{state}/pairs")
+    assert not os.path.exists(f"{state}/pairs__compact")
+    assert not os.path.exists(f"{state}/pairs__old")
+
+    # crash after rename(p, old) with __compact already promoted (or a
+    # pre-compact crash): only __old remains — roll back
+    os.rename(f"{state}/sigs", f"{state}/sigs__old")
+    sigs = read_pair_state(spark, state)[0]
+    assert sigs.count() > 0
+    assert os.path.isdir(f"{state}/sigs")
+
+    # a maintain call on a recovered dir still sees the state: the next
+    # epoch's delta is computed against the FULL prior state, and the
+    # post-recovery table equals the uncrashed twin
+    os.rename(f"{state}/pairs", f"{state}/pairs__old")  # crash again
+    extra = spark.createDataFrame(
+        [(10_000_000, "a brand new document entirely")],
+        "doc_id bigint, text string",
+    )
+    maintain_pair_tables(spark, state, extra, epoch_id=2)
+    pairs = read_pair_state(spark, state)[2].toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert vhash(pairs[pairs.doc_b < 10_000_000]) == want
+
+
+def test_mixed_state_layout_rejected(spark, tmp_path):
+    """ADVICE r7 (low): backfill appends (flat part- files) and epoch
+    mode (epoch=N subdirs) must not mix in one state_dir — the write
+    that would corrupt the layout fails fast with a clear error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.streaming import compact_pair_state, maintain_pair_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    a, b = docs.filter(F.col("doc_id") % 2 == 0), docs.filter(
+        F.col("doc_id") % 2 == 1
+    )
+
+    # backfill first, then an epoch write -> rejected
+    flat = str(tmp_path / "flat")
+    maintain_pair_tables(spark, flat, a, epoch_id=None)
+    with pytest.raises(ValueError, match="backfill append"):
+        maintain_pair_tables(spark, flat, b, epoch_id=7)
+    # ... but compaction folds flat -> epoch layout, after which epoch
+    # mode is legal (the documented migration path)
+    compact_pair_state(spark, flat, n_files=1)
+    maintain_pair_tables(spark, flat, b, epoch_id=7)
+
+    # epoch mode first, then a backfill append -> rejected
+    ep = str(tmp_path / "ep")
+    maintain_pair_tables(spark, ep, a, epoch_id=0)
+    with pytest.raises(ValueError, match="epoch mode"):
+        maintain_pair_tables(spark, ep, b, epoch_id=None)
+
+
+def test_ingest_sink_failure_unwinds_epoch_stamp(spark, tmp_path):
+    """ADVICE r7 (low): if insert_documents RAISES (job failure, not a
+    process crash), the in-memory last_stream_epoch must roll back —
+    otherwise a retried/restarted stream reusing the same db object
+    skips the replayed epoch and its rows are lost."""
+    import pytest
+
+    from zebra_spark.database import ZebraDatabase
+    from zebra_spark.streaming import make_ingest_sink
+
+    db = ZebraDatabase.create(spark, str(tmp_path / "db"), dim=32)
+    sink = make_ingest_sink(db)
+
+    bad = spark.createDataFrame([("alpha beta",)], "wrong_col string")
+    with pytest.raises(Exception):
+        sink(bad, 0)  # text_col="doc" missing -> the insert raises
+    assert db.meta.get("last_stream_epoch", -1) == -1  # unwound
+
+    good = spark.createDataFrame([("alpha beta",)], "doc string")
+    sink(good, 0)  # the stream's retry of the SAME epoch must apply
+    assert db.count() == 1
+    assert db.meta["last_stream_epoch"] == 0

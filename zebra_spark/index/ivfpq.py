@@ -365,6 +365,7 @@ class IVFPQIndex:
         cents, cb = self.centroids, self.codebooks
         m, kk, dsub = cb.shape
         nq = len(qids)
+        nprobe = min(nprobe, len(cents))  # same clamp as search_df
 
         # nprobe nearest cells per query (numpy over the small centroid
         # matrix), then per-(query, probed-cell) residual LUTs — size
@@ -488,7 +489,11 @@ class IVFPQIndex:
         the true top-k candidates (parity test in tests/test_ivfpq.py)."""
         cents, cb = self.centroids.copy(), self.codebooks.copy()
         m, kk, dsub = cb.shape
-        nprobe_ = nprobe
+        # clamp: argsort slice below yields min(nprobe, k_coarse)
+        # columns, but np.repeat and the qe expansion use nprobe_ — an
+        # oversized nprobe (recall tuning on a small index) would emit
+        # mismatched column lengths (ADVICE r7)
+        nprobe_ = min(nprobe, len(cents))
 
         def probe_op(batches):
             for pdf in batches:

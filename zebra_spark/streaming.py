@@ -194,20 +194,29 @@ def make_ingest_sink(db):
     floor = db.last_manifest_epoch()
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id <= max(db.meta.get("last_stream_epoch", -1), floor):
+        prev = db.meta.get("last_stream_epoch", -1)
+        if epoch_id <= max(prev, floor):
             return  # replayed epoch after restart — already applied
         # stamp the epoch BEFORE inserting: insert_documents persists the
         # metadata itself (one durable write covers batch counter and
         # epoch), and the same epoch rides the manifest as the
         # crash-proof record
         db.meta["last_stream_epoch"] = epoch_id
-        if not batch_df.isEmpty():
-            db.insert_documents(
-                batch_df, text_col="doc",
-                manifest_extra={"stream_epoch": epoch_id},
-            )
-        else:
-            db._write_meta()
+        try:
+            if not batch_df.isEmpty():
+                db.insert_documents(
+                    batch_df, text_col="doc",
+                    manifest_extra={"stream_epoch": epoch_id},
+                )
+            else:
+                db._write_meta()
+        except BaseException:
+            # a failed insert (job failure, not process crash) must not
+            # poison the in-memory stamp: the stream may retry or be
+            # restarted on the SAME db object, and a stale stamp would
+            # skip the replayed epoch and lose its rows (ADVICE r7)
+            db.meta["last_stream_epoch"] = prev
+            raise
 
     return sink
 
@@ -440,7 +449,8 @@ def maintain_pair_tables(
       into one for file hygiene."""
     from zebra_spark.fsutil import exists as fs_exists
 
-    sig_p, tok_p, pair_p = (f"{state_dir}/{n}" for n in ("sigs", "toks", "pairs"))
+    recover_state_swaps(spark, state_dir, PAIR_STATE_TABLES)
+    sig_p, tok_p, pair_p = (f"{state_dir}/{n}" for n in PAIR_STATE_TABLES)
     batch = batch_df.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("words"),
@@ -464,6 +474,29 @@ def maintain_pair_tables(
                 df = df.filter(F.col("epoch") < epoch_id)
             df = df.drop("epoch")
         return df
+
+    if have_state:
+        # Layout guard (ADVICE r7): backfill (epoch_id=None) appends
+        # part- files at the table root; epoch mode writes epoch=N
+        # subdirs.  Mixing them in one state_dir makes every later
+        # spark.read fail with "Conflicting directory structures", so
+        # fail fast with the real story instead.
+        epoch_layout = "epoch" in spark.read.parquet(sig_p).columns
+        if epoch_layout and epoch_id is None:
+            raise ValueError(
+                f"state_dir {state_dir!r} was built in exactly-once epoch "
+                "mode (epoch=N subdirs); backfill appends (epoch_id=None) "
+                "would corrupt the layout — pass epoch_id or use a fresh "
+                "state_dir"
+            )
+        if not epoch_layout and epoch_id is not None:
+            raise ValueError(
+                f"state_dir {state_dir!r} was built in backfill append "
+                "mode (flat part- files); epoch-mode writes (epoch_id="
+                f"{epoch_id}) would corrupt the layout — run "
+                "compact_pair_state first (folds to epoch=-1) or use a "
+                "fresh state_dir"
+            )
 
     all_bks = bks.unionByName(read_state(sig_p)) if have_state else bks
     all_toks = batch.select("doc_id", "words")
@@ -513,8 +546,9 @@ def read_pair_state(
     partition column stripped — what consumers (and
     dedup.register_maintained_table) should read, valid for both the
     append layout and the epoch-partitioned exactly-once layout."""
+    recover_state_swaps(spark, state_dir, PAIR_STATE_TABLES)
     out = []
-    for name in ("sigs", "toks", "pairs"):
+    for name in PAIR_STATE_TABLES:
         df = spark.read.parquet(f"{state_dir}/{name}")
         if "epoch" in df.columns:
             df = df.drop("epoch")
@@ -522,24 +556,65 @@ def read_pair_state(
     return tuple(out)
 
 
-def compact_pair_state(
-    spark: SparkSession, state_dir: str, n_files: int = 4
+def recover_state_swaps(
+    spark: SparkSession, state_dir: str, names: tuple[str, ...]
 ) -> None:
-    """File-count hygiene for a long-running maintained state: fold the
-    accumulated per-epoch directories of sigs/ toks/ pairs/ into a
-    single `epoch=0` snapshot of `n_files` files each, swapped in via
-    rename.  Rows are unchanged (idempotent — compacting twice equals
-    once, pinned by tests).
+    """Roll an interrupted compact_state() swap forward (ADVICE r7,
+    mirroring ZebraDatabase._recover_swaps): between `rename(p, old)`
+    and `rename(tmp, p)` the live table dir is ABSENT, so a crash there
+    would make the next maintain_*_tables see have_state=False and
+    silently emit a no-state delta while the real state sits in __old.
+    On object stores the renames are copy+delete, widening the window.
 
-    MUST run at rest: stop the stream and let its last epoch commit
-    first.  Folding into epoch=0 is safe for every FUTURE epoch (ids
-    only grow, so `epoch < N` keeps including the snapshot), but a
-    replay of an epoch that was folded in would re-add its rows — the
-    stream's committed checkpoint is what rules that out."""
+    Per table: if the live dir is missing, restore it — from __compact
+    (written fully before the live dir was renamed away, so it is the
+    complete post-compaction snapshot) or, failing that, from __old.
+    If the live dir exists, any leftover __compact/__old is a
+    pre-commit or post-commit residue carrying the same rows — discard.
+    Called at every maintain/read/compact entry, so no manual repair
+    step exists."""
     from zebra_spark.fsutil import exists as fs_exists
     from zebra_spark.fsutil import rename, rmtree
 
-    for name in ("sigs", "toks", "pairs"):
+    for name in names:
+        p = f"{state_dir}/{name}"
+        tmp, old = f"{p}__compact", f"{p}__old"
+        if fs_exists(spark, p):
+            rmtree(spark, tmp)
+            rmtree(spark, old)
+        elif fs_exists(spark, tmp):
+            rename(spark, tmp, p)
+            rmtree(spark, old)
+        elif fs_exists(spark, old):
+            rename(spark, old, p)
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    names: tuple[str, ...],
+    n_files: int = 4,
+) -> None:
+    """File-count hygiene for a long-running maintained state: fold the
+    accumulated per-epoch directories of each named table into a single
+    `epoch=-1` snapshot of `n_files` files each, swapped in via rename.
+    Rows are unchanged (idempotent — compacting twice equals once,
+    pinned by tests).  Interrupted swaps are rolled forward by
+    recover_state_swaps at every entry point.
+
+    The snapshot partition is epoch=-1, NOT epoch=0: `epoch < N` keeps
+    including it for every real epoch N >= 0, and a stream restarted
+    from a FRESH checkpoint (whose first foreachBatch epoch is 0) can
+    never overwrite the folded history.
+
+    MUST run at rest: stop the stream and let its last epoch commit
+    first.  A replay of an epoch that was folded in would re-add its
+    rows — the stream's committed checkpoint is what rules that out."""
+    from zebra_spark.fsutil import exists as fs_exists
+    from zebra_spark.fsutil import rename, rmtree
+
+    recover_state_swaps(spark, state_dir, names)
+    for name in names:
         p = f"{state_dir}/{name}"
         if not fs_exists(spark, p):
             continue
@@ -548,13 +623,23 @@ def compact_pair_state(
             df = df.drop("epoch")
         tmp = f"{p}__compact"
         df.coalesce(n_files).write.mode("overwrite").parquet(
-            f"{tmp}/epoch=0"
+            f"{tmp}/epoch=-1"
         )
         old = f"{p}__old"
         rmtree(spark, old)
         rename(spark, p, old)
         rename(spark, tmp, p)
         rmtree(spark, old)
+
+
+PAIR_STATE_TABLES = ("sigs", "toks", "pairs")
+
+
+def compact_pair_state(
+    spark: SparkSession, state_dir: str, n_files: int = 4
+) -> None:
+    """compact_state over the lexical near-dup state tables."""
+    compact_state(spark, state_dir, PAIR_STATE_TABLES, n_files=n_files)
 
 
 def stream_maintain_pair_tables(
