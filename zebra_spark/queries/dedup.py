@@ -1140,6 +1140,56 @@ def _neardup_cosine(
     )
 
 
+def _cosine_seeds(e: DataFrame) -> DataFrame:
+    """(cell_id, ce): the frozen IVF seeds of a corpus projection
+    (vec_id, emb) — its vectors with vec_id < C, C = max(NDUP_CELLS,
+    n / NDUP_PER_CELL).  Deterministic, so both engines and every
+    later ingest batch see the same blocking."""
+    n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
+    return e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
+    )
+
+
+def _assign_to_seeds(e: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(vec_id, cell_id): assign every vector of `e` to its NDUP_ASSIGN
+    nearest FROZEN seeds — one broadcast of the seed matrix, one corpus
+    pass (the IVFIndex.add kernel, index/ivf.py, expressed natively).
+    Per-vector ranking is deterministic ((d_seed, cell_id) order) and
+    independent of the other rows, which is exactly what makes
+    assignment a delta-able artifact: assigning any batch split and
+    unioning equals assigning the whole corpus (pinned by
+    tests/test_dedup.py)."""
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("vec_id").orderBy("d_seed", "cell_id")
+    return (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "cell_id",
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
+        )
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= NDUP_ASSIGN)
+        .select("vec_id", "cell_id")
+    )
+
+
+def cosine_seed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell_id, ce): the corpus' frozen seed set as its own derived /
+    maintainable artifact (registry kind 'cosseeds').  Freezing the
+    seeds separately from the assignment is what lets a GENUINELY NEW
+    batch be assigned without touching the corpus: the batch only needs
+    this k x dim table broadcast (cosine_assign_delta)."""
+
+    def build() -> DataFrame:
+        return _cosine_seeds(embeddings_d(spark, sf_dir).select("vec_id", "emb"))
+
+    key = ("cosseeds", str(Path(sf_dir).resolve()))
+    return _derived_table(spark, key, build)
+
+
 def cosine_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell_id): the deterministic IVF multi-assignment behind
     the cosine near-dup surface, materialized once per dataset per
@@ -1149,28 +1199,35 @@ def cosine_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments joined against this table, never a corpus re-pass."""
 
     def build() -> DataFrame:
-        e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
-        n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
-        seeds = e.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
-        )
-        from pyspark.sql import Window
-
-        wv = Window.partitionBy("vec_id").orderBy("d_seed", "cell_id")
-        return (
-            e.crossJoin(F.broadcast(seeds))
-            .select(
-                "vec_id",
-                "cell_id",
-                zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
-            )
-            .withColumn("rk", F.row_number().over(wv))
-            .filter(F.col("rk") <= NDUP_ASSIGN)
-            .select("vec_id", "cell_id")
+        return _assign_to_seeds(
+            embeddings_d(spark, sf_dir).select("vec_id", "emb"),
+            cosine_seed_table(spark, sf_dir),
         )
 
     key = ("cosassign", str(Path(sf_dir).resolve()))
     return _derived_table(spark, key, build)
+
+
+def cosine_assign_delta(
+    spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell_id): assign a batch of GENUINELY NEW vectors
+    (vec_id, emb) against the corpus' FROZEN seeds — the ingest-side
+    entry point of the semantic maintenance loop (VERDICT r7 #1).
+
+    Cost is |batch| x |seeds| with the seed matrix broadcast: no corpus
+    scan, no re-clustering — the frozen-centroid assignment kernel of
+    IVFIndex.add (index/ivf.py) on the dedup blocking's seed set.  The
+    output rows are exactly what assigning corpus ∪ batch against the
+    SAME frozen seeds would add (determinism pinned by
+    tests/test_dedup.py::test_cosine_assign_delta_equals_rebuild;
+    seeds stay frozen between retrains — q_cell_drift is the retrain
+    signal), so the maintained 'cosassign' artifact is `base ∪ delta`
+    and cosine_pair_table_delta(new_vectors=batch) rides it directly."""
+    if seeds is None:
+        seeds = cosine_seed_table(spark, sf_dir)
+    return _assign_to_seeds(new_vectors.select("vec_id", "emb"), seeds)
 
 
 def _cosine_candidates(spark: SparkSession, sf_dir: str):
@@ -1200,7 +1257,10 @@ def _cosine_candidates(spark: SparkSession, sf_dir: str):
 
 
 def cosine_pair_table_delta(
-    spark: SparkSession, sf_dir: str, new_ids: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    new_ids: DataFrame | None = None,
+    new_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, dist): the embedding-space twin of pair_table_delta
     (VERDICT r6 #2) — the exact-cosine scored pairs INVOLVING at least
@@ -1215,12 +1275,34 @@ def cosine_pair_table_delta(
     kernel.  Equivalence to the rebuild slice is pinned by
     tests/test_dedup.py::test_cosine_pair_table_delta; consumers
     (q_semantic_clusters, q_emb_knn_purity) pick up a maintained table
-    via register_maintained_table("cosine", ...)."""
+    via register_maintained_table("cosine", ...).
+
+    Two batch modes (r8, VERDICT r7 #1):
+    - new_ids: the batch is ALREADY in the corpus snapshot and its
+      assign-table rows (snapshot semantics — the original r7 path);
+    - new_vectors (vec_id, emb): the batch is GENUINELY UNSEEN — its
+      assignments come from cosine_assign_delta against the frozen
+      seeds, the corpus side of the cell join is the maintained assign
+      table PLUS those batch assignments (so new-new pairs form), and
+      scoring reads corpus ∪ batch embeddings.  vec_ids must be
+      disjoint from the corpus.  Equivalence to the same-seed rebuild
+      slice is driver-hash-checked (q_cosine_delta_unseen)."""
     assign = cosine_assign_table(spark, sf_dir)
-    newa = assign.join(
-        new_ids.select("vec_id"), "vec_id", "left_semi"
-    ).select(F.col("vec_id").alias("id_n"), "cell_id")
-    other = assign.select(
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    if (new_vectors is None) == (new_ids is None):
+        raise ValueError("pass exactly one of new_ids / new_vectors")
+    if new_vectors is not None:
+        batch = new_vectors.select("vec_id", "emb")
+        batch_assign = cosine_assign_delta(spark, sf_dir, batch)
+        newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
+        other_assign = assign.unionByName(batch_assign)
+        e = e.unionByName(batch)
+    else:
+        newa = assign.join(
+            new_ids.select("vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("id_n"), "cell_id")
+        other_assign = assign
+    other = other_assign.select(
         F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
     )
     # cell-collide new x all, normalize to (id_a < id_b); new-new pairs
@@ -1238,7 +1320,6 @@ def cosine_pair_table_delta(
         )
         .distinct()
     )
-    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
     return _score_pairs(cand, e, vectorized=False)
 
 
@@ -1295,6 +1376,123 @@ def q_cosine_table_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# held-out split shared by the two unseen-batch driver gates: the
+# vec_id % 10 == 0 vectors play a genuinely NEW ingest batch; the rest
+# is the corpus whose count and prefix rows freeze the seed set.
+_SQL_HELDOUT = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+    batch  AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM corpus
+              WHERE vec_id < greatest({NDUP_CELLS},
+                CAST(floor((SELECT count(*) FROM corpus) / {NDUP_PER_CELL}.0)
+                     AS BIGINT)))
+"""
+
+
+def _heldout_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    return (
+        e.filter(F.col("vec_id") % 10 != 0),
+        e.filter(F.col("vec_id") % 10 == 0),
+    )
+
+
+@query(
+    "q_cosine_assign_delta",
+    oracle=f"""
+    WITH {_SQL_HELDOUT.strip()}
+    SELECT vec_id, cell_id FROM (
+      SELECT b.vec_id, s.cell_id,
+             row_number() OVER (PARTITION BY b.vec_id ORDER BY
+               {zf.sql_metric("l2sq", a="b.emb", b="s.ce", dim=64)},
+               s.cell_id) AS rk
+      FROM batch b CROSS JOIN seeds s
+    ) WHERE rk <= {NDUP_ASSIGN}
+    """,
+)
+def q_cosine_assign_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-seed assignment of a genuinely UNSEEN batch, driver-hash-
+    checked (VERDICT r7 #1): the vec_id % 10 == 0 vectors are held out
+    of the corpus entirely — the seed set is frozen on the REMAINING
+    corpus (its count, its prefix rows), and cosine_assign_delta must
+    reproduce the oracle's from-scratch assignment of the batch against
+    those seeds.  This is the ingest entry point of the semantic
+    maintenance loop: its output appends to the maintained 'cosassign'
+    artifact."""
+    corpus, batch = _heldout_split(spark, sf_dir)
+    return cosine_assign_delta(
+        spark, sf_dir, batch, seeds=_cosine_seeds(corpus)
+    )
+
+
+@query(
+    "q_cosine_delta_unseen",
+    oracle=f"""
+    WITH {_SQL_HELDOUT.strip()},
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {zf.sql_metric("l2sq", a="a.emb", b="s.ce", dim=64)},
+                 s.cell_id) AS rk
+        FROM e a CROSS JOIN seeds s
+      ) WHERE rk <= {NDUP_ASSIGN}
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                      greatest(a.vec_id, b.vec_id) AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+      WHERE a.vec_id % 10 = 0 OR b.vec_id % 10 = 0
+    )
+    SELECT c.id_a, c.id_b,
+           {sql_rnd(zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64))}
+             AS dist
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    """,
+)
+def q_cosine_delta_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end unseen-batch pair delta, driver-hash-checked: the
+    held-out batch is assigned against the corpus-frozen seeds
+    (cosine_assign_delta), cell-joined against corpus ∪ batch
+    assignments, and exact-cosine scored — and must equal the oracle's
+    same-seed full-corpus rebuild sliced to batch-involving pairs.
+    This is cosine_pair_table_delta's new_vectors mode verbatim, with
+    the corpus-side tables built over the held-out corpus (the
+    production path's maintained artifacts play that role; equivalence
+    of base ∪ delta to the full assignment is pinned by
+    tests/test_dedup.py::test_cosine_assign_delta_equals_rebuild)."""
+    corpus, batch = _heldout_split(spark, sf_dir)
+    seeds = _cosine_seeds(corpus)
+    corpus_assign = _assign_to_seeds(corpus, seeds)
+    batch_assign = _assign_to_seeds(batch, seeds)
+    newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
+    other = corpus_assign.unionByName(batch_assign).select(
+        F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
+    )
+    cand = (
+        newa.join(
+            other,
+            (F.col("cell_id") == F.col("cell_o"))
+            & (F.col("id_n") != F.col("id_o")),
+        )
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    e = corpus.unionByName(batch)
+    return _score_pairs(cand, e, vectorized=False).select(
+        "id_a", "id_b", rnd(F.col("dist")).alias("dist")
+    )
+
+
 def register_maintained_table(
     kind: str,
     sf_dir: str,
@@ -1312,7 +1510,8 @@ def register_maintained_table(
     triggering a session rebuild — the 100 TB shape, where the table is
     an artifact of the corpus snapshot, not of the query run.
 
-    kind: 'minhash' | 'cosine' | 'sigs' | 'toksets' | 'cosassign'.
+    kind: 'minhash' | 'cosine' | 'sigs' | 'toksets' | 'cosassign' |
+    'cosseeds'.
     Returns the previously registered path (None if the table would
     have been built fresh) so callers can restore it."""
     resolved = str(Path(sf_dir).resolve())
@@ -1322,6 +1521,7 @@ def register_maintained_table(
         "sigs": ("sigs", resolved, n_hashes, n_bands),
         "toksets": ("toksets", resolved),
         "cosassign": ("cosassign", resolved),
+        "cosseeds": ("cosseeds", resolved),
     }
     if kind not in keys:
         raise ValueError(f"unknown maintained-table kind {kind!r}")
