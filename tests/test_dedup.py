@@ -549,3 +549,25 @@ def test_maintained_cosassign_feeds_snapshot_audit(spark, tmp_path):
         got.sort_values("section").reset_index(drop=True),
         want.sort_values("section").reset_index(drop=True),
     )
+
+
+def test_cell_drift_binds(spark):
+    """The seed-drift audit's contract (VERDICT r7 #3, same shape as
+    scripts/pq_add_check.py): a same-distribution batch scores ratio
+    near 1 under the frozen seeds; a shifted batch scores far above —
+    the reseed signal."""
+    import zebra_spark
+
+    zebra_spark.load_all_queries()
+    got = (
+        zebra_spark.QUERIES["q_cell_drift"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("split")
+    )
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert got.loc["a_corpus_baseline", "ratio"] == 1.0
+    assert got.loc["b_batch_same_dist", "ratio"] < 2.0
+    assert got.loc["c_batch_shifted", "ratio"] > 5.0
+    assert got.n.sum() == 550  # 450 corpus + 50 batch + 50 shifted

@@ -1493,6 +1493,99 @@ def q_cosine_delta_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cell_drift_audit(
+    spark: SparkSession, sf_dir: str, batch: DataFrame,
+    label: str = "batch", seeds: DataFrame | None = None,
+) -> DataFrame:
+    """One row (split, n, mse) per call: mean distance-to-NEAREST-seed
+    of `batch` (vec_id, emb) under the corpus' FROZEN seed set — the
+    cosine-blocking analogue of PQIndex.drift_audit (index/pq.py).
+    The seeds behind cosine_assign_table are corpus-prefix vectors
+    frozen at build; under distribution drift the cells degrade
+    silently (every batch still gets NDUP_ASSIGN cells, they are just
+    far away), so the audit compares this mean against the corpus
+    baseline: ratio ≈ 1 means the blocking still fits, sustained ≫ 1
+    is the reseed signal.  One distributed pass — broadcast seed
+    matrix, per-vector min, one global (n, avg) aggregate; nothing
+    batch-proportional reaches the driver."""
+    if seeds is None:
+        seeds = cosine_seed_table(spark, sf_dir)
+    return (
+        batch.select("vec_id", "emb")
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", zf.l2sq(F.col("emb"), F.col("ce")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("dmin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dmin").alias("mse"))
+        .select(F.lit(label).alias("split"), "n", "mse")
+    )
+
+
+@query(
+    "q_cell_drift",
+    oracle=f"""
+    WITH {_SQL_HELDOUT.strip()},
+    shifted AS (SELECT vec_id,
+                       list_transform(emb, x -> 3.0 * x + 1.0) AS emb
+                FROM batch),
+    all3 AS (
+      SELECT 'a_corpus_baseline' AS split, vec_id, emb FROM corpus
+      UNION ALL SELECT 'b_batch_same_dist', vec_id, emb FROM batch
+      UNION ALL SELECT 'c_batch_shifted', vec_id, emb FROM shifted
+    ),
+    nearest AS (
+      SELECT a.split, a.vec_id,
+             min({zf.sql_metric("l2sq", a="a.emb", b="s.ce", dim=64)})
+               AS dmin
+      FROM all3 a CROSS JOIN seeds s GROUP BY a.split, a.vec_id
+    ),
+    agg AS (SELECT split, count(*) AS n, avg(dmin) AS mse
+            FROM nearest GROUP BY split)
+    SELECT split, n, {sql_rnd("mse")} AS mse,
+           {sql_rnd("mse / (SELECT mse FROM agg WHERE split = 'a_corpus_baseline')")}
+             AS ratio
+    FROM agg ORDER BY split
+    """,
+)
+def q_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-drift audit for the cosine blocking (VERDICT r7 #3), fully
+    driver-hash-checked (the PQ twin q_index_drift is rows-only because
+    k-means is not SQL-expressible; nearest-frozen-seed distance is):
+    seeds are frozen on the 90% corpus, then the mean nearest-seed
+    distance is scored for (a) the corpus itself (ratio 1 by
+    construction), (b) the held-out same-distribution batch (ratio
+    stays near 1), (c) the same batch synthetically shifted 3x + 1 —
+    the reseed signal, ratio ≫ 1.  The binds contract (b < 2, c > 5)
+    is additionally asserted in tests/test_dedup.py."""
+    corpus, batch = _heldout_split(spark, sf_dir)
+    seeds = _cosine_seeds(corpus)
+    shifted = batch.select(
+        "vec_id", F.expr("transform(emb, x -> 3.0d * x + 1.0d)").alias("emb")
+    )
+    rows = (
+        cell_drift_audit(spark, sf_dir, corpus, "a_corpus_baseline", seeds)
+        .unionByName(
+            cell_drift_audit(spark, sf_dir, batch, "b_batch_same_dist", seeds)
+        )
+        .unionByName(
+            cell_drift_audit(spark, sf_dir, shifted, "c_batch_shifted", seeds)
+        )
+    )
+    base = rows.filter(F.col("split") == "a_corpus_baseline").select(
+        F.col("mse").alias("base_mse")
+    )
+    return (
+        rows.crossJoin(F.broadcast(base))
+        .select(
+            "split",
+            "n",
+            rnd(F.col("mse")).alias("mse"),
+            rnd(F.col("mse") / F.col("base_mse")).alias("ratio"),
+        )
+        .orderBy("split")
+    )
+
+
 def register_maintained_table(
     kind: str,
     sf_dir: str,
