@@ -476,27 +476,7 @@ def maintain_pair_tables(
         return df
 
     if have_state:
-        # Layout guard (ADVICE r7): backfill (epoch_id=None) appends
-        # part- files at the table root; epoch mode writes epoch=N
-        # subdirs.  Mixing them in one state_dir makes every later
-        # spark.read fail with "Conflicting directory structures", so
-        # fail fast with the real story instead.
-        epoch_layout = "epoch" in spark.read.parquet(sig_p).columns
-        if epoch_layout and epoch_id is None:
-            raise ValueError(
-                f"state_dir {state_dir!r} was built in exactly-once epoch "
-                "mode (epoch=N subdirs); backfill appends (epoch_id=None) "
-                "would corrupt the layout — pass epoch_id or use a fresh "
-                "state_dir"
-            )
-        if not epoch_layout and epoch_id is not None:
-            raise ValueError(
-                f"state_dir {state_dir!r} was built in backfill append "
-                "mode (flat part- files); epoch-mode writes (epoch_id="
-                f"{epoch_id}) would corrupt the layout — run "
-                "compact_pair_state first (folds to epoch=-1) or use a "
-                "fresh state_dir"
-            )
+        _guard_state_layout(spark, sig_p, epoch_id, state_dir)
 
     all_bks = bks.unionByName(read_state(sig_p)) if have_state else bks
     all_toks = batch.select("doc_id", "words")
@@ -554,6 +534,33 @@ def read_pair_state(
             df = df.drop("epoch")
         out.append(df)
     return tuple(out)
+
+
+def _guard_state_layout(
+    spark: SparkSession, table_path: str, epoch_id: int | None,
+    state_dir: str,
+) -> None:
+    """Layout guard (ADVICE r7): backfill (epoch_id=None) appends part-
+    files at the table root; epoch mode writes epoch=N subdirs.  Mixing
+    them in one state_dir makes every later spark.read fail with
+    "Conflicting directory structures", so fail fast with the real
+    story instead."""
+    epoch_layout = "epoch" in spark.read.parquet(table_path).columns
+    if epoch_layout and epoch_id is None:
+        raise ValueError(
+            f"state_dir {state_dir!r} was built in exactly-once epoch "
+            "mode (epoch=N subdirs); backfill appends (epoch_id=None) "
+            "would corrupt the layout — pass epoch_id or use a fresh "
+            "state_dir"
+        )
+    if not epoch_layout and epoch_id is not None:
+        raise ValueError(
+            f"state_dir {state_dir!r} was built in backfill append "
+            "mode (flat part- files); epoch-mode writes (epoch_id="
+            f"{epoch_id}) would corrupt the layout — run "
+            "compact_state first (folds to epoch=-1) or use a fresh "
+            "state_dir"
+        )
 
 
 def recover_state_swaps(
@@ -662,6 +669,170 @@ def stream_maintain_pair_tables(
 
     return (
         docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+# --- exactly-once semantic (cosine) state maintenance (VERDICT r7 #2) ------
+
+COSINE_STATE_TABLES = ("vecs", "assign", "pairs")
+
+
+def init_cosine_state(
+    spark: SparkSession, state_dir: str, seeds: DataFrame
+) -> None:
+    """Freeze the seed set (cell_id, ce) under `state_dir/seeds` ONCE,
+    before the first batch.  Every later batch is assigned against
+    these frozen seeds (queries.dedup._assign_to_seeds — the
+    IVFIndex.add kernel), which is what makes the per-epoch deltas
+    composable: assignment is per-vector deterministic, so base ∪
+    deltas equals the same-seed full assignment.  Seeds must NOT change
+    once batches have been applied — queries.dedup.cell_drift_audit is
+    the reseed signal, and a reseed means a new state_dir (full
+    rebuild).  Overwrite-idempotent so a crashed init can simply
+    re-run."""
+    seeds.select("cell_id", "ce").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/seeds")
+
+
+def maintain_cosine_tables(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    epoch_id: int | None = None,
+) -> None:
+    """Process ONE ingest batch of vectors (vec_id, emb) against the
+    maintained semantic near-dup state under `state_dir`:
+
+      seeds/   (cell_id, ce)        frozen at init_cosine_state
+      vecs/    (vec_id, emb)        every ingested vector
+      assign/  (vec_id, cell_id)    frozen-seed IVF multi-assignment
+      pairs/   (id_a, id_b, dist)   exact-cosine scored cell-mate pairs
+
+    The streaming twin of queries.dedup.cosine_pair_table_delta's
+    new_vectors mode, with the same exactly-once write discipline as
+    maintain_pair_tables: each batch emits exactly its pair DELTA —
+    batch assignments cell-joined against (state ∪ batch) assignments,
+    scored against (state ∪ batch) vectors — then writes its own
+    vectors/assignments.  epoch_id=None appends (caller guarantees
+    once); epoch_id=N lands everything in `epoch=N` dirs via overwrite
+    with the state view `epoch < N`, so a replayed epoch recomputes the
+    SAME delta from the SAME state and overwrites ITS OWN directory.
+    After ingesting a corpus in any batch split, pairs/ is
+    bit-identical to the batch cosine pair table built with the same
+    seeds (pinned by tests/test_streaming.py)."""
+    from zebra_spark.fsutil import exists as fs_exists
+    from zebra_spark.queries.dedup import _assign_to_seeds, _score_pairs
+
+    recover_state_swaps(spark, state_dir, COSINE_STATE_TABLES)
+    seeds_p = f"{state_dir}/seeds"
+    if not fs_exists(spark, seeds_p):
+        raise ValueError(
+            f"{state_dir!r} has no frozen seeds — call init_cosine_state "
+            "before the first batch"
+        )
+    seeds = spark.read.parquet(seeds_p)
+    vec_p, assign_p, pair_p = (
+        f"{state_dir}/{n}" for n in COSINE_STATE_TABLES
+    )
+    batch = batch_df.select("vec_id", "emb").localCheckpoint()
+    batch_assign = _assign_to_seeds(batch, seeds).localCheckpoint()
+    have_state = fs_exists(spark, assign_p)
+    if have_state:
+        _guard_state_layout(spark, assign_p, epoch_id, state_dir)
+
+    def read_state(path: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        if "epoch" in df.columns:
+            if epoch_id is not None:
+                df = df.filter(F.col("epoch") < epoch_id)
+            df = df.drop("epoch")
+        return df
+
+    other_assign = (
+        batch_assign.unionByName(read_state(assign_p))
+        if have_state
+        else batch_assign
+    )
+    e = (
+        batch.unionByName(read_state(vec_p)) if have_state else batch
+    )
+    newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
+    other = other_assign.select(
+        F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
+    )
+    cand = (
+        newa.join(
+            other,
+            (F.col("cell_id") == F.col("cell_o"))
+            & (F.col("id_n") != F.col("id_o")),
+        )
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    delta = _score_pairs(cand, e, vectorized=False)
+    if epoch_id is None:
+        delta.write.mode("append").parquet(pair_p)
+        batch_assign.write.mode("append").parquet(assign_p)
+        batch.write.mode("append").parquet(vec_p)
+    else:
+        delta.write.mode("overwrite").parquet(f"{pair_p}/epoch={epoch_id}")
+        batch_assign.write.mode("overwrite").parquet(
+            f"{assign_p}/epoch={epoch_id}"
+        )
+        batch.write.mode("overwrite").parquet(f"{vec_p}/epoch={epoch_id}")
+
+
+def read_cosine_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(vecs, assign, pairs) views over a maintained semantic state
+    dir, epoch partition column stripped — what consumers (and
+    dedup.register_maintained_table('cosine'/'cosassign', ...)) should
+    read, valid for both layouts."""
+    recover_state_swaps(spark, state_dir, COSINE_STATE_TABLES)
+    out = []
+    for name in COSINE_STATE_TABLES:
+        df = spark.read.parquet(f"{state_dir}/{name}")
+        if "epoch" in df.columns:
+            df = df.drop("epoch")
+        out.append(df)
+    return tuple(out)
+
+
+def compact_cosine_state(
+    spark: SparkSession, state_dir: str, n_files: int = 4
+) -> None:
+    """compact_state over the semantic near-dup state tables (seeds/
+    is a single tiny file frozen at init — nothing to fold)."""
+    compact_state(spark, state_dir, COSINE_STATE_TABLES, n_files=n_files)
+
+
+def stream_maintain_cosine_tables(
+    spark: SparkSession, vec_stream: DataFrame, state_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire maintain_cosine_tables as a foreachBatch sink over a vector
+    stream (vec_id, emb).  Exactly-once on restart for the same reason
+    as the lexical twin: the one epoch foreachBatch replays after a
+    crash recomputes against the same `epoch < N` state and overwrites
+    its own `epoch=N` output.  init_cosine_state must have frozen the
+    seeds first; read via read_cosine_state; compact with
+    compact_cosine_state once the stream is stopped."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            maintain_cosine_tables(
+                spark, state_dir, batch_df, epoch_id=epoch_id
+            )
+
+    return (
+        vec_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
