@@ -460,3 +460,84 @@ def test_insert_records_reliable_matches_default(spark, tmp_path):
         if mode:
             assert not os.path.exists(f"{db.path}/_staging")
     assert out[False] == out[True]
+
+
+@pytest.mark.parametrize(
+    "kind,opts",
+    [
+        ("lsh", {}),
+        ("ivf", {"k_coarse": 4}),
+        ("pq", {"m": 4, "k": 8}),
+        ("ivfpq", {"k_coarse": 4, "m": 4, "k": 8, "nprobe": 4, "refine": 50}),
+    ],
+)
+def test_facade_index_family_roundtrip(spark, tmp_path, kind, opts):
+    """VERDICT r7 #4: the facade fronts every index family — the kind
+    is recorded in the metadata JSON, open() restores the persisted
+    index of that family, and ANN search parity holds across the
+    save/reopen boundary (plus a rank-1 self-hit vs exact search)."""
+    import json
+
+    from zebra_spark.database import ZebraDatabase
+
+    texts = [f"document number {i} about topic {i % 5}" for i in range(40)]
+    path = str(tmp_path / "db")
+    db = ZebraDatabase.create(
+        spark, path, dim=32, index_kind=kind, index_options=opts
+    )
+    db.insert_texts(texts)
+    db.index()
+    db.save_index()
+
+    with open(f"{path}/zebra.json") as f:
+        assert json.load(f)["index_kind"] == kind
+
+    probe = [texts[3], texts[7]]
+    before = (
+        db.query_texts(probe, k=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    db2 = ZebraDatabase.open(spark, path)
+    assert type(db2.index()).__name__.lower().startswith(
+        {"lsh": "lsh", "ivf": "ivf", "pq": "pq", "ivfpq": "ivfpq"}[kind]
+    )
+    after = (
+        db2.query_texts(probe, k=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert before.equals(after), f"{kind}: search drifted across reopen"
+
+    # the ANN rank-1 hit for an in-corpus query is the document itself
+    exact = (
+        db2.query_texts(probe, k=1, exact=True)
+        .toPandas().sort_values("query_id").reset_index(drop=True)
+    )
+    got1 = after[after["rank"] == 1].sort_values("query_id").reset_index(drop=True)
+    assert list(got1.vec_id) == list(exact.vec_id), f"{kind}: rank-1 mismatch"
+
+    # incremental maintenance: an insert on the live handle goes through
+    # the family's add() (no rebuild) and the new doc is searchable
+    db2.insert_texts(["a brand new late-arriving document"])
+    late = db2.query_texts(["a brand new late-arriving document"], k=1)
+    assert late.toPandas().iloc[0]["doc"] == "a brand new late-arriving document"
+
+
+def test_facade_rejects_unknown_index_kind(spark, tmp_path):
+    from zebra_spark.database import ZebraDatabase
+
+    with pytest.raises(ValueError, match="index_kind"):
+        ZebraDatabase.create(spark, str(tmp_path / "db"), index_kind="hnsw")
+
+
+def test_facade_pq_requires_l2sq(spark, tmp_path):
+    """The PQ family's ADC kernel is L2-trained; a cosine database must
+    fail fast with guidance instead of silently serving wrong ranks."""
+    from zebra_spark.database import ZebraDatabase
+
+    db = ZebraDatabase.create(
+        spark, str(tmp_path / "db"), dim=32, metric="cosine",
+        index_kind="pq", index_options={"m": 4, "k": 8},
+    )
+    db.insert_texts(TEXTS)
+    with pytest.raises(ValueError, match="l2sq"):
+        db.query_texts(["the quick brown fox"], k=2)

@@ -24,6 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zebra-spark")
     p.add_argument("--database-path", required=True)
     p.add_argument("--cpus", default=None)
+    p.add_argument(
+        "--index", default="lsh", choices=("lsh", "ivf", "pq", "ivfpq"),
+        help="ANN index family recorded at database creation "
+        "(ignored when opening an existing database, whose metadata "
+        "already fixes the family)",
+    )
     sub = p.add_subparsers(dest="modality", required=True)
     for modality in ("text", "image", "audio"):
         mp = sub.add_parser(modality)
@@ -46,7 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     from zebra_spark.session import get_spark
 
     spark = get_spark("zebra-cli", cpus=args.cpus)
-    db = ZebraDatabase.open_or_create(spark, args.database_path)
+    db = ZebraDatabase.open_or_create(
+        spark, args.database_path, index_kind=args.index
+    )
     t0 = time.perf_counter()
 
     if args.command == "clear":

@@ -37,7 +37,8 @@ from zebra_spark.embed import DEFAULT_DIM, hash_tf_embedding
 from zebra_spark.functions import rnd
 
 _BATCH_SHIFT = 40  # ids: (batch_no << 40) | monotonic_id
-_AUTO_COMPACT_APPENDS = 8  # compact the LSH index every N incremental adds
+_AUTO_COMPACT_APPENDS = 8  # compact the index every N incremental adds
+_INDEX_KINDS = ("lsh", "ivf", "pq", "ivfpq")
 
 
 class ZebraDatabase:
@@ -92,18 +93,36 @@ class ZebraDatabase:
         num_trees: int = 15,
         max_node_size: int = 5,
         seed: int = 42,
+        index_kind: str = "lsh",
+        index_options: dict | None = None,
     ) -> "ZebraDatabase":
+        """index_kind picks the ANN family the facade fronts (VERDICT
+        r7 #4) — 'lsh' (the reference's index, the default), 'ivf',
+        'pq', or 'ivfpq'; the kind is recorded in the metadata JSON
+        (≙ .zebra, reference src/database/core.rs:183-190) so open()
+        restores the right family.  index_options carries per-family
+        knobs (ivf: k_coarse/iters; pq: m/k/iters; ivfpq: all of those
+        plus nprobe/refine search defaults) and overrides the LSH
+        num_trees/max_node_size args."""
+        if index_kind not in _INDEX_KINDS:
+            raise ValueError(
+                f"index_kind {index_kind!r} not in {sorted(_INDEX_KINDS)}"
+            )
         os.makedirs(path, exist_ok=True)
+        opts = {
+            "num_trees": num_trees,
+            "max_node_size": max_node_size,
+            "seed": seed,
+        }
+        if index_options:
+            opts.update(index_options)
         meta = {
             "uuid": str(uuid.uuid4()),
             "dim": dim,
             "metric": metric,
             "model": model,
-            "index_options": {
-                "num_trees": num_trees,
-                "max_node_size": max_node_size,
-                "seed": seed,
-            },
+            "index_kind": index_kind,
+            "index_options": opts,
             "n_batches": 0,
         }
         db = cls(spark, path, meta)
@@ -476,18 +495,26 @@ class ZebraDatabase:
             inserted = with_ids.select("vec_id", "embedding")
         if self._index is not None:
             # incremental maintenance (≙ LSHIndex::add, lsh.rs:440-466):
-            # hyperplanes are fixed, so only the new rows get signatures —
-            # no rebuild.  A fresh build still happens lazily if no index
-            # existed yet.
-            self._index = self._index.add(
+            # the quantizer (hyperplanes / centroids / codebooks) is
+            # frozen, so only the new rows get encoded — no rebuild.  A
+            # fresh build still happens lazily if no index existed yet.
+            # LSH.add returns a new index; the IVF/PQ families mutate in
+            # place and return the row count.
+            added = self._index.add(
                 inserted.select(
                     "vec_id", F.col("embedding").cast("array<double>").alias("emb")
                 )
             )
+            if added is not None and not isinstance(added, int):
+                self._index = added
             # each add() unions one more unpartitioned appendix onto the
             # probe path; compact once the union stack gets deep enough
-            # to matter (restores the single tree_id-clustered scan)
-            if self._index.appends >= _AUTO_COMPACT_APPENDS:
+            # to matter (restores the single clustered scan).  IVF has
+            # no append stack (assignments union flat), hence the guard.
+            if (
+                getattr(self._index, "appends", 0) >= _AUTO_COMPACT_APPENDS
+                and hasattr(self._index, "compact")
+            ):
                 self._index = self._index.compact()
         return inserted
 
@@ -558,34 +585,75 @@ class ZebraDatabase:
 
     # -- index / search (≙ query_documents/query_vectors, core.rs:267-313)
 
-    def index(self, rebuild: bool = False):
+    def _index_class(self):
+        kind = self.meta.get("index_kind", "lsh")
+        if kind == "ivf":
+            from zebra_spark.index.ivf import IVFIndex
+
+            return IVFIndex
+        if kind == "pq":
+            from zebra_spark.index.pq import PQIndex
+
+            return PQIndex
+        if kind == "ivfpq":
+            from zebra_spark.index.ivfpq import IVFPQIndex
+
+            return IVFPQIndex
         from zebra_spark.index.lsh import LSHIndex
 
+        return LSHIndex
+
+    def index(self, rebuild: bool = False):
+        """Build, load, or return the database's ANN index — whichever
+        family the metadata records (index_kind).  Every family shares
+        the same lifecycle: lazily built from the embeddings table,
+        persisted under {path}/index by save_index(), restored by
+        load() when the persisted copy covers every batch."""
+        kind = self.meta.get("index_kind", "lsh")
+        cls_ = self._index_class()
         persisted_fresh = (
             os.path.exists(f"{self.path}/index/metadata.json")
             and self.meta.get("indexed_batches") == self.meta["n_batches"]
         )
         if self._index is None and not rebuild and persisted_fresh:
-            self._index = LSHIndex.load(self.spark, f"{self.path}/index")
+            self._index = cls_.load(self.spark, f"{self.path}/index")
         if self._index is None or rebuild:
             opts = self.meta["index_options"]
+            seed = opts.get("seed", 42)
             corpus = self.embeddings().select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("emb")
             )
-            self._index = LSHIndex.build(
-                self.spark,
-                sf_dir="",
-                num_trees=opts["num_trees"],
-                max_node_size=opts["max_node_size"],
-                seed=opts["seed"],
-                corpus=corpus,
-            )
+            if kind == "lsh":
+                self._index = cls_.build(
+                    self.spark,
+                    sf_dir="",
+                    num_trees=opts["num_trees"],
+                    max_node_size=opts["max_node_size"],
+                    seed=seed,
+                    corpus=corpus,
+                )
+            elif kind == "ivf":
+                self._index = cls_.train(
+                    self.spark, "", k=opts.get("k_coarse", 16),
+                    iters=opts.get("iters", 5), seed=seed, corpus=corpus,
+                )
+            elif kind == "pq":
+                self._index = cls_.train(
+                    self.spark, "", m=opts.get("m", 8), k=opts.get("k", 16),
+                    iters=opts.get("iters", 10), seed=seed, corpus=corpus,
+                )
+            else:  # ivfpq
+                self._index = cls_.train(
+                    self.spark, "", k_coarse=opts.get("k_coarse", 16),
+                    m=opts.get("m", 8), k=opts.get("k", 16),
+                    iters=opts.get("iters", 5), seed=seed, corpus=corpus,
+                )
         return self._index
 
     def save_index(self) -> None:
-        """Persist the LSH index under {path}/index (≙ the reference's
-        tree keyspace fsync, lsh.rs:87-89,170-172) so a later open()
-        skips the rebuild."""
+        """Persist the index (whatever family) under {path}/index (≙
+        the reference's tree keyspace fsync, lsh.rs:87-89,170-172) so a
+        later open() restores it without a rebuild."""
         self.index().save(f"{self.path}/index")
         self.meta["indexed_batches"] = self.meta["n_batches"]
         self._write_meta()
@@ -660,14 +728,50 @@ class ZebraDatabase:
         if exact:
             res = self._brute_force(vectors, k, query_ids)
         else:
-            res = self.index().search_vectors(
-                np.asarray(vectors, dtype=np.float64), k=k,
-                metric=self.meta["metric"], query_ids=query_ids,
+            res = self._index_search(
+                np.asarray(vectors, dtype=np.float64), k, query_ids
             )
         docs = self.documents().select(
             F.col("vec_id"), F.col("doc")
         )
         return res.withColumnRenamed("neighbor_id", "vec_id").join(docs, "vec_id", "left")
+
+    def _index_search(self, vectors, k, query_ids=None):
+        """Dispatch an ANN vector search to whichever index family the
+        metadata records, normalizing to (query_id, neighbor_id, rank,
+        dist).  LSH and IVF serve the database's configured metric
+        directly; the PQ family's ADC kernel is L2-trained, so it backs
+        l2sq databases only (cosine/other metrics: use lsh/ivf or
+        exact=True)."""
+        kind = self.meta.get("index_kind", "lsh")
+        idx = self.index()
+        if kind in ("lsh", "ivf"):
+            return idx.search_vectors(
+                vectors, k=k, metric=self.meta["metric"],
+                query_ids=query_ids,
+            )
+        if self.meta["metric"] != "l2sq":
+            raise ValueError(
+                f"index_kind {kind!r} serves l2sq databases only "
+                f"(metric is {self.meta['metric']!r}); use "
+                "index_kind 'lsh'/'ivf' or exact=True"
+            )
+        if query_ids is None:
+            query_ids = list(range(len(vectors)))
+        qdf = self.spark.createDataFrame(
+            [
+                (int(q), [float(x) for x in v])
+                for q, v in zip(query_ids, vectors)
+            ],
+            "query_id bigint, qe array<double>",
+        )
+        opts = self.meta["index_options"]
+        if kind == "pq":
+            return idx.search_df(qdf, k=k, refine=opts.get("refine", 100))
+        return idx.search_df(
+            qdf, k=k, nprobe=opts.get("nprobe", 8),
+            refine=opts.get("refine", 100),
+        )
 
     def _brute_force(self, vectors, k, query_ids=None):
         vectors = np.asarray(vectors, dtype=np.float64)
