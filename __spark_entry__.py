@@ -41,14 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already have
 # a driver row.  r5/r6 used this to refresh the rows-only queries'
-# terminal state (all 7 got clean `no_oracle` rows in r6, so that pin
-# is retired); r7 pins its four NEW queries — two oracled maintenance
-# deltas and two rows-only audits — which would land first anyway as
-# never-driver-checked, but the pin keeps them first even if a later
-# round's additions compete for gate slots.
+# terminal state; r7's four pins all got green/clean rows in r07, so
+# that pin is retired.  r8 pins its four NEW queries — three oracled
+# (unseen-batch assignment + pair delta, seed-drift audit) and one
+# rows-only composite (the nightly ingest_then_audit tick) — which
+# would land first anyway as never-driver-checked, but the pin keeps
+# them first even if a later round's additions compete for gate slots.
 _FORCE_FIRST = [
-    "q_pair_table_delta", "q_cosine_table_delta",
-    "q_snapshot_audit", "q_index_drift",
+    "q_cosine_assign_delta", "q_cosine_delta_unseen",
+    "q_cell_drift", "q_ingest_audit",
 ]
 
 _PRIORITY = [

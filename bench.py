@@ -45,6 +45,23 @@ def bench_ingest(spark, sf_dir: str, out_dir: str) -> int:
     return n
 
 
+# The frozen cross-round comparability subset (VERDICT r7 #6): exactly
+# the 27 rows BENCH_r05 carried.  NEVER add to or remove from this
+# list — new rows join the growing headline above and show up only in
+# headline_full, so headline_frozen deltas across rounds are pure
+# perf signal.
+FROZEN_ROWS = frozenset({
+    "ingest", "knn_exact_100", "lsh_build", "lsh_query_100",
+    "q_agg_hash", "q_ann_ivf", "q_ann_pq", "q_curation_pipeline",
+    "q_dedup_clusters", "q_dedup_exact", "q_dedup_incremental",
+    "q_dedup_minhash", "q_emb_covariance", "q_graph_pagerank",
+    "q_join_inner", "q_neardup_cosine", "q_ngram_novelty",
+    "q_semantic_clusters", "q_sort_limit", "q_text_dup_spans",
+    "q_text_fingerprint", "q_text_jaccard_pairs", "q_text_surprisal",
+    "q_tpch_q21", "q_tpch_q9", "q_window_session", "q_window_sliding",
+})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -108,6 +125,11 @@ def main() -> None:
         # cost of "what a user actually runs"), and the PQ drift audit
         "q_snapshot_audit",
         "q_index_drift",
+        # round-8: the one-call nightly tick (both delta paths +
+        # maintained-table writes + audit over the maintained files)
+        # and the cosine-blocking seed-drift audit
+        "q_ingest_audit",
+        "q_cell_drift",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
@@ -249,6 +271,16 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        # Comparability governance (VERDICT r7 #6): the suite grows
+        # every round, which masks per-query signal in the headline
+        # total.  headline_frozen is the FROZEN r5-era steady-state
+        # subset (27 rows, never to change), so cross-round deltas are
+        # one subtraction; headline_full is the growing total above.
+        "headline_frozen": round(
+            sum(t for n, t in times.items() if n in FROZEN_ROWS), 3
+        ),
+        "headline_frozen_n": sum(1 for n in times if n in FROZEN_ROWS),
+        "headline_full": total,
     }
     if hotspots:
         out["hotspots_isolated"] = hotspots

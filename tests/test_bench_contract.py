@@ -35,8 +35,14 @@ def test_bench_emits_contract_json():
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, out.stdout[-2000:]
     payload = json.loads(lines[-1])
-    assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) >= {
+        "metric", "value", "unit", "queries", "sf",
+        "headline_frozen", "headline_full",
+    }
     assert payload["unit"] == "sec"
+    # the frozen subset is a subset of the full suite, by construction
+    assert payload["headline_frozen"] <= payload["headline_full"] + 1e-9
+    assert payload["headline_full"] == payload["value"]
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
     assert len(payload["queries"]) >= 10

@@ -66,7 +66,13 @@ def q_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: after the one-time derived-table builds, the audit is
     six bounded aggregations over shared parquet artifacts — the
     summaries union driver-side as six 1-row frames."""
-    frames = snapshot_audit(spark, sf_dir)
+    return _summarize(snapshot_audit(spark, sf_dir))
+
+
+def _summarize(frames: dict[str, DataFrame]) -> DataFrame:
+    """(section, n_rows, checksum) per frame: the order-insensitive
+    bit_xor of xxhash64 over every column (sorted by name), so any
+    value change in any section flips its row."""
     out = None
     for section in sorted(frames):
         df = frames[section]
@@ -81,3 +87,97 @@ def q_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("section")
+
+
+def ingest_then_audit(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> dict[str, DataFrame]:
+    """The nightly pipeline tick as ONE call (VERDICT r7 #5): apply
+    both production delta paths for the conventional vec_id/doc_id
+    % 10 == 0 ingest batch, write the updated maintained artifacts
+    under `work_dir`, then run the full audit over those artifacts —
+    returning the same per-section frames as snapshot_audit, byte-equal
+    to rebuild-then-audit (the delta paths are exact, pinned by
+    tests/test_audit.py::test_ingest_then_audit_equals_rebuild).
+
+    Steady-state shape at 100 TB: the batch-proportional delta joins
+    (pair_table_delta, cosine_assign_delta + cosine_pair_table_delta)
+    produce the only new rows; the maintained tables are appended
+    (modeled here as base ∪ delta writes); every audit section then
+    reads the maintained parquet — no corpus-sized rebuild anywhere in
+    the steady state.  The base-table construction below exists only
+    because the fixture has no pre-existing maintained state."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries import dedup as dd
+
+    batch_docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    batch_vecs = (
+        embeddings_d(spark, sf_dir)
+        .select("vec_id", "emb")
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+
+    # production delta paths (batch-proportional, driver-hash-checked
+    # under q_pair_table_delta / q_cosine_table_delta /
+    # q_cosine_assign_delta)
+    ldelta = dd.pair_table_delta(spark, sf_dir, batch_docs)
+    cdelta = dd.cosine_pair_table_delta(
+        spark, sf_dir, new_ids=batch_vecs.select("vec_id")
+    )
+    adelta = dd.cosine_assign_delta(spark, sf_dir, batch_vecs)
+
+    # maintained artifacts = pre-batch base ∪ delta (the fixture's
+    # "base" is the non-batch-involving slice of the session tables;
+    # in production it is the already-maintained parquet)
+    new_l = (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+    new_c = (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+    writes = {
+        "minhash": dd.pair_table(spark, sf_dir).filter(~new_l)
+        .unionByName(ldelta),
+        "cosine": dd.cosine_pair_table(spark, sf_dir).filter(~new_c)
+        .unionByName(cdelta),
+        "cosassign": dd.cosine_assign_table(spark, sf_dir)
+        .filter(F.col("vec_id") % 10 != 0).unionByName(adelta),
+    }
+    for kind, df in writes.items():
+        df.write.mode("overwrite").parquet(f"{work_dir}/{kind}")
+
+    prev: dict[str, str | None] = {}
+    try:
+        for kind in writes:
+            prev[kind] = dd.register_maintained_table(
+                kind, sf_dir, f"{work_dir}/{kind}"
+            )
+        # every consumer below reads the maintained parquet: the
+        # returned frames capture the registered paths at analysis
+        # time, so they stay valid after the registry is restored
+        return snapshot_audit(spark, sf_dir)
+    finally:
+        for kind, p in prev.items():
+            if p is not None:
+                dd.register_maintained_table(kind, sf_dir, p)
+
+
+@query("q_ingest_audit")
+def q_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(section, n_rows, checksum): the ingest_then_audit composite's
+    driver-checkable surface — same summary shape as q_snapshot_audit
+    and byte-equal to it (maintained base ∪ delta == the session
+    tables when the deltas are exact), so the one bench row prices the
+    whole nightly tick: three delta joins + three maintained-table
+    writes + six audit sections over the maintained files.  rows-only
+    by design: each section is individually oracle-checked under its
+    own name; equality to q_snapshot_audit is pinned by test."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work_dir = tempfile.mkdtemp(prefix="zebra_ingest_audit_")
+    atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    return _summarize(ingest_then_audit(spark, sf_dir, work_dir))
