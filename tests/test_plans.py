@@ -254,3 +254,37 @@ def test_heavy_hitters_windows_counted_vocab(spark):
     assert "CartesianProduct" not in p
     # exactly one window operator (the per-source rank)
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p[:1500]
+
+
+def test_cosine_assign_delta_broadcast_seeds(spark):
+    """The unseen-batch assignment's only cross join is batch x
+    broadcast seed matrix; ranking is one per-vector window; no
+    cartesian product."""
+    import re
+
+    p = plan_of(spark, "q_cosine_assign_delta")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # batch x broadcast(seeds)
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p[:2000]
+
+
+def test_cosine_delta_unseen_no_cartesian(spark):
+    """End-to-end unseen-batch delta: the cell collision is an
+    equi-join (hash or sort-merge), embedding joins are equi-joins,
+    the only nested loops are the broadcast seed assignments."""
+    import re
+
+    p = plan_of(spark, "q_cosine_delta_unseen")
+    assert "CartesianProduct" not in p
+    equi = len(re.findall(r"(?:BroadcastHash|ShuffledHash|SortMerge)Join", p))
+    assert equi >= 3, p[:2000]  # cell join + two embedding-side joins
+
+
+def test_cell_drift_bounded_aggregation(spark):
+    """The drift audit is per-split (min over broadcast seeds -> one
+    global (n, avg)): no cartesian, seeds broadcast, and the final
+    ratio join is a broadcast of a single-row aggregate."""
+    p = plan_of(spark, "q_cell_drift")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # x broadcast(seeds), x 1-row base
+    assert "HashAggregate" in p
