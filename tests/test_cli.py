@@ -92,3 +92,25 @@ def test_approx_agg_sane(spark):
     for flag in exact.index:
         a, e = approx.loc[flag, "approx_orders"], exact.loc[flag, "n_orders"]
         assert abs(a - e) / e < 0.1, (flag, a, e)
+
+
+def test_index_flag_records_family(spark, tmp_path, capsys):
+    """--index picks the ANN family at creation (VERDICT r7 #4): the
+    metadata records it, query serves through that family, and a later
+    open ignores a conflicting flag (the database's own metadata
+    wins)."""
+    import json
+
+    path = str(tmp_path / "ivfdb")
+    assert _run(["--database-path", path, "--cpus", "8", "--index", "ivf",
+                 "text", "insert", "red fox jumps", "blue whale sings",
+                 "green turtle swims"]) == 0
+    with open(f"{path}/zebra.json") as f:
+        assert json.load(f)["index_kind"] == "ivf"
+    # query through the IVF family; a conflicting --index is ignored on open
+    assert _run(["--database-path", path, "--cpus", "8", "--index", "pq",
+                 "text", "query", "red fox", "--k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "red fox jumps" in out
+    with open(f"{path}/zebra.json") as f:
+        assert json.load(f)["index_kind"] == "ivf"
