@@ -90,7 +90,8 @@ def _summarize(frames: dict[str, DataFrame]) -> DataFrame:
 
 
 def ingest_then_audit(
-    spark: SparkSession, sf_dir: str, work_dir: str
+    spark: SparkSession, sf_dir: str, work_dir: str,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """The nightly pipeline tick as ONE call (VERDICT r7 #5): apply
     both production delta paths for the conventional vec_id/doc_id
@@ -106,12 +107,19 @@ def ingest_then_audit(
     (modeled here as base ∪ delta writes); every audit section then
     reads the maintained parquet — no corpus-sized rebuild anywhere in
     the steady state.  The base-table construction below exists only
-    because the fixture has no pre-existing maintained state."""
+    because the fixture has no pre-existing maintained state.
+
+    Pass a dict as `timings` to get the tick's cost split back:
+    'update_s' (delta joins + maintained-table writes) vs 'audit_s'
+    (section consumption over the maintained files) — recorded per
+    round in SCALING.md."""
+    import time
     from pyspark.sql import functions as F
 
     from zebra_spark.io import embeddings_d, load
     from zebra_spark.queries import dedup as dd
 
+    t0 = time.perf_counter()
     batch_docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id")
@@ -147,6 +155,8 @@ def ingest_then_audit(
     }
     for kind, df in writes.items():
         df.write.mode("overwrite").parquet(f"{work_dir}/{kind}")
+    if timings is not None:
+        timings["update_s"] = round(time.perf_counter() - t0, 3)
 
     prev: dict[str, str | None] = {}
     try:
@@ -157,7 +167,15 @@ def ingest_then_audit(
         # every consumer below reads the maintained parquet: the
         # returned frames capture the registered paths at analysis
         # time, so they stay valid after the registry is restored
-        return snapshot_audit(spark, sf_dir)
+        t0 = time.perf_counter()
+        frames = snapshot_audit(spark, sf_dir)
+        if timings is not None:
+            # materialize each section so audit_s prices consumption,
+            # not just plan construction
+            for df in frames.values():
+                df.count()
+            timings["audit_s"] = round(time.perf_counter() - t0, 3)
+        return frames
     finally:
         for kind, p in prev.items():
             if p is not None:
