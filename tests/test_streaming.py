@@ -905,3 +905,35 @@ def test_stream_maintain_cosine_tables(spark, tmp_path):
     release_caches()
     assert len(got) == len(want) > 0
     assert _cosine_vhash(got) == _cosine_vhash(want)
+
+
+def test_maintain_cosine_tables_empty_batch(spark, tmp_path):
+    """An empty epoch (foreachBatch guards against it, but a direct
+    caller may not) must not corrupt the state: the epoch dirs are
+    written empty with schema intact, later reads and epochs work."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        read_cosine_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, SF_ORACLE))
+    maintain_cosine_tables(spark, state, e.limit(20), epoch_id=0)
+    maintain_cosine_tables(spark, state, e.limit(0), epoch_id=1)  # empty
+    maintain_cosine_tables(
+        spark, state, e.filter(F.col("vec_id").between(30, 40)), epoch_id=2
+    )
+    vecs, assign, pairs = read_cosine_state(spark, state)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert vecs.count() == 31
+    assert assign.columns == ["vec_id", "cell_id"]
+    assert pairs.columns == ["id_a", "id_b", "dist"]

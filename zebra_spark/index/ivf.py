@@ -242,6 +242,9 @@ class IVFIndex:
         closure), so neither vectors nor probe keys transit the driver —
         the mirror of LSHIndex.search_df."""
         centroids = self.centroids
+        # same clamp as IVFPQIndex.search_df (ADVICE r7): an oversized
+        # nprobe would make np.repeat disagree with the argsort slice
+        nprobe = min(nprobe, len(centroids))
 
         def probe_op(batches):
             for pdf in batches:
@@ -285,6 +288,22 @@ class IVFIndex:
                 "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
             )
         )
+
+    def search_ids_df(
+        self,
+        ids_df: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        metric: str = "l2sq",
+    ) -> DataFrame:
+        """Fully distributed id-batch search (the r7 LSH/IVF-PQ
+        contract, completing the family symmetry): `ids_df` is one
+        column `vec_id`; the query vectors come from a semi-join
+        against the corpus and never transit the driver."""
+        q = self.corpus.join(
+            ids_df.select("vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+        return self.search_df(q, k=k, nprobe=nprobe, metric=metric)
 
     def cell_sizes(self) -> DataFrame:
         return (
