@@ -104,11 +104,9 @@ def test_ingest_then_audit_equals_rebuild(spark, tmp_path):
 
     # the returned frames stay readable after the registry restore
     frames = ingest_then_audit(spark, SF_ORACLE, str(tmp_path / "wd"))
-    assert set(frames) == {
-        "gopher_quality", "source_mixture", "dup_degree_hist",
-        "eval_decontamination", "cross_lang_contamination",
-        "knn_label_purity",
-    }
+    from zebra_spark.queries.audit import AUDIT_SECTIONS
+
+    assert set(frames) == set(AUDIT_SECTIONS)
     for df in frames.values():
         assert df.count() >= 0
     release_caches()

@@ -571,3 +571,28 @@ def test_cell_drift_binds(spark):
     assert got.loc["b_batch_same_dist", "ratio"] < 2.0
     assert got.loc["c_batch_shifted", "ratio"] > 5.0
     assert got.n.sum() == 550  # 450 corpus + 50 batch + 50 shifted
+
+
+def test_needs_reseed_trigger(spark):
+    """needs_reseed fires on a shifted batch, stays quiet on a
+    same-distribution one (the PQ needs_retrain/drift_audit contract,
+    on the cosine blocking)."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    e = dd.embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    same = e.filter(F.col("vec_id") % 10 == 0)
+    shifted = same.select(
+        "vec_id", F.expr("transform(emb, x -> 3.0d * x + 1.0d)").alias("emb")
+    )
+    assert not dd.needs_reseed(spark, SF_ORACLE, same)
+    assert dd.needs_reseed(spark, SF_ORACLE, shifted)
+    # the persisted-baseline fast path agrees
+    base = float(
+        dd.cell_drift_audit(spark, SF_ORACLE, e, "corpus").collect()[0].mse
+    )
+    assert dd.needs_reseed(spark, SF_ORACLE, shifted, baseline_mse=base)
+    from zebra_spark.caching import release_caches
+
+    release_caches()

@@ -1586,6 +1586,62 @@ def q_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def needs_reseed(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame,
+    ratio_threshold: float = 5.0,
+    seeds: DataFrame | None = None,
+    baseline_mse: float | None = None,
+) -> bool:
+    """Reseed trigger for the cosine blocking (the PQIndex.needs_retrain
+    analogue): True when the batch's mean nearest-seed distance exceeds
+    `ratio_threshold` x the corpus baseline — i.e. cell_drift_audit's
+    ratio crossed the line and the frozen seeds no longer block this
+    distribution well.  A reseed is a full rebuild (new seeds, new
+    assignment, new pair table — a new state_dir for the streaming
+    loop), so the threshold defaults high; pass the PERSISTED
+    `baseline_mse` in production to avoid re-scoring the corpus per
+    check (only two scalars ever reach the driver)."""
+    if seeds is None:
+        seeds = cosine_seed_table(spark, sf_dir)
+    if baseline_mse is None:
+        baseline_mse = float(
+            cell_drift_audit(
+                spark, sf_dir,
+                embeddings_d(spark, sf_dir).select("vec_id", "emb"),
+                "corpus", seeds,
+            ).collect()[0].mse
+        )
+    got = float(
+        cell_drift_audit(spark, sf_dir, batch, "batch", seeds)
+        .collect()[0].mse
+    )
+    return got > ratio_threshold * max(baseline_mse, 1e-12)
+
+
+@query(
+    "q_cell_balance",
+    oracle=f"""
+    WITH {_SQL_COSINE_ASSIGN.strip()}
+    SELECT cell_id, count(*) AS n_members FROM assign GROUP BY cell_id
+    """,
+)
+def q_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell_id, n_members): the blocking-health histogram over the
+    maintained assignment table — the operational twin of q_cell_drift
+    (drift says the seeds stopped FITTING; balance says a cell grew so
+    large its within-cell candidate fan-out dominates the pair-table
+    cost, the same failure mode the MinHash giant-bucket guard caps).
+    One groupBy over the maintained artifact; at 100 TB this is the
+    nightly check that decides giant-cell capping or a reseed."""
+    return (
+        cosine_assign_table(spark, sf_dir)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
 def register_maintained_table(
     kind: str,
     sf_dir: str,
