@@ -253,3 +253,69 @@ def test_random_date_arithmetic(seed, spark, duck):
     )
     assert got["d"].tolist() == want["d"].tolist(), (seed, unit, offset)
     assert got["n"].tolist() == want["n"].tolist(), (seed, unit, offset)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_array_chains(seed, spark, duck):
+    """Random array-expression chains over the embeddings vectors —
+    the kernel family the whole vector surface rests on (slice /
+    affine transform / element access / extrema).  The chain is built
+    once as a shared op list and rendered per dialect; constants are
+    exact binary fractions and terminals are order-independent, so
+    both engines must agree bit-for-bit."""
+    rng = random.Random(5000 + seed)
+    ops = []
+    for _ in range(rng.randint(1, 3)):
+        op = rng.choice(["slice", "scale", "shift"])
+        if op == "slice":
+            ops.append(("slice", rng.randint(1, 8), rng.randint(4, 16)))
+        elif op == "scale":
+            ops.append(("scale", rng.choice(["0.5", "2.0", "-1.0", "0.25"])))
+        else:
+            ops.append(("shift", rng.choice(["1.0", "-0.5", "4.0"])))
+    term = rng.choice(["size", "elem", "max", "min"])
+
+    sp_sql, du_sql = "emb", "emb"
+    for op in ops:
+        if op[0] == "slice":
+            _, s, ln = op
+            sp_sql = f"slice({sp_sql}, {s}, {ln})"
+            du_sql = f"list_slice({du_sql}, {s}, {s + ln - 1})"
+        elif op[0] == "scale":
+            sp_sql = f"transform({sp_sql}, x -> x * {op[1]}d)"
+            du_sql = f"list_transform({du_sql}, x -> x * {op[1]})"
+        else:
+            sp_sql = f"transform({sp_sql}, x -> x + {op[1]}d)"
+            du_sql = f"list_transform({du_sql}, x -> x + {op[1]})"
+    if term == "size":
+        sp_sql, du_sql = f"size({sp_sql})", f"len({du_sql})"
+    elif term == "elem":
+        i = rng.randint(1, 4)
+        sp_sql, du_sql = f"element_at({sp_sql}, {i})", f"({du_sql})[{i}]"
+    elif term == "max":
+        sp_sql, du_sql = f"array_max({sp_sql})", f"list_max({du_sql})"
+    else:
+        sp_sql, du_sql = f"array_min({sp_sql})", f"list_min({du_sql})"
+
+    from zebra_spark.io import embeddings_d
+
+    got = (
+        embeddings_d(spark, SF_ORACLE)
+        .select(F.expr(sp_sql).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(
+            "WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings) "
+            f"SELECT {du_sql} AS v, count(*) AS n FROM e "
+            "GROUP BY v ORDER BY v"
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert got["v"].tolist() == want["v"].tolist(), (seed, sp_sql, du_sql)
+    assert got["n"].tolist() == want["n"].tolist(), (seed, sp_sql, du_sql)
