@@ -177,3 +177,45 @@ def test_edges_cheap_same_labels(spark):
         for r in connected_components(nodes, edf, edges_cheap=True).collect()
     }
     assert a == b
+
+
+def test_incremental_components(spark):
+    """Star-collapse correctness: updating a maintained labeling with a
+    delta (merging two old components, extending a chain, adding brand
+    new nodes) equals full CC over old ∪ delta — including min-id
+    labels."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.graph import connected_components, incremental_components
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    delta = [(3, 10), (22, 30), (40, 41)]  # merge, extend, new island
+    old_nodes = sorted({n for e in old_edges for n in e} | {5})  # 5 isolated
+    new_nodes = [30, 40, 41]
+
+    nodes_df = spark.createDataFrame([(n,) for n in old_nodes], "id bigint")
+    old_df = spark.createDataFrame(old_edges, "src bigint, dst bigint")
+    labels = connected_components(nodes_df, old_df)
+
+    delta_df = spark.createDataFrame(delta, "src bigint, dst bigint")
+    new_df = spark.createDataFrame([(n,) for n in new_nodes], "id bigint")
+    got = {
+        (r.id, r.component)
+        for r in incremental_components(labels, delta_df, new_df).collect()
+    }
+
+    all_nodes = spark.createDataFrame(
+        [(n,) for n in old_nodes + new_nodes], "id bigint"
+    )
+    want = {
+        (r.id, r.component)
+        for r in connected_components(
+            all_nodes, old_df.unionByName(delta_df)
+        ).collect()
+    }
+    assert got == want
+    # the merge really happened: 1..3 and 10..11 share a label now
+    lbl = dict(got)
+    assert lbl[11] == lbl[1] == 1
+    assert lbl[30] == lbl[20]
+    assert lbl[41] == 40 and lbl[5] == 5

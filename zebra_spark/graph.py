@@ -216,3 +216,32 @@ def connected_components(
         "(doubling makes rounds ~log2(diameter): this graph would need "
         f"diameter > 2^{max_rounds})"
     )
+
+
+def incremental_components(
+    labels: DataFrame, delta_edges: DataFrame, new_nodes: DataFrame
+) -> DataFrame:
+    """Update a MAINTAINED component assignment with one ingest batch's
+    edges — without re-traversing the full edge set.
+
+    labels (id, component) is the pre-batch assignment (a maintained
+    artifact, like the pair tables); delta_edges (src, dst) are the
+    batch's new near-dup pairs (pair_table_delta output, thresholded);
+    new_nodes (id) are the batch members.  Each old component collapses
+    to a STAR — one edge id -> representative, <= |V| edges total with
+    diameter 1 — which preserves exactly the old connectivity classes,
+    so connected_components over (stars ∪ delta) equals CC over
+    (old_edges ∪ delta) on the full node set, with min-id labels
+    agreeing because every node is present.  Pointer doubling then
+    converges in O(log of the DELTA's chain length), not the corpus
+    diameter, and the edge frame it iterates is |V| + |delta| rows
+    instead of the full pair graph: the cluster twin of
+    `old_pairs UNION delta` (equivalence pinned by
+    tests/test_graph.py::test_incremental_components and the
+    driver-gated q_cluster_delta)."""
+    star = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    nodes = labels.select("id").unionByName(new_nodes.select("id")).distinct()
+    edges = star.unionByName(delta_edges.select("src", "dst"))
+    return connected_components(nodes, edges, edges_cheap=True)

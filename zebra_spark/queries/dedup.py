@@ -1697,9 +1697,7 @@ _SQL_MINHASH_PAIRS = (
 )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
+_SQL_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
     {_SQL_MINHASH_PAIRS},
     sym AS (
@@ -1720,8 +1718,10 @@ _SQL_MINHASH_PAIRS = (
            CAST(CASE WHEN coalesce(l.cluster, d.doc_id) = d.doc_id
                 THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@query("q_dedup_clusters", oracle=_SQL_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER dedup: connected components over the MinHash
     pair graph, keep the min-id representative per component (keep=1).
@@ -1742,6 +1742,59 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair table — no expensive lineage for CC to cut
     comp = connected_components(docs, pairs, edges_cheap=True)
     return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.when(F.col("component") == F.col("id"), 1).otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@query("q_cluster_delta", oracle=_SQL_CLUSTERS_ORACLE)
+def q_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CLUSTER maintenance (r8): the post-batch component
+    assignment computed from the PRE-batch labels plus the batch's pair
+    DELTA — never re-traversing the full pair graph — must equal the
+    full-rebuild clustering, and the oracle is q_dedup_clusters'
+    from-scratch recursive closure verbatim, so the incremental path
+    itself sits at the driver hash gate.
+
+    Production shape: `labels` is a maintained artifact (like the pair
+    tables); one ingest tick thresholds pair_table_delta into delta
+    edges and runs graph.incremental_components over star(labels) ∪
+    delta — |V| + |delta| edges with old components at diameter 1 —
+    instead of CC over the whole maintained pair table.  Here the
+    pre-batch labels are built once from the non-batch slice (the
+    fixture has no maintained state), exactly like the other delta
+    gates."""
+    from zebra_spark.graph import connected_components, incremental_components
+    from zebra_spark.io import load
+
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    is_new = (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+
+    base_edges = (
+        pair_table(spark, sf_dir)
+        .filter(~is_new)
+        .filter(jac >= MINHASH_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    base_nodes = docs.filter(F.col("id") % 10 != 0)
+    labels = connected_components(base_nodes, base_edges, edges_cheap=True)
+
+    batch = docs.filter(F.col("id") % 10 == 0)
+    delta_edges = (
+        pair_table_delta(
+            spark, sf_dir, batch.select(F.col("id").alias("doc_id"))
+        )
+        .filter(jac >= MINHASH_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()  # CC iterates over this frame; cut the
+        # band-join lineage once instead of per round
+    )
+    merged = incremental_components(labels, delta_edges, batch)
+    return merged.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster"),
         F.when(F.col("component") == F.col("id"), 1).otherwise(0)
