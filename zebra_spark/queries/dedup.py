@@ -2109,10 +2109,7 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMC_TH = 0.65  # cosine-distance edge threshold for semantic clustering
 
-
-@query(
-    "q_semantic_clusters",
-    oracle=f"""
+_SQL_SEMC_ORACLE = f"""
     WITH RECURSIVE
     e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
@@ -2159,8 +2156,10 @@ SEMC_TH = 0.65  # cosine-distance edge threshold for semantic clustering
            CAST(CASE WHEN coalesce(l.cluster, v.vec_id) = v.vec_id
                 THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM e v LEFT JOIN labels l ON l.vec_id = v.vec_id
-    """,
-)
+    """
+
+
+@query("q_semantic_clusters", oracle=_SQL_SEMC_ORACLE)
 def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC cluster dedup: connected components over the
     embedding-cosine near-dup graph (edges = IVF-blocked candidate
@@ -2186,6 +2185,48 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("vec_id").alias("id")), edges, edges_cheap=True
     )
     return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        F.when(F.col("component") == F.col("id"), 1).otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@query("q_semantic_cluster_delta", oracle=_SQL_SEMC_ORACLE)
+def q_semantic_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC cluster maintenance — the embedding-space
+    twin of q_cluster_delta: pre-batch labels (a maintained artifact in
+    production) star-collapsed and merged with the batch's thresholded
+    cosine pair delta through graph.incremental_components, hash-gated
+    against q_semantic_clusters' from-scratch recursive closure.  With
+    this, BOTH views' full chain — pair table, assignment, clusters —
+    maintains per batch instead of rebuilding per snapshot."""
+    from zebra_spark.graph import connected_components, incremental_components
+
+    is_new = (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+    ids = embeddings_d(spark, sf_dir).select(F.col("vec_id").alias("id"))
+
+    base_edges = (
+        cosine_pair_table(spark, sf_dir)
+        .filter(~is_new)
+        .filter(F.col("dist") <= SEMC_TH)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    base_nodes = ids.filter(F.col("id") % 10 != 0)
+    labels = connected_components(base_nodes, base_edges, edges_cheap=True)
+
+    batch = ids.filter(F.col("id") % 10 == 0)
+    delta_edges = (
+        cosine_pair_table_delta(
+            spark, sf_dir, new_ids=batch.select(F.col("id").alias("vec_id"))
+        )
+        .filter(F.col("dist") <= SEMC_TH)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint()  # cut the cell-join lineage once, not per CC round
+    )
+    merged = incremental_components(labels, delta_edges, batch)
+    return merged.select(
         F.col("id").alias("vec_id"),
         F.col("component").alias("cluster"),
         F.when(F.col("component") == F.col("id"), 1).otherwise(0)
