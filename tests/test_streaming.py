@@ -937,3 +937,107 @@ def test_maintain_cosine_tables_empty_batch(spark, tmp_path):
     assert vecs.count() == 31
     assert assign.columns == ["vec_id", "cell_id"]
     assert pairs.columns == ["id_a", "id_b", "dist"]
+
+
+def test_remove_from_pair_state_equals_rebuild(spark, tmp_path):
+    """Takedown deletes: after remove_from_pair_state, every maintained
+    lexical table is bit-identical to a from-scratch maintenance run
+    over the surviving corpus — candidates depend only on surviving
+    signatures, so no pair is lost or retained wrongly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.streaming import (
+        maintain_pair_tables,
+        read_pair_state,
+        remove_from_pair_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    for part in range(2):
+        maintain_pair_tables(
+            spark, state, docs.filter(F.col("doc_id") % 2 == part),
+            epoch_id=part,
+        )
+    gone = docs.select("doc_id").filter(F.col("doc_id") % 7 == 3)
+    remove_from_pair_state(spark, state, gone)
+
+    rebuild = str(tmp_path / "rebuild")
+    maintain_pair_tables(
+        spark, rebuild, docs.join(gone, "doc_id", "left_anti"), epoch_id=0
+    )
+    got = read_pair_state(spark, state)
+    want = read_pair_state(spark, rebuild)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    for g, w in zip(got, want):
+        gp, wp = g.toPandas(), w.toPandas()
+        assert len(gp) == len(wp) > 0
+        assert vhash(gp) == vhash(wp)
+
+
+def test_remove_from_cosine_state_equals_rebuild(spark, tmp_path):
+    """The semantic twin: deletes propagate to vectors, assignments and
+    pairs; the surviving state equals maintaining the surviving corpus
+    against the SAME frozen seeds (seeds are a separate artifact, so a
+    takedown never perturbs the blocking)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        read_cosine_state,
+        remove_from_cosine_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(f"{v:.10f}" if isinstance(v, float) else str(v) for v in r)
+            for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    seeds = dd.cosine_seed_table(spark, SF_ORACLE)
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, seeds)
+    for part in range(2):
+        maintain_cosine_tables(
+            spark, state, e.filter(F.col("vec_id") % 2 == part),
+            epoch_id=part,
+        )
+    gone = e.select("vec_id").filter(F.col("vec_id") % 7 == 3)
+    remove_from_cosine_state(spark, state, gone)
+
+    rebuild = str(tmp_path / "rebuild")
+    init_cosine_state(spark, rebuild, seeds)
+    maintain_cosine_tables(
+        spark, rebuild, e.join(gone, "vec_id", "left_anti"), epoch_id=0
+    )
+    got = read_cosine_state(spark, state)
+    want = read_cosine_state(spark, rebuild)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    for g, w in zip(got, want):
+        gp, wp = g.toPandas(), w.toPandas()
+        assert len(gp) == len(wp) > 0
+        assert vhash(gp) == vhash(wp)

@@ -628,15 +628,94 @@ def compact_state(
         df = spark.read.parquet(p)
         if "epoch" in df.columns:
             df = df.drop("epoch")
-        tmp = f"{p}__compact"
-        df.coalesce(n_files).write.mode("overwrite").parquet(
-            f"{tmp}/epoch=-1"
-        )
-        old = f"{p}__old"
-        rmtree(spark, old)
-        rename(spark, p, old)
-        rename(spark, tmp, p)
-        rmtree(spark, old)
+        _snapshot_and_swap(spark, p, df, n_files)
+
+
+def _snapshot_and_swap(spark, p: str, df: DataFrame, n_files: int) -> None:
+    """Write `df` as the table's new epoch=-1 snapshot and swap it in
+    via rename — the shared commit sequence of compact_state and the
+    remove_from_*_state takedown path.  Interrupted swaps are repaired
+    by recover_state_swaps at every entry point."""
+    from zebra_spark.fsutil import rename, rmtree
+
+    tmp = f"{p}__compact"
+    df.coalesce(n_files).write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
+    old = f"{p}__old"
+    rmtree(spark, old)
+    rename(spark, p, old)
+    rename(spark, tmp, p)
+    rmtree(spark, old)
+
+
+# id-bearing columns per maintained table, shared by the takedown paths
+_PAIR_STATE_ID_COLS = {"sigs": ["doc_id"], "toks": ["doc_id"],
+                       "pairs": ["doc_a", "doc_b"]}
+_COSINE_STATE_ID_COLS = {"vecs": ["vec_id"], "assign": ["vec_id"],
+                         "pairs": ["id_a", "id_b"]}
+
+
+def _remove_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    names: tuple[str, ...],
+    id_cols: dict[str, list[str]],
+    ids_df: DataFrame,
+    n_files: int,
+) -> None:
+    from zebra_spark.fsutil import exists as fs_exists
+
+    recover_state_swaps(spark, state_dir, names)
+    ids = ids_df.select(ids_df.columns[0]).localCheckpoint()
+    idcol = ids.columns[0]
+    for name in names:
+        p = f"{state_dir}/{name}"
+        if not fs_exists(spark, p):
+            continue
+        df = spark.read.parquet(p)
+        if "epoch" in df.columns:
+            df = df.drop("epoch")
+        for c in id_cols[name]:
+            df = df.join(
+                ids.withColumnRenamed(idcol, c), c, "left_anti"
+            )
+        _snapshot_and_swap(spark, p, df, n_files)
+
+
+def remove_from_pair_state(
+    spark: SparkSession, state_dir: str, ids_df: DataFrame,
+    n_files: int = 4,
+) -> None:
+    """Takedown deletes on the maintained LEXICAL state (≙
+    Database::remove, extended to the derived artifacts a 100 TB
+    pipeline keeps): anti-join every table against the doc ids (one
+    column, any name) — signatures and token sets by doc_id, pairs by
+    EITHER endpoint — and swap the filtered epoch=-1 snapshots in via
+    the compaction machinery (crash-recovered like compact_state).
+
+    The post-delete state is bit-identical to rebuilding over the
+    remaining corpus: candidates depend only on surviving docs'
+    signatures, and no surviving-vs-surviving pair involves the
+    removed ids (pinned by tests/test_streaming.py).  MUST run at
+    rest, like compaction."""
+    _remove_from_state(
+        spark, state_dir, PAIR_STATE_TABLES, _PAIR_STATE_ID_COLS,
+        ids_df, n_files,
+    )
+
+
+def remove_from_cosine_state(
+    spark: SparkSession, state_dir: str, ids_df: DataFrame,
+    n_files: int = 4,
+) -> None:
+    """Takedown deletes on the maintained SEMANTIC state — vectors and
+    assignments by vec_id, pairs by either endpoint; same swap
+    machinery and rebuild-equivalence contract as the lexical twin
+    (frozen seeds are untouched: assignment is per-vector, so the
+    surviving rows are exactly the rebuild's)."""
+    _remove_from_state(
+        spark, state_dir, COSINE_STATE_TABLES, _COSINE_STATE_ID_COLS,
+        ids_df, n_files,
+    )
 
 
 PAIR_STATE_TABLES = ("sigs", "toks", "pairs")
