@@ -1041,3 +1041,57 @@ def test_remove_from_cosine_state_equals_rebuild(spark, tmp_path):
         gp, wp = g.toPandas(), w.toPandas()
         assert len(gp) == len(wp) > 0
         assert vhash(gp) == vhash(wp)
+
+
+def test_register_state_dir_as_maintained_table(spark, tmp_path):
+    """A streaming state's pairs/ dir (epoch=N layout) can be
+    registered DIRECTLY as the maintained pair table: the epoch
+    partition column is a write-side commit marker and must not leak
+    into consumer schemas — q_dedup_minhash over the registered state
+    equals the session build."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    import zebra_spark
+    from zebra_spark.io import load
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import maintain_pair_tables
+    from tests.conftest import SF_ORACLE
+
+    zebra_spark.load_all_queries()
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    want = zebra_spark.QUERIES["q_dedup_minhash"](spark, SF_ORACLE).toPandas()
+
+    docs = load(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    for part in range(2):
+        maintain_pair_tables(
+            spark, state, docs.filter(F.col("doc_id") % 2 == part),
+            epoch_id=part,
+        )
+    prev = dd.register_maintained_table("minhash", SF_ORACLE, f"{state}/pairs")
+    try:
+        got = zebra_spark.QUERIES["q_dedup_minhash"](spark, SF_ORACLE).toPandas()
+    finally:
+        from pathlib import Path
+
+        key = ("minhash", str(Path(SF_ORACLE).resolve()),
+               dd.N_HASHES, dd.N_BANDS, None)
+        with dd._DERIVED_LOCK:
+            if prev is not None:
+                dd._DERIVED[key] = prev
+            else:
+                dd._DERIVED.pop(key, None)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert "epoch" not in got.columns
+    assert vhash(got) == vhash(want)

@@ -306,7 +306,13 @@ def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
                 with cache_scope():
                     build().write.mode("overwrite").parquet(path)
                 _DERIVED[key] = path
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if "epoch" in df.columns:
+        # a register_maintained_table path may be a streaming state
+        # table in the exactly-once epoch=N layout; the epoch is a
+        # write-side commit marker, not part of any consumer's schema
+        df = df.drop("epoch")
+    return df
 
 
 def sig_table(
