@@ -1024,7 +1024,19 @@ def test_remove_from_cosine_state_equals_rebuild(spark, tmp_path):
             spark, state, e.filter(F.col("vec_id") % 2 == part),
             epoch_id=part,
         )
-    gone = e.select("vec_id").filter(F.col("vec_id") % 7 == 3)
+    # seed vectors (vec_id < n_cells) cannot be taken down in place —
+    # their embeddings live in seeds/ and the guard refuses (reseed
+    # required); pick non-seed ids for the in-place path
+    n_seeds = seeds.count()
+    import pytest
+
+    with pytest.raises(ValueError, match="frozen seed"):
+        remove_from_cosine_state(
+            spark, state, e.select("vec_id").filter(F.col("vec_id") == 3)
+        )
+    gone = e.select("vec_id").filter(
+        (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= n_seeds)
+    )
     remove_from_cosine_state(spark, state, gone)
 
     rebuild = str(tmp_path / "rebuild")
@@ -1095,3 +1107,101 @@ def test_register_state_dir_as_maintained_table(spark, tmp_path):
     release_caches()
     assert "epoch" not in got.columns
     assert vhash(got) == vhash(want)
+
+
+def test_takedown_preserves_backfill_layout(spark, tmp_path):
+    """A takedown on a backfill-mode state must not convert it to
+    epoch layout — later backfill appends must keep working."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.streaming import (
+        maintain_pair_tables,
+        read_pair_state,
+        remove_from_pair_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "flat")
+    maintain_pair_tables(
+        spark, state, docs.filter(F.col("doc_id") % 2 == 0), epoch_id=None
+    )
+    remove_from_pair_state(
+        spark, state, docs.select("doc_id").filter(F.col("doc_id") % 8 == 0)
+    )
+    # still a flat layout: another backfill append is accepted
+    maintain_pair_tables(
+        spark, state, docs.filter(F.col("doc_id") % 2 == 1), epoch_id=None
+    )
+    sigs, _, _ = read_pair_state(spark, state)
+    assert "epoch" not in sigs.columns
+    assert sigs.select("doc_id").distinct().count() > 0
+
+
+def test_partial_epoch_invisible_until_replayed(spark, tmp_path):
+    """A crash between one maintain call's per-table writes leaves a
+    partial epoch; readers and compaction must not see it, and the
+    stream's replay must converge to the uncrashed state."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.streaming import (
+        compact_pair_state,
+        maintain_pair_tables,
+        read_pair_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    maintain_pair_tables(
+        spark, state, docs.filter(F.col("doc_id") % 2 == 0), epoch_id=0
+    )
+    snap = vhash(read_pair_state(spark, state)[2].toPandas())
+
+    # simulate the crash: epoch 1 written to sigs (the first table in
+    # write order after vecs-equivalent) but NOT to toks/pairs
+    batch1 = docs.filter(F.col("doc_id") % 2 == 1)
+    bks = batch1.select(
+        "doc_id", F.lit(7).cast("bigint").alias("bk")
+    )
+    bks.write.mode("overwrite").parquet(f"{state}/sigs/epoch=1")
+
+    # readers: epoch 1 is NOT committed (absent from toks/pairs)
+    sigs, _, pairs = read_pair_state(spark, state)
+    assert sigs.filter(F.col("bk") == 7).count() == 0
+    assert vhash(pairs.toPandas()) == snap
+
+    # compaction must not bake the partial epoch in
+    compact_pair_state(spark, state, n_files=2)
+    sigs2, _, pairs2 = read_pair_state(spark, state)
+    assert sigs2.filter(F.col("bk") == 7).count() == 0
+    assert vhash(pairs2.toPandas()) == snap
+
+    # the replay (the stream restarts epoch 1) converges to the
+    # uncrashed twin
+    maintain_pair_tables(spark, state, batch1, epoch_id=1)
+    got = read_pair_state(spark, state)[2].toPandas()
+
+    ref = str(tmp_path / "ref")
+    maintain_pair_tables(
+        spark, ref, docs.filter(F.col("doc_id") % 2 == 0), epoch_id=0
+    )
+    maintain_pair_tables(spark, ref, batch1, epoch_id=1)
+    want = read_pair_state(spark, ref)[2].toPandas()
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert vhash(got) == vhash(want)
+    shutil.rmtree(state, ignore_errors=True)

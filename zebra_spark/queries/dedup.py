@@ -1293,28 +1293,44 @@ def cosine_pair_table_delta(
       scoring reads corpus ∪ batch embeddings.  vec_ids must be
       disjoint from the corpus.  Equivalence to the same-seed rebuild
       slice is driver-hash-checked (q_cosine_delta_unseen)."""
+    if (new_vectors is None) == (new_ids is None):
+        # validate BEFORE touching the derived-table registry: the
+        # corpus assign build is the most expensive artifact and must
+        # not run as a side effect of a call that then raises
+        raise ValueError("pass exactly one of new_ids / new_vectors")
     assign = cosine_assign_table(spark, sf_dir)
     e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
-    if (new_vectors is None) == (new_ids is None):
-        raise ValueError("pass exactly one of new_ids / new_vectors")
     if new_vectors is not None:
         batch = new_vectors.select("vec_id", "emb")
         batch_assign = cosine_assign_delta(spark, sf_dir, batch)
-        newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
         other_assign = assign.unionByName(batch_assign)
         e = e.unionByName(batch)
     else:
-        newa = assign.join(
+        batch_assign = assign.join(
             new_ids.select("vec_id"), "vec_id", "left_semi"
-        ).select(F.col("vec_id").alias("id_n"), "cell_id")
+        )
         other_assign = assign
+    cand = _cell_collide_pairs(batch_assign, other_assign)
+    return _score_pairs(cand, e, vectorized=False)
+
+
+def _cell_collide_pairs(
+    batch_assign: DataFrame, other_assign: DataFrame
+) -> DataFrame:
+    """(id_a, id_b): candidate pairs from cell collisions between a
+    batch's assignments (vec_id, cell_id) and the full assignment view
+    — the ONE shared kernel behind cosine_pair_table_delta,
+    q_cosine_delta_unseen and streaming.maintain_cosine_tables, so a
+    future change (e.g. a giant-cell cap like the MinHash bucket
+    guard) lands on all three at once and the pinned delta==rebuild
+    equivalences cannot drift apart.  Normalized to id_a < id_b;
+    new-new pairs appear from either side and multi-assign yields one
+    row per shared cell — the trailing distinct collapses both."""
+    newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
     other = other_assign.select(
         F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
     )
-    # cell-collide new x all, normalize to (id_a < id_b); new-new pairs
-    # appear from either side — distinct dedups (multi-assign also
-    # yields one row per shared cell, collapsed by the same distinct)
-    cand = (
+    return (
         newa.join(
             other,
             (F.col("cell_id") == F.col("cell_o"))
@@ -1326,7 +1342,6 @@ def cosine_pair_table_delta(
         )
         .distinct()
     )
-    return _score_pairs(cand, e, vectorized=False)
 
 
 _SQL_COSINE_ASSIGN = f"""
@@ -1477,21 +1492,8 @@ def q_cosine_delta_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _cosine_seeds(corpus)
     corpus_assign = _assign_to_seeds(corpus, seeds)
     batch_assign = _assign_to_seeds(batch, seeds)
-    newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
-    other = corpus_assign.unionByName(batch_assign).select(
-        F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
-    )
-    cand = (
-        newa.join(
-            other,
-            (F.col("cell_id") == F.col("cell_o"))
-            & (F.col("id_n") != F.col("id_o")),
-        )
-        .select(
-            F.least("id_n", "id_o").alias("id_a"),
-            F.greatest("id_n", "id_o").alias("id_b"),
-        )
-        .distinct()
+    cand = _cell_collide_pairs(
+        batch_assign, corpus_assign.unionByName(batch_assign)
     )
     e = corpus.unionByName(batch)
     return _score_pairs(cand, e, vectorized=False).select(
@@ -1619,11 +1621,10 @@ def needs_reseed(
                 "corpus", seeds,
             ).collect()[0].mse
         )
-    got = float(
-        cell_drift_audit(spark, sf_dir, batch, "batch", seeds)
-        .collect()[0].mse
-    )
-    return got > ratio_threshold * max(baseline_mse, 1e-12)
+    row = cell_drift_audit(spark, sf_dir, batch, "batch", seeds).collect()[0]
+    if row.mse is None:  # empty batch (a quiet tick) cannot drift
+        return False
+    return float(row.mse) > ratio_threshold * max(baseline_mse, 1e-12)
 
 
 @query(

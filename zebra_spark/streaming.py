@@ -527,13 +527,7 @@ def read_pair_state(
     dedup.register_maintained_table) should read, valid for both the
     append layout and the epoch-partitioned exactly-once layout."""
     recover_state_swaps(spark, state_dir, PAIR_STATE_TABLES)
-    out = []
-    for name in PAIR_STATE_TABLES:
-        df = spark.read.parquet(f"{state_dir}/{name}")
-        if "epoch" in df.columns:
-            df = df.drop("epoch")
-        out.append(df)
-    return tuple(out)
+    return tuple(_committed_frames(spark, state_dir, PAIR_STATE_TABLES))
 
 
 def _guard_state_layout(
@@ -596,6 +590,34 @@ def recover_state_swaps(
             rename(spark, old, p)
 
 
+def _committed_frames(
+    spark: SparkSession, state_dir: str, names: tuple[str, ...]
+) -> list[DataFrame]:
+    """Read the state tables showing only COMMITTED epochs — epochs
+    present in EVERY table.  One maintain call writes the tables as
+    separate per-table commits, so a crash mid-call leaves a partial
+    epoch in a prefix of them; the restarted stream will replay and
+    overwrite it, but until then readers (and compaction, which must
+    not bake the partial epoch into the snapshot — the replay would
+    then append its rows a second time) must not see it.  The epoch
+    sets come from the partition column (file listing, no data scan);
+    flat backfill layouts pass through untouched."""
+    dfs = [spark.read.parquet(f"{state_dir}/{n}") for n in names]
+    epoched = [df for df in dfs if "epoch" in df.columns]
+    if len(epoched) == len(dfs) and epoched:
+        sets = [
+            {r.epoch for r in df.select("epoch").distinct().collect()}
+            for df in dfs
+        ]
+        committed = set.intersection(*sets)
+        if any(s - committed for s in sets):
+            dfs = [
+                df.filter(F.col("epoch").isin(list(committed)))
+                for df in dfs
+            ]
+    return [df.drop("epoch") if "epoch" in df.columns else df for df in dfs]
+
+
 def compact_state(
     spark: SparkSession,
     state_dir: str,
@@ -621,25 +643,35 @@ def compact_state(
     from zebra_spark.fsutil import rename, rmtree
 
     recover_state_swaps(spark, state_dir, names)
-    for name in names:
-        p = f"{state_dir}/{name}"
-        if not fs_exists(spark, p):
-            continue
-        df = spark.read.parquet(p)
-        if "epoch" in df.columns:
-            df = df.drop("epoch")
-        _snapshot_and_swap(spark, p, df, n_files)
+    existing = tuple(
+        n for n in names if fs_exists(spark, f"{state_dir}/{n}")
+    )
+    if not existing:
+        return
+    # committed-epoch view: a partial epoch (crash between a maintain
+    # call's per-table writes) must not fold into the snapshot — the
+    # stream's replay of that epoch would then duplicate its rows
+    for name, df in zip(existing, _committed_frames(spark, state_dir, existing)):
+        _snapshot_and_swap(spark, f"{state_dir}/{name}", df, n_files)
 
 
-def _snapshot_and_swap(spark, p: str, df: DataFrame, n_files: int) -> None:
-    """Write `df` as the table's new epoch=-1 snapshot and swap it in
-    via rename — the shared commit sequence of compact_state and the
-    remove_from_*_state takedown path.  Interrupted swaps are repaired
-    by recover_state_swaps at every entry point."""
+def _snapshot_and_swap(
+    spark, p: str, df: DataFrame, n_files: int, epoch_layout: bool = True
+) -> None:
+    """Write `df` as the table's new snapshot and swap it in via rename
+    — the shared commit sequence of compact_state and the
+    remove_from_*_state takedown path.  epoch_layout picks the on-disk
+    shape: an `epoch=-1` subdir for exactly-once states (compaction
+    always, takedowns on epoch-mode states), plain part- files for
+    backfill states (a takedown must NOT silently convert a backfill
+    dir to epoch layout — that would reject every later backfill
+    append).  Interrupted swaps are repaired by recover_state_swaps at
+    every entry point."""
     from zebra_spark.fsutil import rename, rmtree
 
     tmp = f"{p}__compact"
-    df.coalesce(n_files).write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
+    target = f"{tmp}/epoch=-1" if epoch_layout else tmp
+    df.coalesce(n_files).write.mode("overwrite").parquet(target)
     old = f"{p}__old"
     rmtree(spark, old)
     rename(spark, p, old)
@@ -667,18 +699,28 @@ def _remove_from_state(
     recover_state_swaps(spark, state_dir, names)
     ids = ids_df.select(ids_df.columns[0]).localCheckpoint()
     idcol = ids.columns[0]
-    for name in names:
-        p = f"{state_dir}/{name}"
-        if not fs_exists(spark, p):
-            continue
-        df = spark.read.parquet(p)
-        if "epoch" in df.columns:
-            df = df.drop("epoch")
+    existing = tuple(
+        n for n in names if fs_exists(spark, f"{state_dir}/{n}")
+    )
+    if not existing:
+        return
+    layouts = {
+        n: "epoch"
+        in spark.read.parquet(f"{state_dir}/{n}").columns
+        for n in existing
+    }
+    # committed view: a crash-partial epoch must not be snapshotted
+    # (the stream's replay would re-add its rows); dropping it here is
+    # safe — the replay recomputes it against the post-takedown state
+    for name, df in zip(existing, _committed_frames(spark, state_dir, existing)):
         for c in id_cols[name]:
             df = df.join(
                 ids.withColumnRenamed(idcol, c), c, "left_anti"
             )
-        _snapshot_and_swap(spark, p, df, n_files)
+        _snapshot_and_swap(
+            spark, f"{state_dir}/{name}", df, n_files,
+            epoch_layout=layouts[name],
+        )
 
 
 def remove_from_pair_state(
@@ -711,7 +753,42 @@ def remove_from_cosine_state(
     assignments by vec_id, pairs by either endpoint; same swap
     machinery and rebuild-equivalence contract as the lexical twin
     (frozen seeds are untouched: assignment is per-vector, so the
-    surviving rows are exactly the rebuild's)."""
+    surviving rows are exactly the rebuild's).
+
+    REFUSES a takedown that hits the seed set itself: seeds/ stores
+    the seed vectors' verbatim embeddings (cell_id = the source
+    vec_id for prefix-derived seeds), so silently keeping them would
+    retain exactly the data the delete must purge — while dropping a
+    seed would change the blocking for every future batch and break
+    base ∪ delta composability.  A seed takedown therefore requires a
+    reseed: rebuild into a fresh state_dir without the removed
+    vectors (q_cell_drift / needs_reseed govern when that is due
+    anyway)."""
+    from zebra_spark.fsutil import exists as fs_exists
+
+    seeds_p = f"{state_dir}/seeds"
+    if fs_exists(spark, seeds_p):
+        idcol = ids_df.columns[0]
+        hit = (
+            spark.read.parquet(seeds_p)
+            .join(
+                ids_df.select(
+                    F.col(idcol).alias("cell_id")
+                ),
+                "cell_id",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if hit:
+            raise ValueError(
+                "takedown ids include frozen seed vectors; their "
+                "embeddings live in seeds/ and removing them changes "
+                "the blocking for every future batch — reseed into a "
+                "fresh state_dir (build over the surviving corpus) "
+                "instead"
+            )
     _remove_from_state(
         spark, state_dir, COSINE_STATE_TABLES, _COSINE_STATE_ID_COLS,
         ids_df, n_files,
@@ -770,7 +847,9 @@ def init_cosine_state(
     once batches have been applied — queries.dedup.cell_drift_audit is
     the reseed signal, and a reseed means a new state_dir (full
     rebuild).  Overwrite-idempotent so a crashed init can simply
-    re-run."""
+    re-run.  For prefix-derived seeds (cosine_seed_table /
+    _cosine_seeds) cell_id IS the source vec_id — the contract
+    remove_from_cosine_state's seed-takedown guard relies on."""
     seeds.select("cell_id", "ce").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/seeds")
@@ -816,11 +895,13 @@ def maintain_cosine_tables(
     vec_p, assign_p, pair_p = (
         f"{state_dir}/{n}" for n in COSINE_STATE_TABLES
     )
-    batch = batch_df.select("vec_id", "emb").localCheckpoint()
-    batch_assign = _assign_to_seeds(batch, seeds).localCheckpoint()
+    # guard BEFORE the eager batch-encode jobs below: a rejected call
+    # (mixed layout) must not pay the batch x seeds assignment first
     have_state = fs_exists(spark, assign_p)
     if have_state:
         _guard_state_layout(spark, assign_p, epoch_id, state_dir)
+    batch = batch_df.select("vec_id", "emb").localCheckpoint()
+    batch_assign = _assign_to_seeds(batch, seeds).localCheckpoint()
 
     def read_state(path: str) -> DataFrame:
         df = spark.read.parquet(path)
@@ -838,33 +919,25 @@ def maintain_cosine_tables(
     e = (
         batch.unionByName(read_state(vec_p)) if have_state else batch
     )
-    newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
-    other = other_assign.select(
-        F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
-    )
-    cand = (
-        newa.join(
-            other,
-            (F.col("cell_id") == F.col("cell_o"))
-            & (F.col("id_n") != F.col("id_o")),
-        )
-        .select(
-            F.least("id_n", "id_o").alias("id_a"),
-            F.greatest("id_n", "id_o").alias("id_b"),
-        )
-        .distinct()
-    )
+    from zebra_spark.queries.dedup import _cell_collide_pairs
+
+    cand = _cell_collide_pairs(batch_assign, other_assign)
     delta = _score_pairs(cand, e, vectorized=False)
+    # write order: the batch's own state (vecs, assign) lands before
+    # the pairs delta; readers additionally see only COMMITTED epochs
+    # (present in every table — _committed_frames), so a crash between
+    # these writes can neither surface a partial epoch nor let
+    # compaction bake one in before the stream replays it
     if epoch_id is None:
-        delta.write.mode("append").parquet(pair_p)
-        batch_assign.write.mode("append").parquet(assign_p)
         batch.write.mode("append").parquet(vec_p)
+        batch_assign.write.mode("append").parquet(assign_p)
+        delta.write.mode("append").parquet(pair_p)
     else:
-        delta.write.mode("overwrite").parquet(f"{pair_p}/epoch={epoch_id}")
+        batch.write.mode("overwrite").parquet(f"{vec_p}/epoch={epoch_id}")
         batch_assign.write.mode("overwrite").parquet(
             f"{assign_p}/epoch={epoch_id}"
         )
-        batch.write.mode("overwrite").parquet(f"{vec_p}/epoch={epoch_id}")
+        delta.write.mode("overwrite").parquet(f"{pair_p}/epoch={epoch_id}")
 
 
 def read_cosine_state(
@@ -875,13 +948,7 @@ def read_cosine_state(
     dedup.register_maintained_table('cosine'/'cosassign', ...)) should
     read, valid for both layouts."""
     recover_state_swaps(spark, state_dir, COSINE_STATE_TABLES)
-    out = []
-    for name in COSINE_STATE_TABLES:
-        df = spark.read.parquet(f"{state_dir}/{name}")
-        if "epoch" in df.columns:
-            df = df.drop("epoch")
-        out.append(df)
-    return tuple(out)
+    return tuple(_committed_frames(spark, state_dir, COSINE_STATE_TABLES))
 
 
 def compact_cosine_state(
