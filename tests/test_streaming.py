@@ -1205,3 +1205,77 @@ def test_partial_epoch_invisible_until_replayed(spark, tmp_path):
     release_caches()
     assert vhash(got) == vhash(want)
     shutil.rmtree(state, ignore_errors=True)
+
+
+def test_reseed_cosine_state(spark, tmp_path):
+    """The reseed lifecycle: a takedown that hits seed vectors is
+    refused in place, reseed_cosine_state builds the survivor state
+    with FRESH seeds (removed embeddings gone from seeds/ too), and
+    the new state accepts a fresh exactly-once stream epoch."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        read_cosine_state,
+        remove_from_cosine_state,
+        reseed_cosine_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(f"{v:.10f}" if isinstance(v, float) else str(v) for v in r)
+            for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    old = str(tmp_path / "old")
+    init_cosine_state(spark, old, dd.cosine_seed_table(spark, SF_ORACLE))
+    maintain_cosine_tables(spark, old, e, epoch_id=0)
+
+    gone = e.select("vec_id").filter(F.col("vec_id") % 5 == 3)  # hits seeds
+    with pytest.raises(ValueError, match="frozen seed"):
+        remove_from_cosine_state(spark, old, gone)
+
+    new = str(tmp_path / "new")
+    n = reseed_cosine_state(spark, old, new, remove_ids=gone)
+    survivors = e.join(gone, "vec_id", "left_anti")
+    assert n == survivors.count()
+
+    seeds = spark.read.parquet(f"{new}/seeds")
+    assert seeds.join(
+        gone.withColumnRenamed("vec_id", "cell_id"), "cell_id", "left_semi"
+    ).count() == 0  # removed embeddings purged from the seed set too
+    vecs, assign, pairs = read_cosine_state(spark, new)
+    for df, cols in ((vecs, ["vec_id"]), (assign, ["vec_id"]),
+                     (pairs, ["id_a", "id_b"])):
+        for c in cols:
+            assert df.join(
+                gone.withColumnRenamed("vec_id", c), c, "left_semi"
+            ).count() == 0
+
+    # equals a fresh survivor build with the same (new) seed rule
+    ref = str(tmp_path / "ref")
+    init_cosine_state(spark, ref, dd._cosine_seeds(survivors))
+    maintain_cosine_tables(spark, ref, survivors, epoch_id=0)
+    want = read_cosine_state(spark, ref)[2].toPandas()
+    assert vhash(pairs.toPandas()) == vhash(want)
+
+    # a fresh stream's first epoch applies on top of the snapshot
+    extra = spark.createDataFrame(
+        [(10_000_000, [0.5] * 64)], "vec_id bigint, emb array<double>"
+    )
+    maintain_cosine_tables(spark, new, extra, epoch_id=0)
+    assert read_cosine_state(spark, new)[0].filter(
+        F.col("vec_id") == 10_000_000
+    ).count() == 1
+    from zebra_spark.caching import release_caches
+
+    release_caches()

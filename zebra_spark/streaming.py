@@ -982,3 +982,39 @@ def stream_maintain_cosine_tables(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def reseed_cosine_state(
+    spark: SparkSession,
+    old_state_dir: str,
+    new_state_dir: str,
+    remove_ids: DataFrame | None = None,
+    n_files: int = 4,
+) -> int:
+    """The RESEED operation needs_reseed and the seed-takedown guard
+    point to: build a fresh semantic state over the old state's
+    surviving vectors.  Reads the committed vectors, drops
+    `remove_ids` if given (this path CAN remove seed vectors — that is
+    its purpose), freezes NEW prefix seeds from the surviving corpus
+    (the _cosine_seeds rule, so the blocking adapts to the post-drift
+    distribution), applies the survivors as one backfill batch, and
+    compacts to the epoch=-1 snapshot — leaving the new state ready
+    for a fresh exactly-once stream (whose first epoch 0 cannot
+    collide with the snapshot).  Returns the number of vectors carried
+    over.  The old state_dir is untouched; the caller retires it after
+    cutover."""
+    from zebra_spark.queries.dedup import _cosine_seeds
+
+    vecs = read_cosine_state(spark, old_state_dir)[0]
+    if remove_ids is not None:
+        ids = remove_ids.select(remove_ids.columns[0])
+        vecs = vecs.join(
+            ids.withColumnRenamed(ids.columns[0], "vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+    vecs = vecs.localCheckpoint()
+    init_cosine_state(spark, new_state_dir, _cosine_seeds(vecs))
+    maintain_cosine_tables(spark, new_state_dir, vecs, epoch_id=None)
+    compact_cosine_state(spark, new_state_dir, n_files=n_files)
+    return vecs.count()
