@@ -33,10 +33,12 @@ AUDIT_SECTIONS: dict[str, str] = {
     "eval_decontamination": "q_eval_decontaminate",
     "cross_lang_contamination": "q_dedup_cross_lang",
     "knn_label_purity": "q_emb_knn_purity",
-    # r8: blocking health over the maintained ASSIGNMENT artifact —
-    # the section that makes a registered 'cosassign' table a
-    # first-class audited consumer (VERDICT r7 #1 wiring)
+    # r8: blocking health over the maintained blocking artifacts —
+    # semantic cells (the section that makes a registered 'cosassign'
+    # table a first-class audited consumer, VERDICT r7 #1 wiring) and
+    # their lexical twin, the MinHash band-bucket histogram
     "cell_balance": "q_cell_balance",
+    "band_balance": "q_band_balance",
 }
 
 
@@ -68,8 +70,8 @@ def q_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     under its own registered name; this row pins the COMPOSITE wiring.
 
     Scale shape: after the one-time derived-table builds, the audit is
-    seven bounded aggregations over shared parquet artifacts — the
-    summaries union driver-side as seven 1-row frames."""
+    eight bounded aggregations over shared parquet artifacts — the
+    summaries union driver-side as eight 1-row frames."""
     return _summarize(snapshot_audit(spark, sf_dir))
 
 
@@ -193,7 +195,7 @@ def q_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and byte-equal to it (maintained base ∪ delta == the session
     tables when the deltas are exact), so the one bench row prices the
     whole nightly tick: three delta joins + three maintained-table
-    writes + seven audit sections over the maintained files.  rows-only
+    writes + eight audit sections over the maintained files.  rows-only
     by design: each section is individually oracle-checked under its
     own name; equality to q_snapshot_audit is pinned by test."""
     import atexit

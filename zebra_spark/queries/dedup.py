@@ -1594,6 +1594,35 @@ def q_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_band_balance",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_SIGS.strip()},
+    buckets AS (
+      SELECT band, key, count(*) AS n_members
+      FROM sigs GROUP BY band, key
+    )
+    SELECT n_members AS bucket_size, count(*) AS n_buckets
+    FROM buckets GROUP BY n_members
+    """,
+)
+def q_band_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_size, n_buckets): the band-bucket size histogram over
+    the maintained MinHash signature table — the LEXICAL twin of
+    q_cell_balance.  Candidate fan-out per bucket is n_members^2/2, so
+    this histogram is the evidence for choosing (or re-tuning) the
+    giant-bucket cap max_bucket; one groupBy chain over the shared
+    sig_table parquet, no pair generation."""
+    return (
+        sig_table(spark, sf_dir)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .groupBy(F.col("n_members").alias("bucket_size"))
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
 def needs_reseed(
     spark: SparkSession,
     sf_dir: str,
