@@ -939,6 +939,62 @@ def test_maintain_cosine_tables_empty_batch(spark, tmp_path):
     assert pairs.columns == ["id_a", "id_b", "dist"]
 
 
+def test_committed_epoch_with_empty_pairs_delta(spark, tmp_path):
+    """ADVICE r8 (high): a fully committed epoch whose pairs delta is
+    legitimately EMPTY (a batch with no cell collisions) must stay
+    visible — committed epochs now come from the epoch=N directory
+    listing + _SUCCESS marker (streaming._epoch_dirs), not from row
+    values, so an empty-but-written partition counts.  Before the fix,
+    readers hid that epoch's vecs/assign and compact_state permanently
+    deleted them (the stream checkpoint had the epoch committed, so it
+    never replayed — silent data loss)."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.streaming import (
+        compact_cosine_state,
+        init_cosine_state,
+        maintain_cosine_tables,
+        read_cosine_state,
+    )
+
+    # 10 far-apart one-hot seeds; NDUP_ASSIGN=5 nearest per vector.
+    dim = 10
+    seeds = spark.createDataFrame(
+        [(i, [100.0 if j == i else 0.0 for j in range(dim)])
+         for i in range(dim)],
+        "cell_id bigint, ce array<double>",
+    )
+    lo = [50.0] * 5 + [0.0] * 5   # 5 nearest seeds = cells {0..4}
+    hi = [0.0] * 5 + [50.0] * 5   # 5 nearest seeds = cells {5..9}
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, seeds)
+    # epoch 0: two cell-mates -> non-empty pairs delta
+    maintain_cosine_tables(
+        spark, state,
+        spark.createDataFrame(
+            [(1, lo), (2, lo)], "vec_id bigint, emb array<double>"
+        ),
+        epoch_id=0,
+    )
+    # epoch 1: one vector in disjoint cells -> EMPTY pairs delta,
+    # non-empty vecs/assign — the case the row-value epoch sets lost
+    maintain_cosine_tables(
+        spark, state,
+        spark.createDataFrame([(3, hi)], "vec_id bigint, emb array<double>"),
+        epoch_id=1,
+    )
+    vecs, assign, pairs = read_cosine_state(spark, state)
+    assert vecs.count() == 3  # reader sees the empty-delta epoch
+    assert assign.filter(F.col("vec_id") == 3).count() == 5
+    assert pairs.count() == 1
+    # compaction must fold epoch 1 in, not drop it
+    compact_cosine_state(spark, state, n_files=1)
+    vecs, assign, pairs = read_cosine_state(spark, state)
+    assert vecs.count() == 3
+    assert assign.filter(F.col("vec_id") == 3).count() == 5
+    assert pairs.count() == 1
+
+
 def test_remove_from_pair_state_equals_rebuild(spark, tmp_path):
     """Takedown deletes: after remove_from_pair_state, every maintained
     lexical table is bit-identical to a from-scratch maintenance run

@@ -50,6 +50,30 @@ def exists(spark, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def list_subdirs(spark, path: str) -> list[str]:
+    """Names of the immediate child DIRECTORIES of `path` (not files,
+    not recursive); [] for a missing path.  The exactly-once streaming
+    layer derives committed epochs from the `epoch=N` directory listing
+    — its 'the commit marker IS the directory' invariant — so this must
+    be a pure listing, never a data scan."""
+    if _is_local(path):
+        try:
+            return [
+                n for n in os.listdir(path)
+                if os.path.isdir(os.path.join(path, n))
+            ]
+        except FileNotFoundError:
+            return []
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    ]
+
+
 def rmtree(spark, path: str) -> None:
     """Delete a directory tree on whatever filesystem owns `path`.
     Missing paths are a no-op on both branches (FileSystem.delete

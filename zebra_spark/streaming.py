@@ -590,27 +590,54 @@ def recover_state_swaps(
             rename(spark, old, p)
 
 
+def _epoch_dirs(spark, table_path: str) -> tuple[set, set] | None:
+    """(present, committed) epoch ids of one state table from its
+    `epoch=N` directory listing, or None for a flat backfill layout
+    (no epoch= subdirs).  `present` is every epoch=N dir; `committed`
+    is the subset whose write finished (Spark's job-commit `_SUCCESS`
+    marker — written even for a ZERO-ROW delta, which is the whole
+    point: ADVICE r8 found the previous row-value-based epoch sets made
+    a legitimately empty pairs delta indistinguishable from a crash-
+    partial epoch, so readers hid — and compaction permanently dropped
+    — that epoch's sibling rows)."""
+    from zebra_spark.fsutil import exists as fs_exists
+    from zebra_spark.fsutil import list_subdirs
+
+    subs = [
+        d for d in list_subdirs(spark, table_path) if d.startswith("epoch=")
+    ]
+    if not subs:
+        return None
+    present, committed = set(), set()
+    for d in subs:
+        epoch = int(d.split("=", 1)[1])
+        present.add(epoch)
+        if fs_exists(spark, f"{table_path}/{d}/_SUCCESS"):
+            committed.add(epoch)
+    return present, committed
+
+
 def _committed_frames(
     spark: SparkSession, state_dir: str, names: tuple[str, ...]
 ) -> list[DataFrame]:
     """Read the state tables showing only COMMITTED epochs — epochs
-    present in EVERY table.  One maintain call writes the tables as
-    separate per-table commits, so a crash mid-call leaves a partial
+    fully written in EVERY table.  One maintain call writes the tables
+    as separate per-table commits, so a crash mid-call leaves a partial
     epoch in a prefix of them; the restarted stream will replay and
     overwrite it, but until then readers (and compaction, which must
     not bake the partial epoch into the snapshot — the replay would
-    then append its rows a second time) must not see it.  The epoch
-    sets come from the partition column (file listing, no data scan);
-    flat backfill layouts pass through untouched."""
+    then append its rows a second time) must not see it.  Committed
+    epochs come from the epoch=N directory listing + `_SUCCESS` marker
+    (_epoch_dirs — the module's 'the commit marker IS the directory'
+    invariant; pure listing, no data scan), so an epoch whose delta is
+    legitimately EMPTY still counts as committed (ADVICE r8).  Flat
+    backfill layouts pass through untouched."""
     dfs = [spark.read.parquet(f"{state_dir}/{n}") for n in names]
-    epoched = [df for df in dfs if "epoch" in df.columns]
-    if len(epoched) == len(dfs) and epoched:
-        sets = [
-            {r.epoch for r in df.select("epoch").distinct().collect()}
-            for df in dfs
-        ]
-        committed = set.intersection(*sets)
-        if any(s - committed for s in sets):
+    listings = [_epoch_dirs(spark, f"{state_dir}/{n}") for n in names]
+    if listings and all(ls is not None for ls in listings):
+        committed = set.intersection(*(c for _, c in listings))
+        present = set.union(*(p for p, _ in listings))
+        if present - committed:
             dfs = [
                 df.filter(F.col("epoch").isin(list(committed)))
                 for df in dfs
