@@ -109,4 +109,13 @@ def test_ingest_then_audit_equals_rebuild(spark, tmp_path):
     assert set(frames) == set(AUDIT_SECTIONS)
     for df in frames.values():
         assert df.count() >= 0
+    # ADVICE r8: a kind with no prior registration must be UNREGISTERED
+    # on exit, not left pointing at the (temp) work_dir for the session
+    from zebra_spark.queries import dedup as dd
+
+    wd = str(tmp_path / "wd")
+    assert not any(
+        isinstance(p, str) and p.startswith(wd)
+        for p in dd._DERIVED.values()
+    )
     release_caches()

@@ -531,13 +531,20 @@ def test_facade_rejects_unknown_index_kind(spark, tmp_path):
 
 def test_facade_pq_requires_l2sq(spark, tmp_path):
     """The PQ family's ADC kernel is L2-trained; a cosine database must
-    fail fast with guidance instead of silently serving wrong ranks."""
+    fail fast AT CREATE TIME with guidance (ADVICE r8: the CLI could
+    otherwise mint databases whose ANN path never works), not at the
+    first search."""
     from zebra_spark.database import ZebraDatabase
 
-    db = ZebraDatabase.create(
-        spark, str(tmp_path / "db"), dim=32, metric="cosine",
-        index_kind="pq", index_options={"m": 4, "k": 8},
-    )
-    db.insert_texts(TEXTS)
+    for kind in ("pq", "ivfpq"):
+        with pytest.raises(ValueError, match="l2sq"):
+            ZebraDatabase.create(
+                spark, str(tmp_path / f"db_{kind}"), dim=32,
+                metric="cosine", index_kind=kind,
+                index_options={"m": 4, "k": 8},
+            )
+    # the default-image facade (cosine) must hit the same guard
     with pytest.raises(ValueError, match="l2sq"):
-        db.query_texts(["the quick brown fox"], k=2)
+        ZebraDatabase.create_default_image(
+            spark, str(tmp_path / "imgdb"), index_kind="pq"
+        )

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from tests.conftest import SF_ORACLE
 
 import zebra_spark
@@ -593,6 +595,37 @@ def test_needs_reseed_trigger(spark):
         dd.cell_drift_audit(spark, SF_ORACLE, e, "corpus").collect()[0].mse
     )
     assert dd.needs_reseed(spark, SF_ORACLE, shifted, baseline_mse=base)
+    # ADVICE r8: an EMPTY corpus baseline must raise a descriptive
+    # error, not TypeError from float(None) — temp sf_dir with a
+    # zero-row embeddings table, explicit seeds so only the baseline
+    # side is empty
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="zebra_empty_sf_")
+    e.limit(0).select(
+        "vec_id",
+        F.col("emb").cast("array<float>").alias("embedding"),
+        F.lit(0).alias("label"),
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    seeds = dd.cosine_seed_table(spark, SF_ORACLE)
+    with pytest.raises(ValueError, match="baseline"):
+        dd.needs_reseed(spark, d, same, seeds=seeds)
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_register_maintained_table_unregister(spark, tmp_path):
+    """ADVICE r8: path=None unregisters, so a caller that saw prev=None
+    can restore 'not registered' instead of leaking its work_dir."""
+    from zebra_spark.queries import dedup as dd
+
+    sf = str(tmp_path / "sfX")
+    p = str(tmp_path / "maintained")
+    assert dd.register_maintained_table("minhash", sf, p) is None
+    assert dd.register_maintained_table("minhash", sf, None) == p
+    # key fully gone: a fresh register sees no prev again
+    assert dd.register_maintained_table("minhash", sf, p) is None
+    dd.register_maintained_table("minhash", sf, None)
+    # unregistering an absent key is a no-op
+    assert dd.register_maintained_table("cosine", sf, None) is None

@@ -108,6 +108,16 @@ class ZebraDatabase:
             raise ValueError(
                 f"index_kind {index_kind!r} not in {sorted(_INDEX_KINDS)}"
             )
+        # fail at CREATE time, not first search (ADVICE r8: the CLI
+        # could mint e.g. an image database with --index pq whose
+        # cosine metric then made every non-exact query raise) — same
+        # message as the search-time guard in query_vectors
+        if index_kind in ("pq", "ivfpq") and metric != "l2sq":
+            raise ValueError(
+                f"index_kind {index_kind!r} serves l2sq databases only "
+                f"(metric is {metric!r}); use "
+                "index_kind 'lsh'/'ivf' or exact=True"
+            )
         os.makedirs(path, exist_ok=True)
         opts = {
             "num_trees": num_trees,

@@ -183,9 +183,12 @@ def ingest_then_audit(
             timings["audit_s"] = round(time.perf_counter() - t0, 3)
         return frames
     finally:
+        # restore prev=None by UNREGISTERING (ADVICE r8: leaving the
+        # registration in place kept it pointing at work_dir — for
+        # q_ingest_audit an atexit-deleted tempdir — so later
+        # same-session consumers silently read the ingest-mutated copy)
         for kind, p in prev.items():
-            if p is not None:
-                dd.register_maintained_table(kind, sf_dir, p)
+            dd.register_maintained_table(kind, sf_dir, p)
 
 
 @query("q_ingest_audit")

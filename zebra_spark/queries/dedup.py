@@ -1643,13 +1643,19 @@ def needs_reseed(
     if seeds is None:
         seeds = cosine_seed_table(spark, sf_dir)
     if baseline_mse is None:
-        baseline_mse = float(
-            cell_drift_audit(
-                spark, sf_dir,
-                embeddings_d(spark, sf_dir).select("vec_id", "emb"),
-                "corpus", seeds,
-            ).collect()[0].mse
-        )
+        base_row = cell_drift_audit(
+            spark, sf_dir,
+            embeddings_d(spark, sf_dir).select("vec_id", "emb"),
+            "corpus", seeds,
+        ).collect()[0]
+        if base_row.mse is None:  # ADVICE r8: mirror the batch guard —
+            # an empty corpus/seed table has no baseline to drift from
+            raise ValueError(
+                "needs_reseed: corpus baseline is empty (no vectors "
+                "scored against the seed table) — pass a persisted "
+                "baseline_mse or build the corpus state first"
+            )
+        baseline_mse = float(base_row.mse)
     row = cell_drift_audit(spark, sf_dir, batch, "batch", seeds).collect()[0]
     if row.mse is None:  # empty batch (a quiet tick) cannot drift
         return False
@@ -1681,7 +1687,7 @@ def q_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_maintained_table(
     kind: str,
     sf_dir: str,
-    path: str,
+    path: str | None,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int | None = None,
@@ -1696,9 +1702,12 @@ def register_maintained_table(
     an artifact of the corpus snapshot, not of the query run.
 
     kind: 'minhash' | 'cosine' | 'sigs' | 'toksets' | 'cosassign' |
-    'cosseeds'.
+    'cosseeds' | 'clusters'.
     Returns the previously registered path (None if the table would
-    have been built fresh) so callers can restore it."""
+    have been built fresh) so callers can restore it; restore a
+    prev=None result by passing path=None, which UNREGISTERS the kind
+    (ADVICE r8: restoring only non-None prevs leaked registrations
+    pointing at deleted temp dirs for the rest of the session)."""
     resolved = str(Path(sf_dir).resolve())
     keys: dict[str, tuple] = {
         "minhash": ("minhash", resolved, n_hashes, n_bands, max_bucket),
@@ -1713,7 +1722,10 @@ def register_maintained_table(
     key = keys[kind]
     with _DERIVED_LOCK:
         prev = _DERIVED.get(key)
-        _DERIVED[key] = path
+        if path is None:
+            _DERIVED.pop(key, None)
+        else:
+            _DERIVED[key] = path
     return prev
 
 
