@@ -615,6 +615,86 @@ def test_needs_reseed_trigger(spark):
     release_caches()
 
 
+def test_cosine_max_cell_cap(spark, tmp_path):
+    """VERDICT r8 #1 — giant-cell guard, all three paths at once on a
+    synthetic hot cell: the build's sliced member lists, the delta's
+    windowed kernel cap, and the streaming maintainer must admit the
+    SAME per-cell prefix (each cell's max_cell smallest vec_ids) and
+    produce mutually bit-identical pair tables; the capped table is a
+    strict subset of the uncapped one with identical distances
+    (the documented recall/coverage tradeoff: a dropped pair can still
+    meet in another of its NDUP_ASSIGN cells)."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        read_cosine_state,
+    )
+
+    # synthetic corpus, dim 10: vec_ids 0..9 are the one-hot prefix
+    # seeds (cells = max(10, 18//50) = 10); 10..17 all sit near cells
+    # {0..4}, making those cells hot (cell 0 collects every vector)
+    dim, cap = 10, 4
+    rows = [(i, [100.0 if j == i else 0.0 for j in range(dim)], 0)
+            for i in range(10)]
+    rows += [(10 + k, [50.0] * 5 + [0.0] * 5, 0) for k in range(8)]
+    d = str(tmp_path / "sf_hot")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    capped = dd.cosine_pair_table(spark, d, max_cell=cap).toPandas()
+    uncapped = dd.cosine_pair_table(spark, d, max_cell=None).toPandas()
+
+    # expected admitted pairs, recomputed independently in pandas from
+    # the assignment table: each cell's `cap` smallest members
+    assign = dd.cosine_assign_table(spark, d).toPandas()
+    expect = set()
+    for _, grp in assign.groupby("cell_id"):
+        m = sorted(grp.vec_id)[:cap]
+        expect |= {(a, b) for i, a in enumerate(m) for b in m[i + 1:]}
+    got = {(r.id_a, r.id_b) for r in capped.itertuples()}
+    assert got == expect
+    # strict subset of the uncapped table, distances identical
+    all_pairs = {(r.id_a, r.id_b): r.dist for r in uncapped.itertuples()}
+    assert len(got) < len(all_pairs)
+    for r in capped.itertuples():
+        assert all_pairs[(r.id_a, r.id_b)] == r.dist
+
+    # delta path (shared kernel, windowed cap): the new-involving slice
+    # of the capped build
+    new_ids = spark.createDataFrame(
+        [(i,) for i in range(10, 18)], "vec_id bigint"
+    )
+    delta = dd.cosine_pair_table_delta(
+        spark, d, new_ids=new_ids, max_cell=cap
+    ).toPandas()
+    want_delta = capped[(capped.id_a >= 10) | (capped.id_b >= 10)]
+    assert _vhash(delta) == _vhash(want_delta)
+
+    # streaming path in two monotonic epochs == capped build; the
+    # second batch lands entirely over the cap in the hot cells, so a
+    # FULL cell's admitted prefix never changes after it fills
+    e = dd.embeddings_d(spark, d).select("vec_id", "emb")
+    state = str(tmp_path / "cstate_hot")
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, d))
+    maintain_cosine_tables(
+        spark, state, e.filter(F.col("vec_id") < 14), epoch_id=0,
+        max_cell=cap,
+    )
+    maintain_cosine_tables(
+        spark, state, e.filter(F.col("vec_id") >= 14), epoch_id=1,
+        max_cell=cap,
+    )
+    stream_pairs = read_cosine_state(spark, state)[2].toPandas()
+    assert _vhash(stream_pairs) == _vhash(capped)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+
 def test_register_maintained_table_unregister(spark, tmp_path):
     """ADVICE r8: path=None unregisters, so a caller that saw prev=None
     can restore 'not registered' instead of leaking its work_dir."""

@@ -1015,6 +1015,20 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NDUP_CELLS = 10
 NDUP_ASSIGN = 5
 NDUP_PER_CELL = 50
+# Giant-cell cap for the cosine blocking (VERDICT r8 #1 — the MinHash
+# max_bucket guard's semantic-side twin): a cell with g members emits
+# g(g-1)/2 candidate pairs, so one skew-hot cell can dominate the whole
+# scoring stage at 100 TB.  Cells are capped to their MAX_CELL SMALLEST
+# vec_ids (a deterministic prefix, NOT whole-cell drop like max_bucket):
+# with monotonically increasing ingest ids a full cell's admitted set
+# never changes afterwards, so the maintained pair table stays
+# BIT-IDENTICAL to a capped rebuild — the delta==rebuild contract the
+# whole maintenance loop pins.  Recall tradeoff mirrors max_bucket's:
+# a pair blocked only by the over-cap tail of one cell can still meet
+# in any of its other NDUP_ASSIGN-1 cells.  The default sits far above
+# the fixtures' max cell size (278 at sf0.01/sf0.1, cells = n/50 by
+# construction), so every oracle hash is unchanged; None disables.
+NDUP_MAX_CELL: int | None = 4096
 
 
 @query(
@@ -1115,19 +1129,24 @@ def _score_pairs(cand: DataFrame, e: DataFrame, vectorized: bool) -> DataFrame:
     )
 
 
-def cosine_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosine_pair_table(
+    spark: SparkSession, sf_dir: str,
+    max_cell: int | None = NDUP_MAX_CELL,
+) -> DataFrame:
     """(id_a, id_b, dist): exact cosine distance for every IVF-blocked
     candidate pair — the embedding-space twin of pair_table(), shared
     by q_neardup_cosine (global top-100) and q_semantic_clusters
     (threshold -> connected components).  Scores are IEEE doubles from
     the native sequential-fold kernel; the parquet round-trip preserves
-    them bit-exactly, so consumers match the inline pipeline."""
+    them bit-exactly, so consumers match the inline pipeline.
+    `max_cell` is the giant-cell guard (NDUP_MAX_CELL) and part of the
+    derived-table key, like pair_table's max_bucket."""
 
     def build() -> DataFrame:
-        cand, e = _cosine_candidates(spark, sf_dir)
+        cand, e = _cosine_candidates(spark, sf_dir, max_cell=max_cell)
         return _score_pairs(cand, e, vectorized=False)
 
-    key = ("cosine", str(Path(sf_dir).resolve()))
+    key = ("cosine", str(Path(sf_dir).resolve()), max_cell)
     return _derived_table(spark, key, build)
 
 
@@ -1236,17 +1255,27 @@ def cosine_assign_delta(
     return _assign_to_seeds(new_vectors.select("vec_id", "emb"), seeds)
 
 
-def _cosine_candidates(spark: SparkSession, sf_dir: str):
+def _cosine_candidates(
+    spark: SparkSession, sf_dir: str,
+    max_cell: int | None = NDUP_MAX_CELL,
+):
     """IVF multi-assign blocking shared by the cosine near-dup surface:
     returns (cand, e) — the within-cell candidate pairs and the corpus
     projection they score against.  Pairs come from per-cell sorted
     member lists (each unordered pair emitted once) over the shared
-    assignment table."""
+    assignment table; `max_cell` truncates each sorted list to its
+    prefix (see NDUP_MAX_CELL — the giant-cell guard, same admitted
+    set as _cell_collide_pairs' windowed cap, equality pinned by
+    tests/test_dedup.py::test_cosine_max_cell_cap), bounding the
+    per-cell pair fan-out at max_cell^2/2."""
     e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
     assign = cosine_assign_table(spark, sf_dir)
+    members = F.sort_array(F.collect_list("vec_id"))
+    if max_cell is not None:
+        members = F.slice(members, 1, max_cell)
     cand = (
         assign.groupBy("cell_id")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+        .agg(members.alias("members"))
         .select(
             F.explode(
                 F.expr(
@@ -1267,6 +1296,7 @@ def cosine_pair_table_delta(
     sf_dir: str,
     new_ids: DataFrame | None = None,
     new_vectors: DataFrame | None = None,
+    max_cell: int | None = NDUP_MAX_CELL,
 ) -> DataFrame:
     """(id_a, id_b, dist): the embedding-space twin of pair_table_delta
     (VERDICT r6 #2) — the exact-cosine scored pairs INVOLVING at least
@@ -1310,22 +1340,48 @@ def cosine_pair_table_delta(
             new_ids.select("vec_id"), "vec_id", "left_semi"
         )
         other_assign = assign
-    cand = _cell_collide_pairs(batch_assign, other_assign)
+    cand = _cell_collide_pairs(batch_assign, other_assign, max_cell=max_cell)
     return _score_pairs(cand, e, vectorized=False)
 
 
 def _cell_collide_pairs(
-    batch_assign: DataFrame, other_assign: DataFrame
+    batch_assign: DataFrame, other_assign: DataFrame,
+    max_cell: int | None = NDUP_MAX_CELL,
 ) -> DataFrame:
     """(id_a, id_b): candidate pairs from cell collisions between a
     batch's assignments (vec_id, cell_id) and the full assignment view
     — the ONE shared kernel behind cosine_pair_table_delta,
-    q_cosine_delta_unseen and streaming.maintain_cosine_tables, so a
-    future change (e.g. a giant-cell cap like the MinHash bucket
-    guard) lands on all three at once and the pinned delta==rebuild
-    equivalences cannot drift apart.  Normalized to id_a < id_b;
-    new-new pairs appear from either side and multi-assign yields one
-    row per shared cell — the trailing distinct collapses both."""
+    q_cosine_delta_unseen and streaming.maintain_cosine_tables, so the
+    giant-cell cap lands on all three at once and the pinned
+    delta==rebuild equivalences cannot drift apart.  Normalized to
+    id_a < id_b; new-new pairs appear from either side and multi-assign
+    yields one row per shared cell — the trailing distinct collapses
+    both.
+
+    `max_cell` (NDUP_MAX_CELL) admits only each cell's max_cell
+    SMALLEST vec_ids, computed on the FULL view so both join sides see
+    the same admitted set as _cosine_candidates' sliced member lists.
+    The rank is a window over (cell_id, vec_id) — a per-cell sort the
+    following cell equi-join's shuffle reuses, with no giant per-cell
+    array materialized anywhere on this path."""
+    if max_cell is not None:
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("cell_id").orderBy("vec_id")
+        admitted = (
+            other_assign.withColumn("crk", F.row_number().over(wc))
+            .filter(F.col("crk") <= max_cell)
+            .drop("crk")
+        )
+        # batch side restricted to its ADMITTED assignments (an
+        # over-cap batch row contributes no pairs, exactly as in the
+        # capped rebuild); callers guarantee batch_assign ⊆ other_assign
+        batch_assign = admitted.join(
+            batch_assign.select("vec_id", "cell_id"),
+            ["vec_id", "cell_id"],
+            "left_semi",
+        )
+        other_assign = admitted
     newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
     other = other_assign.select(
         F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
@@ -1691,6 +1747,7 @@ def register_maintained_table(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int | None = None,
+    max_cell: int | None = NDUP_MAX_CELL,
 ) -> str | None:
     """Point the session's derived-table registry at an externally
     MAINTAINED artifact — a parquet dir an ingest pipeline keeps
@@ -1711,7 +1768,7 @@ def register_maintained_table(
     resolved = str(Path(sf_dir).resolve())
     keys: dict[str, tuple] = {
         "minhash": ("minhash", resolved, n_hashes, n_bands, max_bucket),
-        "cosine": ("cosine", resolved),
+        "cosine": ("cosine", resolved, max_cell),
         "sigs": ("sigs", resolved, n_hashes, n_bands),
         "toksets": ("toksets", resolved),
         "cosassign": ("cosassign", resolved),

@@ -861,6 +861,12 @@ def stream_maintain_pair_tables(
 
 COSINE_STATE_TABLES = ("vecs", "assign", "pairs")
 
+# sentinel: "use queries.dedup.NDUP_MAX_CELL" — resolved at call time so
+# the streaming maintainer and the batch build share ONE default and
+# stream==batch stays bit-identical (the modules import each other
+# lazily, so the constant cannot be imported at module top)
+_DEFAULT_MAX_CELL = object()
+
 
 def init_cosine_state(
     spark: SparkSession, state_dir: str, seeds: DataFrame
@@ -887,6 +893,7 @@ def maintain_cosine_tables(
     state_dir: str,
     batch_df: DataFrame,
     epoch_id: int | None = None,
+    max_cell=_DEFAULT_MAX_CELL,
 ) -> None:
     """Process ONE ingest batch of vectors (vec_id, emb) against the
     maintained semantic near-dup state under `state_dir`:
@@ -907,7 +914,15 @@ def maintain_cosine_tables(
     SAME delta from the SAME state and overwrites ITS OWN directory.
     After ingesting a corpus in any batch split, pairs/ is
     bit-identical to the batch cosine pair table built with the same
-    seeds (pinned by tests/test_streaming.py)."""
+    seeds (pinned by tests/test_streaming.py).
+
+    `max_cell` is the giant-cell guard, defaulting to the batch
+    build's NDUP_MAX_CELL so stream==batch holds without coordination;
+    pass the same value the consumers' cosine_pair_table uses if
+    overridden.  With monotonically increasing vec_ids the admitted
+    prefix of a full cell never changes, so capped maintenance stays
+    bit-identical to a capped rebuild (pinned by
+    tests/test_dedup.py::test_cosine_max_cell_cap)."""
     from zebra_spark.fsutil import exists as fs_exists
     from zebra_spark.queries.dedup import _assign_to_seeds, _score_pairs
 
@@ -948,7 +963,11 @@ def maintain_cosine_tables(
     )
     from zebra_spark.queries.dedup import _cell_collide_pairs
 
-    cand = _cell_collide_pairs(batch_assign, other_assign)
+    from zebra_spark.queries.dedup import NDUP_MAX_CELL
+
+    if max_cell is _DEFAULT_MAX_CELL:
+        max_cell = NDUP_MAX_CELL
+    cand = _cell_collide_pairs(batch_assign, other_assign, max_cell=max_cell)
     delta = _score_pairs(cand, e, vectorized=False)
     # write order: the batch's own state (vecs, assign) lands before
     # the pairs delta; readers additionally see only COMMITTED epochs
