@@ -695,6 +695,30 @@ def test_cosine_max_cell_cap(spark, tmp_path):
     release_caches()
 
 
+def test_cluster_consumer_reads_maintained_labels(spark, tmp_path):
+    """VERDICT r8 #3: kind 'clusters' — a registered maintained label
+    table is what q_dedup_clusters serves, not a recomputation."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    fake = (
+        dd.cluster_label_table(spark, SF_ORACLE)
+        .withColumn("cluster", F.lit(7).cast("bigint"))
+    )
+    p = str(tmp_path / "labels")
+    fake.write.mode("overwrite").parquet(p)
+    prev = dd.register_maintained_table("clusters", SF_ORACLE, p)
+    try:
+        got = zebra_spark.QUERIES["q_dedup_clusters"](spark, SF_ORACLE)
+        assert got.select("cluster").distinct().count() == 1
+    finally:
+        dd.register_maintained_table("clusters", SF_ORACLE, prev)
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+
 def test_register_maintained_table_unregister(spark, tmp_path):
     """ADVICE r8: path=None unregisters, so a caller that saw prev=None
     can restore 'not registered' instead of leaking its work_dir."""

@@ -39,6 +39,11 @@ AUDIT_SECTIONS: dict[str, str] = {
     # their lexical twin, the MinHash band-bucket histogram
     "cell_balance": "q_cell_balance",
     "band_balance": "q_band_balance",
+    # r9: cluster labels are now a maintained artifact (kind
+    # 'clusters', dedup.cluster_label_table) — this section reads them
+    # directly, and ingest_then_audit updates them at DELTA cost via
+    # graph.incremental_components instead of re-traversing the graph
+    "dup_clusters": "q_dedup_clusters",
 }
 
 
@@ -47,13 +52,18 @@ def snapshot_audit(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     audit section as its own DataFrame — each bit-identical to running
     the corresponding registered query, because each IS that query over
     the same shared artifacts (the wiring the tests pin)."""
-    from zebra_spark.queries.dedup import cosine_pair_table, pair_table
+    from zebra_spark.queries.dedup import (
+        cluster_label_table,
+        cosine_pair_table,
+        pair_table,
+    )
     from zebra_spark.registry import QUERIES
 
     # one-time-per-snapshot builds (session-cached; on a cluster these
     # are the maintained tables register_maintained_table points at)
     pair_table(spark, sf_dir)
     cosine_pair_table(spark, sf_dir)
+    cluster_label_table(spark, sf_dir)
     return {
         section: QUERIES[qname](spark, sf_dir)
         for section, qname in AUDIT_SECTIONS.items()
@@ -70,8 +80,8 @@ def q_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     under its own registered name; this row pins the COMPOSITE wiring.
 
     Scale shape: after the one-time derived-table builds, the audit is
-    eight bounded aggregations over shared parquet artifacts — the
-    summaries union driver-side as eight 1-row frames."""
+    nine bounded aggregations over shared parquet artifacts — the
+    summaries union driver-side as nine 1-row frames."""
     return _summarize(snapshot_audit(spark, sf_dir))
 
 
@@ -100,7 +110,8 @@ def ingest_then_audit(
     timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """The nightly pipeline tick as ONE call (VERDICT r7 #5): apply
-    both production delta paths for the conventional vec_id/doc_id
+    the production delta paths (lexical pairs, cosine pairs +
+    assignments, cluster labels) for the conventional vec_id/doc_id
     % 10 == 0 ingest batch, write the updated maintained artifacts
     under `work_dir`, then run the full audit over those artifacts —
     returning the same per-section frames as snapshot_audit, byte-equal
@@ -139,12 +150,43 @@ def ingest_then_audit(
 
     # production delta paths (batch-proportional, driver-hash-checked
     # under q_pair_table_delta / q_cosine_table_delta /
-    # q_cosine_assign_delta)
+    # q_cosine_assign_delta / q_cluster_delta)
     ldelta = dd.pair_table_delta(spark, sf_dir, batch_docs)
     cdelta = dd.cosine_pair_table_delta(
         spark, sf_dir, new_ids=batch_vecs.select("vec_id")
     )
     adelta = dd.cosine_assign_delta(spark, sf_dir, batch_vecs)
+
+    # cluster labels at DELTA cost (VERDICT r8 #3): star-collapse the
+    # pre-batch labels and merge only the batch's thresholded pair
+    # delta — |V| + |delta| edges, O(log delta-chain) rounds — instead
+    # of re-traversing the full pair graph.  The pre-batch labels are
+    # built from the non-batch slice here ONLY because the fixture has
+    # no maintained state; in production they are the previously
+    # registered 'clusters' artifact read back from parquet.
+    from zebra_spark.graph import connected_components, incremental_components
+
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    base_labels = connected_components(
+        docs.filter(F.col("id") % 10 != 0),
+        dd.pair_table(spark, sf_dir)
+        .filter(~((F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)))
+        .filter(jac >= dd.MINHASH_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        edges_cheap=True,
+    )
+    delta_edges = (
+        ldelta.filter(jac >= dd.MINHASH_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()  # CC iterates this frame; cut the band-join
+        # lineage once instead of per round
+    )
+    merged_labels = incremental_components(
+        base_labels, delta_edges, docs.filter(F.col("id") % 10 == 0)
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
 
     # maintained artifacts = pre-batch base ∪ delta (the fixture's
     # "base" is the non-batch-involving slice of the session tables;
@@ -158,6 +200,7 @@ def ingest_then_audit(
         .unionByName(cdelta),
         "cosassign": dd.cosine_assign_table(spark, sf_dir)
         .filter(F.col("vec_id") % 10 != 0).unionByName(adelta),
+        "clusters": merged_labels,
     }
     for kind, df in writes.items():
         df.write.mode("overwrite").parquet(f"{work_dir}/{kind}")
@@ -198,7 +241,7 @@ def q_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and byte-equal to it (maintained base ∪ delta == the session
     tables when the deltas are exact), so the one bench row prices the
     whole nightly tick: three delta joins + three maintained-table
-    writes + eight audit sections over the maintained files.  rows-only
+    writes + nine audit sections over the maintained files.  rows-only
     by design: each section is individually oracle-checked under its
     own name; equality to q_snapshot_audit is pinned by test."""
     import atexit
