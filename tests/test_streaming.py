@@ -939,6 +939,95 @@ def test_maintain_cosine_tables_empty_batch(spark, tmp_path):
     assert pairs.columns == ["id_a", "id_b", "dist"]
 
 
+def test_drift_gated_ingest_reseeds_once(spark, tmp_path):
+    """VERDICT r8 #2 — the automated reseed lifecycle: quiet batches
+    leave the state dir untouched (maintained in place against the
+    persisted baseline), a shifted batch triggers exactly one reseed
+    into a fresh dir, and the post-reseed pairs equal a fresh build on
+    the combined corpus; post-reseed, a batch from the SHIFTED
+    distribution is quiet again (the new seeds fit it)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.queries.dedup import _cosine_seeds
+    from zebra_spark.streaming import (
+        compact_cosine_state,
+        ingest_cosine_batch,
+        init_cosine_state,
+        maintain_cosine_tables,
+        persist_drift_baseline,
+        read_cosine_state,
+        read_drift_baseline,
+    )
+    from tests.conftest import SF_ORACLE
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    quiet_batch = e.filter(F.col("vec_id") % 10 == 0)
+    shift = "transform(emb, x -> 3.0d * x + 1.0d)"
+    # corpus-sized shifted cohort: after the reseed the combined
+    # baseline is dominated by the shifted mass, so a LATER batch from
+    # the shifted distribution lands near ratio 2 (< threshold) — the
+    # adaptation the lifecycle exists to provide
+    drift_batch = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(shift).alias("emb"),
+    )
+
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, _cosine_seeds(corpus))
+    maintain_cosine_tables(spark, state, corpus, epoch_id=0)
+    with pytest.raises(ValueError, match="baseline"):
+        ingest_cosine_batch(spark, state, quiet_batch, epoch_id=1)
+    base = persist_drift_baseline(spark, state)
+    assert base > 0
+
+    # quiet batch: maintained in place, same active dir, no reseed
+    active = ingest_cosine_batch(spark, state, quiet_batch, epoch_id=1)
+    assert active == state
+    n_after_quiet = read_cosine_state(spark, state)[0].count()
+    assert n_after_quiet == e.count()
+
+    # drifted batch without a reseed_dir: explicit, descriptive error
+    with pytest.raises(ValueError, match="reseed_dir"):
+        ingest_cosine_batch(spark, state, drift_batch, epoch_id=2)
+
+    # drifted batch WITH a reseed_dir: exactly one reseed, batch rides
+    reseed = str(tmp_path / "cstate_v2")
+    active = ingest_cosine_batch(
+        spark, state, drift_batch, epoch_id=2, reseed_dir=reseed
+    )
+    assert active == reseed
+    # old state untouched (retired by the caller, not mutated)
+    assert read_cosine_state(spark, state)[0].count() == n_after_quiet
+
+    # post-reseed state == a fresh build on the combined corpus
+    combined = e.unionByName(drift_batch)
+    fresh = str(tmp_path / "fresh")
+    init_cosine_state(spark, fresh, _cosine_seeds(combined))
+    maintain_cosine_tables(spark, fresh, combined, epoch_id=None)
+    compact_cosine_state(spark, fresh)
+    got = read_cosine_state(spark, reseed)[2].toPandas()
+    want = read_cosine_state(spark, fresh)[2].toPandas()
+    assert len(got) == len(want) > 0
+    assert _cosine_vhash(got) == _cosine_vhash(want)
+
+    # the reseed persisted a fresh baseline, and a batch from the
+    # SHIFTED distribution is now quiet — no second reseed
+    assert read_drift_baseline(spark, reseed) is not None
+    drift_batch2 = quiet_batch.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.expr(shift).alias("emb"),
+    )
+    active = ingest_cosine_batch(spark, reseed, drift_batch2, epoch_id=0)
+    assert active == reseed
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+
 def test_committed_epoch_with_empty_pairs_delta(spark, tmp_path):
     """ADVICE r8 (high): a fully committed epoch whose pairs delta is
     legitimately EMPTY (a batch with no cell collisions) must stay
