@@ -38,6 +38,8 @@ HEADLINE = [
     "q_heavy_hitters", "q_source_entropy", "q_corr_matrix",
     "q_events_funnel",
     "q_cosine_assign_delta", "q_cosine_delta_unseen", "q_cell_drift",
+    "q_cluster_delta", "q_semantic_cluster_delta", "q_band_balance",
+    "q_cell_balance", "q_ingest_audit",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -72,10 +74,43 @@ NOTES = {
         "new-involving pairs reach the single-dot verify kernel."
     ),
     "q_snapshot_audit": (
-        "Six 1-row section summaries unioned; each section is a bounded "
-        "aggregation over the shared pair/cosine tables or per-row "
-        "expressions — steady-state consumption after the one-time "
-        "derived-table builds."
+        "Nine 1-row section summaries unioned; each section is a "
+        "bounded aggregation over the shared pair/cosine/cluster "
+        "tables or per-row expressions — steady-state consumption "
+        "after the one-time derived-table builds."
+    ),
+    "q_cluster_delta": (
+        "Incremental clustering: the iterated edge frame is "
+        "star(pre-batch labels) ∪ thresholded pair delta — |V| + "
+        "|delta| rows with old components at diameter 1 — so pointer "
+        "doubling converges in O(log delta-chain) rounds; per-round "
+        "frames are localCheckpoint-cut, the final plan is the label "
+        "join only.  Locked by test_cluster_delta_iterates_star_union."
+    ),
+    "q_semantic_cluster_delta": (
+        "The embedding-space twin of q_cluster_delta: same star-union "
+        "CC over the thresholded COSINE pair delta (cell equi-join, "
+        "batch-proportional)."
+    ),
+    "q_band_balance": (
+        "One parquet scan of the maintained signature table -> two "
+        "groupBy levels, no joins — the nightly max_bucket evidence "
+        "histogram.  Locked single-scan/no-join by "
+        "test_balance_histograms_single_scan."
+    ),
+    "q_cell_balance": (
+        "One parquet scan of the maintained assignment table -> one "
+        "groupBy, no joins — the nightly NDUP_MAX_CELL evidence "
+        "histogram.  Same lock."
+    ),
+    "q_ingest_audit": (
+        "The nightly tick's surface: nine 1-row section summaries "
+        "unioned over the maintained artifacts the tick just wrote "
+        "(minhash/cosine/cosassign/clusters).  The update half's delta "
+        "joins are audited under their own entries "
+        "(q_pair_table_delta, q_cosine_table_delta, "
+        "q_cosine_assign_delta, q_cluster_delta); the drift gate adds "
+        "one broadcast-seed batch pass ((n, mse) scalars only)."
     ),
     "q_graph_pagerank": (
         "Static print repeats the persisted sym/deg frames' *lineage* at "

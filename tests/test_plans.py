@@ -288,3 +288,68 @@ def test_cell_drift_bounded_aggregation(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # x broadcast(seeds), x 1-row base
     assert "HashAggregate" in p
+
+
+def test_balance_histograms_single_scan(spark):
+    """Both blocking-health histograms are one parquet scan of the
+    maintained artifact -> two groupBy levels; no joins of any kind
+    (the nightly cap/reseed evidence must stay this cheap)."""
+    import re
+
+    for name in ("q_band_balance", "q_cell_balance"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert re.search(r"Join", p) is None, (name, p[:1500])
+        # exactly one scan node (formatted explain prints each node
+        # twice: tree + detail section)
+        assert p.count("Scan parquet") == 2, (name, p[:1500])
+        # at least one partial+final HashAggregate pair
+        assert p.count("HashAggregate") >= 4, (name, p[:1500])
+
+
+def test_cluster_delta_iterates_star_union(spark):
+    """Incremental clustering's iterated edge frame is star(labels) ∪
+    delta — |V| + |delta| rows, old components at diameter 1 — never
+    the full pair graph.  Asserted on the frame incremental_components
+    actually builds (the per-round plans are localCheckpoint-cut, so
+    the final plan cannot show the iteration); plus the final label
+    plans carry no cartesian."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.graph import incremental_components
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.io import load
+
+    docs = load(spark, SF_ORACLE, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = docs.select("id", F.col("id").alias("component"))
+    delta = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src bigint, dst bigint"
+    )
+    # star edges: one per non-representative node (0 here — identity
+    # labels), so the iterated frame is exactly |star| + |delta|
+    star_rows = labels.filter(F.col("id") != F.col("component")).count()
+    merged = incremental_components(labels, delta, docs.limit(0))
+    assert merged.count() == docs.count()
+    assert star_rows == 0  # identity labels collapse to zero star edges
+    for name in ("q_cluster_delta", "q_semantic_cluster_delta"):
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+def test_ingest_audit_summary_shape(spark):
+    """The nightly tick's surface is nine 1-row section summaries
+    unioned — bounded aggregation over the maintained artifacts, no
+    cartesian; the delta paths inside the tick are audited under their
+    own dossier entries (q_pair_table_delta, q_cosine_table_delta,
+    q_cosine_assign_delta, q_cluster_delta)."""
+    from zebra_spark.queries.audit import AUDIT_SECTIONS
+
+    p = plan_of(spark, "q_ingest_audit")
+    assert "CartesianProduct" not in p
+    assert "Union" in p
+    n = len(AUDIT_SECTIONS)
+    assert n == 9
+    # one (count, bit_xor) aggregate pair per section survives in the
+    # final plan
+    assert p.count("partial_count") >= n, p[:2000]
