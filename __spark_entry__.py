@@ -40,16 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already have
-# a driver row.  r5/r6 used this to refresh the rows-only queries'
-# terminal state; r7's four pins all got green/clean rows in r07, so
-# that pin is retired.  r8 pins its four NEW queries — three oracled
-# (unseen-batch assignment + pair delta, seed-drift audit) and one
-# rows-only composite (the nightly ingest_then_audit tick) — which
-# would land first anyway as never-driver-checked, but the pin keeps
-# them first even if a later round's additions compete for gate slots.
+# a driver row.  r8's four pins all got green/clean rows in r08, so
+# that pin is retired.  r9 pins its two NEW oracled queries (the
+# binding giant-cell cap and the persisted drift baseline), the two
+# audit composites whose surface changed 8 -> 9 sections (dup_clusters
+# joined the audit), and q_dedup_clusters, whose serving path now goes
+# through the maintainable cluster_label_table.
 _FORCE_FIRST = [
-    "q_cosine_assign_delta", "q_cosine_delta_unseen",
-    "q_cell_drift", "q_ingest_audit",
+    "q_cosine_capped_pairs", "q_drift_baseline",
+    "q_ingest_audit", "q_snapshot_audit", "q_dedup_clusters",
 ]
 
 _PRIORITY = [

@@ -1708,6 +1708,74 @@ def drift_baseline(spark: SparkSession, sf_dir: str) -> float:
     return float(row.mse)
 
 
+CAPPED_CELL = 64  # binding cap for the q_cosine_capped_pairs gate
+
+
+@query(
+    "q_cosine_capped_pairs",
+    oracle=f"""
+    WITH {_SQL_COSINE_ASSIGN.strip()},
+    admitted AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY cell_id ORDER BY vec_id)
+                 AS crk
+        FROM assign
+      ) WHERE crk <= {CAPPED_CELL}
+    ),
+    capcand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM admitted a JOIN admitted b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           {sql_rnd(zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64))}
+             AS dist
+    FROM capcand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    """,
+)
+def q_cosine_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-cell guard at the driver hash gate with a BINDING cap
+    (VERDICT r8 #1): the capped cosine pair table at max_cell=64 — far
+    below the fixture's ~250-member cells — must equal the oracle's
+    per-cell prefix semantics exactly (each cell's 64 smallest vec_ids,
+    all admitted pairs, exact cosine).  The default-cap paths are
+    hash-gated unchanged under their existing names; this row pins the
+    cap ARITHMETIC itself, shared verbatim by the build slice, the
+    delta kernel's window, and the streaming maintainer
+    (test_cosine_max_cell_cap pins their mutual equality)."""
+    return cosine_pair_table(spark, sf_dir, max_cell=CAPPED_CELL).select(
+        "id_a", "id_b", rnd(F.col("dist")).alias("dist")
+    )
+
+
+@query(
+    "q_drift_baseline",
+    oracle=f"""
+    WITH {_SQL_COSINE_ASSIGN.strip()},
+    nearest AS (
+      SELECT e.vec_id,
+             min({zf.sql_metric("l2sq", a="e.emb", b="s.ce", dim=64)})
+               AS dmin
+      FROM e CROSS JOIN seeds s GROUP BY e.vec_id
+    )
+    SELECT count(*) AS n, {sql_rnd("avg(dmin)")} AS mse FROM nearest
+    """,
+)
+def q_drift_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED reseed baseline at the driver hash gate (VERDICT
+    r8 #2): the 1-row 'driftbase' artifact — corpus mean nearest-seed
+    distance under the frozen seeds — must equal the oracle's
+    from-scratch computation.  This is the scalar every nightly
+    needs_reseed check compares a batch against without re-scoring the
+    corpus."""
+    return drift_baseline_table(spark, sf_dir).select(
+        "n", rnd(F.col("mse")).alias("mse")
+    )
+
+
 def needs_reseed(
     spark: SparkSession,
     sf_dir: str,
