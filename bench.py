@@ -130,6 +130,10 @@ def main() -> None:
         # and the cosine-blocking seed-drift audit
         "q_ingest_audit",
         "q_cell_drift",
+        # round-9: the giant-cell cap at a BINDING max_cell=64 (the
+        # skew guard's own cost) and the persisted reseed baseline
+        "q_cosine_capped_pairs",
+        "q_drift_baseline",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -127,9 +127,13 @@ def ingest_then_audit(
     because the fixture has no pre-existing maintained state.
 
     Pass a dict as `timings` to get the tick's cost split back:
-    'update_s' (delta joins + maintained-table writes) vs 'audit_s'
-    (section consumption over the maintained files) — recorded per
-    round in SCALING.md."""
+    'delta_s' (the three batch-proportional delta joins alone — the
+    production steady-state component), 'update_s' (deltas + base
+    construction + maintained-table writes; the base ∪ delta FULL
+    rewrite exists only because the fixture has no maintained state —
+    production appends the delta), 'audit_s' (section consumption over
+    the maintained files), 'reseed_triggered' — recorded per round in
+    SCALING.md (scripts/tick_scale10.py)."""
     import time
     from pyspark.sql import functions as F
 
@@ -173,6 +177,15 @@ def ingest_then_audit(
         spark, sf_dir, new_ids=batch_vecs.select("vec_id")
     )
     adelta = dd.cosine_assign_delta(spark, sf_dir, batch_vecs)
+    if timings is not None:
+        # price the batch-proportional delta joins alone (materialized
+        # here, so the instrumented path computes them twice — once
+        # for the split, once inside the writes; the un-instrumented
+        # tick computes them once)
+        t_d = time.perf_counter()
+        for d in (ldelta, cdelta, adelta):
+            d.count()
+        timings["delta_s"] = round(time.perf_counter() - t_d, 3)
 
     # cluster labels at DELTA cost (VERDICT r8 #3): star-collapse the
     # pre-batch labels and merge only the batch's thresholded pair
