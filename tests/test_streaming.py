@@ -1094,6 +1094,80 @@ def test_drift_gated_ingest_reseeds_once(spark, tmp_path):
     release_caches()
 
 
+def test_reseed_replay_idempotent(spark, tmp_path):
+    """r9 self-review: a reseed re-run into the SAME half-written
+    target (the stream replays its drifted epoch after a crash
+    mid-reseed) must produce the identical state, not append the
+    combined corpus a second time; reseeding into the source dir is
+    rejected."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        read_cosine_state,
+        reseed_cosine_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb").limit(60)
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, SF_ORACLE))
+    maintain_cosine_tables(spark, state, e, epoch_id=0)
+
+    target = str(tmp_path / "v2")
+    n1 = reseed_cosine_state(spark, state, target)
+    want = read_cosine_state(spark, target)
+    counts1 = tuple(df.count() for df in want)
+    # replay: same call again into the already-populated target
+    n2 = reseed_cosine_state(spark, state, target)
+    got = read_cosine_state(spark, target)
+    assert n1 == n2
+    assert tuple(df.count() for df in got) == counts1
+
+    with pytest.raises(ValueError, match="must differ"):
+        reseed_cosine_state(spark, state, state)
+
+
+def test_missing_success_markers_fail_loud(spark, tmp_path):
+    """r9 self-review: at most one epoch per table can legitimately
+    lack its _SUCCESS marker (a crash mid-write).  Two or more means
+    the job-commit markers are off — the reader must refuse instead of
+    silently treating every fully-written epoch as uncommitted (which
+    would hand compaction an empty view to snapshot)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        read_cosine_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb")
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, SF_ORACLE))
+    for part in range(3):
+        maintain_cosine_tables(
+            spark, state, e.filter(F.col("vec_id") % 3 == part),
+            epoch_id=part,
+        )
+    # one missing marker = a normal crash-partial epoch: filtered out
+    os.remove(f"{state}/pairs/epoch=2/_SUCCESS")
+    vecs, _, pairs = read_cosine_state(spark, state)
+    assert vecs.count() > 0
+    # two missing markers cannot come from a crash — refuse loudly
+    os.remove(f"{state}/pairs/epoch=1/_SUCCESS")
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        read_cosine_state(spark, state)
+
+
 def test_committed_epoch_with_empty_pairs_delta(spark, tmp_path):
     """ADVICE r8 (high): a fully committed epoch whose pairs delta is
     legitimately EMPTY (a batch with no cell collisions) must stay

@@ -115,8 +115,9 @@ class ZebraDatabase:
         if index_kind in ("pq", "ivfpq") and metric != "l2sq":
             raise ValueError(
                 f"index_kind {index_kind!r} serves l2sq databases only "
-                f"(metric is {metric!r}); use "
-                "index_kind 'lsh'/'ivf' or exact=True"
+                f"(metric is {metric!r}); create with index_kind "
+                "'lsh'/'ivf' instead — they serve every metric, and "
+                "exact search is always available regardless of kind"
             )
         os.makedirs(path, exist_ok=True)
         opts = {

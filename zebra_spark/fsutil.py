@@ -74,6 +74,24 @@ def list_subdirs(spark, path: str) -> list[str]:
     ]
 
 
+def glob_paths(spark, pattern: str) -> list[str]:
+    """Paths matching a glob pattern (one filesystem call — the
+    committed-epoch scan uses `epoch=*/_SUCCESS` so N epochs cost one
+    listing, not N existence probes).  Local patterns use the stdlib
+    glob; scheme'd paths go through FileSystem.globStatus."""
+    if _is_local(pattern):
+        import glob as _glob
+
+        return sorted(_glob.glob(pattern))
+    jvm = spark._jvm
+    hpattern = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = hpattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpattern)
+    if statuses is None:
+        return []
+    return sorted(str(st.getPath()) for st in statuses)
+
+
 def rmtree(spark, path: str) -> None:
     """Delete a directory tree on whatever filesystem owns `path`.
     Missing paths are a no-op on both branches (FileSystem.delete

@@ -191,31 +191,20 @@ def ingest_then_audit(
     # pre-batch labels and merge only the batch's thresholded pair
     # delta — |V| + |delta| edges, O(log delta-chain) rounds — instead
     # of re-traversing the full pair graph.  The pre-batch labels are
-    # built from the non-batch slice here ONLY because the fixture has
-    # no maintained state; in production they are the previously
-    # registered 'clusters' artifact read back from parquet.
-    from zebra_spark.graph import connected_components, incremental_components
+    # dd.base_cluster_labels — the derived-cached fixture stand-in for
+    # a maintained label artifact, the SAME scaffolding q_cluster_delta
+    # gates (one implementation, r9 self-review); in production they
+    # are the previously registered 'clusters' artifact read back from
+    # parquet.
+    from zebra_spark.graph import incremental_components
 
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id")
-    )
-    base_labels = connected_components(
-        docs.filter(F.col("id") % 10 != 0),
-        dd.pair_table(spark, sf_dir)
-        .filter(~((F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)))
-        .filter(jac >= dd.MINHASH_THRESHOLD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-        edges_cheap=True,
-    )
-    delta_edges = (
-        ldelta.filter(jac >= dd.MINHASH_THRESHOLD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .localCheckpoint()  # CC iterates this frame; cut the band-join
-        # lineage once instead of per round
-    )
+    delta_edges = dd.threshold_edges(ldelta).localCheckpoint()
+    # CC iterates that frame; the checkpoint cuts the band-join
+    # lineage once instead of per round
     merged_labels = incremental_components(
-        base_labels, delta_edges, docs.filter(F.col("id") % 10 == 0)
+        dd.base_cluster_labels(spark, sf_dir),
+        delta_edges,
+        batch_docs.select(F.col("doc_id").alias("id")),
     ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
 
     # maintained artifacts = pre-batch base ∪ delta (the fixture's

@@ -1359,17 +1359,25 @@ def _cell_collide_pairs(
     both.
 
     `max_cell` (NDUP_MAX_CELL) admits only each cell's max_cell
-    SMALLEST vec_ids, computed on the FULL view so both join sides see
-    the same admitted set as _cosine_candidates' sliced member lists.
-    The rank is a window over (cell_id, vec_id) — a per-cell sort the
-    following cell equi-join's shuffle reuses, with no giant per-cell
-    array materialized anywhere on this path."""
+    SMALLEST vec_ids — the same admitted set as _cosine_candidates'
+    sliced member lists.  Cost stays batch-proportional: the corpus
+    view is first semi-joined to the BATCH'S OWN cells (a broadcast of
+    <= NDUP_ASSIGN x |batch| distinct cell ids — pairs require a cell
+    the batch touches, and each cell's admitted prefix depends only on
+    that cell's members, so the restriction is exact), and only then
+    ranked by a (cell_id, vec_id) window whose per-cell sort the
+    following cell equi-join's shuffle reuses.  No corpus-wide pass,
+    no giant per-cell array anywhere on this path."""
     if max_cell is not None:
         from pyspark.sql import Window
 
+        batch_cells = batch_assign.select("cell_id").distinct()
+        touched = other_assign.join(
+            F.broadcast(batch_cells), "cell_id", "left_semi"
+        )
         wc = Window.partitionBy("cell_id").orderBy("vec_id")
         admitted = (
-            other_assign.withColumn("crk", F.row_number().over(wc))
+            touched.withColumn("crk", F.row_number().over(wc))
             .filter(F.col("crk") <= max_cell)
             .drop("crk")
         )
@@ -1987,6 +1995,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jaccard_expr():
+    """Verified-pair Jaccard over the pair-table schema — the ONE
+    python-side copy of n_common / (na + nb - n_common) (the SQL
+    oracles carry their own, compared at the hash gate)."""
+    return F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+
+
+def threshold_edges(pairs: DataFrame) -> DataFrame:
+    """(src, dst): near-dup edges — verified pairs (pair_table /
+    pair_table_delta schema) at MINHASH_THRESHOLD."""
+    return pairs.filter(jaccard_expr() >= MINHASH_THRESHOLD).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+
+
+def base_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, component): PRE-batch component labels over the non-batch
+    (doc_id % 10 != 0) slice — the fixture's stand-in for a maintained
+    label artifact, derived-cached and shared by q_cluster_delta and
+    queries.audit.ingest_then_audit so the pinned incremental==rebuild
+    equivalence has exactly one scaffolding implementation (r9
+    self-review)."""
+
+    def build() -> DataFrame:
+        from zebra_spark.graph import connected_components
+        from zebra_spark.io import load
+
+        is_new = (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+        base_edges = threshold_edges(
+            pair_table(spark, sf_dir).filter(~is_new)
+        )
+        base_nodes = (
+            load(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("id"))
+            .filter(F.col("id") % 10 != 0)
+        )
+        return connected_components(base_nodes, base_edges, edges_cheap=True)
+
+    key = ("clusters_base", str(Path(sf_dir).resolve()))
+    return _derived_table(spark, key, build)
+
+
 @query("q_cluster_delta", oracle=_SQL_CLUSTERS_ORACLE)
 def q_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CLUSTER maintenance (r8): the post-batch component
@@ -2000,33 +2050,23 @@ def q_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables); one ingest tick thresholds pair_table_delta into delta
     edges and runs graph.incremental_components over star(labels) ∪
     delta — |V| + |delta| edges with old components at diameter 1 —
-    instead of CC over the whole maintained pair table.  Here the
-    pre-batch labels are built once from the non-batch slice (the
-    fixture has no maintained state), exactly like the other delta
-    gates."""
-    from zebra_spark.graph import connected_components, incremental_components
+    instead of CC over the whole maintained pair table.  The pre-batch
+    labels come from base_cluster_labels (derived-cached fixture
+    scaffolding, shared with the nightly tick), exactly like the other
+    delta gates."""
+    from zebra_spark.graph import incremental_components
     from zebra_spark.io import load
 
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    is_new = (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
     docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-
-    base_edges = (
-        pair_table(spark, sf_dir)
-        .filter(~is_new)
-        .filter(jac >= MINHASH_THRESHOLD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    base_nodes = docs.filter(F.col("id") % 10 != 0)
-    labels = connected_components(base_nodes, base_edges, edges_cheap=True)
+    labels = base_cluster_labels(spark, sf_dir)
 
     batch = docs.filter(F.col("id") % 10 == 0)
     delta_edges = (
-        pair_table_delta(
-            spark, sf_dir, batch.select(F.col("id").alias("doc_id"))
+        threshold_edges(
+            pair_table_delta(
+                spark, sf_dir, batch.select(F.col("id").alias("doc_id"))
+            )
         )
-        .filter(jac >= MINHASH_THRESHOLD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint()  # CC iterates over this frame; cut the
         # band-join lineage once instead of per round
     )

@@ -13,6 +13,8 @@ streaming dedup keys on event_id with a watermark so state is GC'd.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -517,6 +519,7 @@ def maintain_pair_tables(
         delta.write.mode("overwrite").parquet(f"{pair_p}/epoch={epoch_id}")
         bks.write.mode("overwrite").parquet(f"{sig_p}/epoch={epoch_id}")
         toks_out.write.mode("overwrite").parquet(f"{tok_p}/epoch={epoch_id}")
+        _assert_epoch_committed(spark, tok_p, epoch_id)
 
 
 def read_pair_state(
@@ -599,22 +602,58 @@ def _epoch_dirs(spark, table_path: str) -> tuple[set, set] | None:
     point: ADVICE r8 found the previous row-value-based epoch sets made
     a legitimately empty pairs delta indistinguishable from a crash-
     partial epoch, so readers hid — and compaction permanently dropped
-    — that epoch's sibling rows)."""
-    from zebra_spark.fsutil import exists as fs_exists
-    from zebra_spark.fsutil import list_subdirs
+    — that epoch's sibling rows).  Two filesystem calls total (one
+    subdir listing + one `epoch=*/_SUCCESS` glob), never one probe per
+    epoch.
+
+    Config guard (r9 self-review): the epoch writes are sequential, so
+    at most ONE epoch per table can legitimately lack its marker (a
+    crash mid-write, healed when the stream replays it).  Two or more
+    unmarked epochs means the markers were never written —
+    `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` or
+    offline mutation — and silently treating everything as
+    uncommitted would hand compaction an empty view to snapshot, so
+    raise instead."""
+    from zebra_spark.fsutil import glob_paths, list_subdirs
 
     subs = [
         d for d in list_subdirs(spark, table_path) if d.startswith("epoch=")
     ]
     if not subs:
         return None
-    present, committed = set(), set()
-    for d in subs:
-        epoch = int(d.split("=", 1)[1])
-        present.add(epoch)
-        if fs_exists(spark, f"{table_path}/{d}/_SUCCESS"):
-            committed.add(epoch)
+    present = {int(d.split("=", 1)[1]) for d in subs}
+    committed = {
+        int(p.rstrip("/").rsplit("/", 2)[-2].split("=", 1)[1])
+        for p in glob_paths(spark, f"{table_path}/epoch=*/_SUCCESS")
+    }
+    if len(present - committed) > 1:
+        raise ValueError(
+            f"{table_path!r}: {len(present - committed)} of "
+            f"{len(present)} epoch directories have no _SUCCESS "
+            "marker, but a crash can leave at most one partial epoch "
+            "— the job-commit markers are missing (is "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false?)."
+            "  Refusing to treat fully-written epochs as uncommitted."
+        )
     return present, committed
+
+
+def _assert_epoch_committed(spark, table_path: str, epoch_id: int) -> None:
+    """Fail fast AT WRITE TIME if the job-commit `_SUCCESS` marker is
+    disabled (r9 self-review): the committed-epoch reader derives
+    commit state from the marker, so a session writing without markers
+    must error on its first epoch, not lose state at the first
+    compaction.  One probe per maintain call (the last-written table —
+    the committer config is session-wide)."""
+    from zebra_spark.fsutil import exists as fs_exists
+
+    if not fs_exists(spark, f"{table_path}/epoch={epoch_id}/_SUCCESS"):
+        raise RuntimeError(
+            f"epoch write to {table_path}/epoch={epoch_id} produced no "
+            "_SUCCESS marker — the exactly-once layer derives committed "
+            "epochs from it; enable "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+        )
 
 
 def _committed_frames(
@@ -984,6 +1023,7 @@ def maintain_cosine_tables(
             f"{assign_p}/epoch={epoch_id}"
         )
         delta.write.mode("overwrite").parquet(f"{pair_p}/epoch={epoch_id}")
+        _assert_epoch_committed(spark, pair_p, epoch_id)
 
 
 def read_cosine_state(
@@ -1161,6 +1201,32 @@ def reseed_cosine_state(
     vectors carried over.  The old state_dir is untouched; the caller
     retires it after cutover."""
     from zebra_spark.queries.dedup import _cosine_seeds
+
+    local = "://" not in new_state_dir and "://" not in old_state_dir
+    same = (
+        Path(new_state_dir).resolve() == Path(old_state_dir).resolve()
+        if local
+        else new_state_dir == old_state_dir
+    )
+    if same:
+        raise ValueError(
+            "reseed_cosine_state rebuilds INTO a fresh dir from the "
+            "old state — old and new state_dir must differ"
+        )
+    # replay-idempotent (r9 self-review): the rebuild below APPENDS
+    # (epoch_id=None), so a re-run after a crash mid-reseed — the
+    # stream replays its drifted epoch and ingest_cosine_batch reseeds
+    # again into the SAME dir — must start from scratch, not append the
+    # combined corpus a second time.  The target is pure scratch until
+    # cutover (the old state is the source of truth), so wiping it is
+    # always safe.
+    from zebra_spark.fsutil import rmtree
+
+    for name in COSINE_STATE_TABLES + ("seeds",):
+        rmtree(spark, f"{new_state_dir}/{name}")
+        rmtree(spark, f"{new_state_dir}/{name}__compact")
+        rmtree(spark, f"{new_state_dir}/{name}__old")
+    rmtree(spark, f"{new_state_dir}/{DRIFT_BASELINE_FILE}")
 
     vecs = read_cosine_state(spark, old_state_dir)[0]
     if remove_ids is not None:
