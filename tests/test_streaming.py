@@ -1094,6 +1094,54 @@ def test_drift_gated_ingest_reseeds_once(spark, tmp_path):
     release_caches()
 
 
+def test_register_cosine_state_serves_consumers(spark, tmp_path):
+    """register_cosine_state is the one-call consumer cutover: after a
+    (compacted) reseed, registered consumers read the state's tables —
+    q_cell_balance must reflect the state's assign/, and restoring the
+    returned prevs must put the registry back."""
+    from pyspark.sql import functions as F
+
+    import zebra_spark
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        compact_cosine_state,
+        register_cosine_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    zebra_spark.load_all_queries()
+    e = embeddings_d(spark, SF_ORACLE).select("vec_id", "emb").limit(80)
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, SF_ORACLE))
+    maintain_cosine_tables(spark, state, e, epoch_id=0)
+    compact_cosine_state(spark, state)
+
+    want_before = zebra_spark.QUERIES["q_cell_balance"](
+        spark, SF_ORACLE
+    ).agg(F.sum("n_members")).collect()[0][0]
+    prevs = register_cosine_state(spark, state, SF_ORACLE)
+    try:
+        got = zebra_spark.QUERIES["q_cell_balance"](
+            spark, SF_ORACLE
+        ).agg(F.sum("n_members")).collect()[0][0]
+        # 80 vectors x NDUP_ASSIGN assignments in the registered state
+        assert got == 80 * dd.NDUP_ASSIGN
+        assert got != want_before
+    finally:
+        for kind, p in prevs.items():
+            dd.register_maintained_table(kind, SF_ORACLE, p)
+    back = zebra_spark.QUERIES["q_cell_balance"](
+        spark, SF_ORACLE
+    ).agg(F.sum("n_members")).collect()[0][0]
+    assert back == want_before
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+
 def test_reseed_replay_idempotent(spark, tmp_path):
     """r9 self-review: a reseed re-run into the SAME half-written
     target (the stream replays its drifted epoch after a crash

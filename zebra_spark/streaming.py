@@ -1177,6 +1177,42 @@ def ingest_cosine_batch(
     return reseed_dir
 
 
+def register_cosine_state(
+    spark: SparkSession, state_dir: str, sf_dir: str
+) -> dict[str, str | None]:
+    """Point the session's maintained-table registry at a streaming
+    semantic state — the one-call 're-register consumers' step of the
+    reseed cutover (and of first bring-up): 'cosine' reads the state's
+    committed pairs/, 'cosassign' its assign/, 'cosseeds' its frozen
+    seeds/.  Consumers (q_semantic_clusters, q_emb_knn_purity,
+    q_cell_balance, cosine_pair_table_delta, ...) then serve from the
+    maintained state without rebuild.  Returns the previous
+    registrations so the caller can restore them
+    (register_maintained_table(kind, sf_dir, prev) — prev=None
+    unregisters).
+
+    Register AT REST (stream stopped, last epoch committed — the
+    reseed cutover qualifies: reseed_cosine_state compacts before
+    returning): the registry points consumers at the parquet dirs
+    directly, without the committed-epoch filtering readers get from
+    read_cosine_state, so a live stream's in-flight epoch would leak
+    into consumer views."""
+    from zebra_spark.queries.dedup import register_maintained_table
+
+    recover_state_swaps(spark, state_dir, COSINE_STATE_TABLES)
+    return {
+        "cosine": register_maintained_table(
+            "cosine", sf_dir, f"{state_dir}/pairs"
+        ),
+        "cosassign": register_maintained_table(
+            "cosassign", sf_dir, f"{state_dir}/assign"
+        ),
+        "cosseeds": register_maintained_table(
+            "cosseeds", sf_dir, f"{state_dir}/seeds"
+        ),
+    }
+
+
 def reseed_cosine_state(
     spark: SparkSession,
     old_state_dir: str,
