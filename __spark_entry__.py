@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # through the maintainable cluster_label_table.
 _FORCE_FIRST = [
     "q_cosine_capped_pairs", "q_drift_baseline",
+    "q_train_order", "q_shard_manifest",
     "q_ingest_audit", "q_snapshot_audit", "q_dedup_clusters",
 ]
 
