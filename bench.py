@@ -131,9 +131,12 @@ def main() -> None:
         "q_ingest_audit",
         "q_cell_drift",
         # round-9: the giant-cell cap at a BINDING max_cell=64 (the
-        # skew guard's own cost) and the persisted reseed baseline
+        # skew guard's own cost), the persisted reseed baseline, and
+        # the export stage (deterministic training order + manifest)
         "q_cosine_capped_pairs",
         "q_drift_baseline",
+        "q_train_order",
+        "q_shard_manifest",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
