@@ -39,7 +39,8 @@ HEADLINE = [
     "q_events_funnel",
     "q_cosine_assign_delta", "q_cosine_delta_unseen", "q_cell_drift",
     "q_cluster_delta", "q_semantic_cluster_delta", "q_band_balance",
-    "q_cell_balance", "q_ingest_audit",
+    "q_cell_balance", "q_ingest_audit", "q_train_order",
+    "q_shard_manifest",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -102,6 +103,17 @@ NOTES = {
         "One parquet scan of the maintained assignment table -> one "
         "groupBy, no joins — the nightly NDUP_MAX_CELL evidence "
         "histogram.  Same lock."
+    ),
+    "q_train_order": (
+        "Deterministic export order: shard = pure hash row function, "
+        "pos = per-shard window — shuffle on the shard key + "
+        "sort-within-partition, the exact shape a distributed export "
+        "writer runs; NO single-partition global window."
+    ),
+    "q_shard_manifest": (
+        "One hash expression + one two-level aggregation over the "
+        "corpus scan; the shard-balance evidence for the N_SHARDS "
+        "knob."
     ),
     "q_ingest_audit": (
         "The nightly tick's surface: nine 1-row section summaries "
