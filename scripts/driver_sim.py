@@ -23,10 +23,6 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 SF = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def vhash(pdf) -> str:
@@ -56,6 +52,8 @@ def main() -> None:
 
     import duckdb
 
+    from zebra_spark.io import TABLES  # the one fixture-table list
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -73,7 +71,14 @@ def main() -> None:
                 rows_only += 1  # driver records a rows-only row
                 continue
             du = con.execute(osql[name]).fetchdf()
-            if len(sp) == len(du) and vhash(sp) == vhash(du):
+            # schema compare = sorted column names (the driver also
+            # checks types; the STRICT type map lives in
+            # tests/test_oracle_parity.py, green in the suite)
+            if sorted(sp.columns) != sorted(du.columns):
+                fail[name] = (
+                    f"schema {sorted(sp.columns)} != {sorted(du.columns)}"
+                )
+            elif len(sp) == len(du) and vhash(sp) == vhash(du):
                 ok += 1
             else:
                 fail[name] = f"rows {len(sp)}/{len(du)} hash mismatch"

@@ -1137,6 +1137,15 @@ def test_register_cosine_state_serves_consumers(spark, tmp_path):
         spark, SF_ORACLE
     ).agg(F.sum("n_members")).collect()[0][0]
     assert back == want_before
+
+    # at-rest enforcement (r9 review): a torn in-flight epoch must be
+    # refused, not registered past the committed-epoch discipline
+    import os
+
+    maintain_cosine_tables(spark, state, e.limit(5), epoch_id=7)
+    os.remove(f"{state}/pairs/epoch=7/_SUCCESS")
+    with pytest.raises(ValueError, match="at-rest"):
+        register_cosine_state(spark, state, SF_ORACLE)
     from zebra_spark.caching import release_caches
 
     release_caches()

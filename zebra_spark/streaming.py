@@ -1178,7 +1178,8 @@ def ingest_cosine_batch(
 
 
 def register_cosine_state(
-    spark: SparkSession, state_dir: str, sf_dir: str
+    spark: SparkSession, state_dir: str, sf_dir: str,
+    max_cell=_DEFAULT_MAX_CELL,
 ) -> dict[str, str | None]:
     """Point the session's maintained-table registry at a streaming
     semantic state — the one-call 're-register consumers' step of the
@@ -1195,14 +1196,36 @@ def register_cosine_state(
     reseed cutover qualifies: reseed_cosine_state compacts before
     returning): the registry points consumers at the parquet dirs
     directly, without the committed-epoch filtering readers get from
-    read_cosine_state, so a live stream's in-flight epoch would leak
-    into consumer views."""
-    from zebra_spark.queries.dedup import register_maintained_table
+    read_cosine_state, so the at-rest precondition is ENFORCED — any
+    table with an unmarked epoch (a torn in-flight write) is refused
+    with replay/compact guidance instead of leaking into consumer
+    views (r9 review).
 
+    `max_cell` must be the cap the state was MAINTAINED with
+    (maintain_cosine_tables' default is the same NDUP_MAX_CELL
+    default here): it keys the 'cosine' registration, so consumers
+    requesting a different cap correctly miss it rather than silently
+    reading a differently-capped pair set."""
+    from zebra_spark.queries.dedup import (
+        NDUP_MAX_CELL,
+        register_maintained_table,
+    )
+
+    if max_cell is _DEFAULT_MAX_CELL:
+        max_cell = NDUP_MAX_CELL
     recover_state_swaps(spark, state_dir, COSINE_STATE_TABLES)
+    for name in COSINE_STATE_TABLES:
+        listing = _epoch_dirs(spark, f"{state_dir}/{name}")
+        if listing is not None and listing[0] - listing[1]:
+            raise ValueError(
+                f"{state_dir}/{name} has uncommitted epoch(s) "
+                f"{sorted(listing[0] - listing[1])} — register only an "
+                "at-rest state: let the stream replay them (or run "
+                "compact_cosine_state) first"
+            )
     return {
         "cosine": register_maintained_table(
-            "cosine", sf_dir, f"{state_dir}/pairs"
+            "cosine", sf_dir, f"{state_dir}/pairs", max_cell=max_cell
         ),
         "cosassign": register_maintained_table(
             "cosassign", sf_dir, f"{state_dir}/assign"
