@@ -319,3 +319,54 @@ def test_random_array_chains(seed, spark, duck):
     )
     assert got["v"].tolist() == want["v"].tolist(), (seed, sp_sql, du_sql)
     assert got["n"].tolist() == want["n"].tolist(), (seed, sp_sql, du_sql)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_cell_cap_kernel(seed, spark):
+    """Seeded differential fuzz of the giant-cell cap (r9): for random
+    multi-assignments and a random binding cap, the shared
+    _cell_collide_pairs kernel must emit exactly the pairs among each
+    cell's `cap` smallest vec_ids — recomputed independently in plain
+    Python — for BOTH batch modes (full self-delta, and a random batch
+    slice against the full view, whose union with the complement's
+    pairs-plus-cross must still be a subset of the full capped set)."""
+    rng = random.Random(7000 + seed)
+    n_vecs = rng.randint(10, 60)
+    n_cells = rng.randint(2, 6)
+    per_vec = rng.randint(1, min(3, n_cells))
+    cap = rng.randint(2, 8)
+    rows = []
+    for v in range(n_vecs):
+        for c in rng.sample(range(n_cells), per_vec):
+            rows.append((v, c))
+    assign = spark.createDataFrame(rows, "vec_id bigint, cell_id bigint")
+
+    from zebra_spark.queries.dedup import _cell_collide_pairs
+
+    # independent model: per cell, the cap smallest members, all pairs
+    cells: dict[int, list[int]] = {}
+    for v, c in rows:
+        cells.setdefault(c, []).append(v)
+    want = set()
+    for members in cells.values():
+        m = sorted(set(members))[:cap]
+        want |= {(a, b) for i, a in enumerate(m) for b in m[i + 1:]}
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in _cell_collide_pairs(assign, assign, max_cell=cap).collect()
+    }
+    assert got == want, (seed, n_vecs, n_cells, per_vec, cap)
+
+    # batch mode: a random slice of vec_ids against the full view must
+    # emit exactly the admitted pairs involving a batch member
+    batch_ids = set(rng.sample(range(n_vecs), rng.randint(1, n_vecs)))
+    batch = assign.filter(F.col("vec_id").isin(list(batch_ids)))
+    got_b = {
+        (r.id_a, r.id_b)
+        for r in _cell_collide_pairs(batch, assign, max_cell=cap).collect()
+    }
+    want_b = {
+        (a, b) for a, b in want if a in batch_ids or b in batch_ids
+    }
+    assert got_b == want_b, (seed, sorted(batch_ids), cap)
