@@ -2037,6 +2037,55 @@ def base_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derived_table(spark, key, build)
 
 
+@query(
+    "q_cluster_size_hist",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ),
+    full_labels AS (
+      SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    sizes AS (
+      SELECT cluster, count(*) AS cluster_size
+      FROM full_labels GROUP BY cluster
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters): the duplication-FAMILY size
+    distribution over the maintained cluster labels (r9) — the
+    companion health view to the degree histogram: degree says how
+    connected individual docs are, this says how big the transitive
+    families actually get (one mega-family is the boilerplate signal
+    the keep-best policy must survive).  Two groupBys over the
+    maintained 'clusters' artifact — no graph traversal at query time,
+    which is exactly why the labels are worth maintaining."""
+    return (
+        cluster_label_table(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 @query("q_cluster_delta", oracle=_SQL_CLUSTERS_ORACLE)
 def q_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CLUSTER maintenance (r8): the post-batch component
