@@ -41,17 +41,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already have
 # a driver row.  r8's four pins all got green/clean rows in r08, so
-# that pin is retired.  r9 pins its six NEW oracled queries (the
+# that pin is retired.  r9 pins its seven NEW oracled queries (the
 # binding giant-cell cap, the persisted drift baseline, the export
 # stage's training order + shard manifest, the quality-threshold
-# sweep, and the cluster-size histogram), the two audit
+# sweep, the cluster-size histogram, and the cluster takedown), the two audit
 # composites whose surface changed 8 -> 9 sections (dup_clusters
 # joined the audit), and q_dedup_clusters, whose serving path now goes
-# through the maintainable cluster_label_table — 9 pins total.
+# through the maintainable cluster_label_table — 10 pins total.
 _FORCE_FIRST = [
     "q_cosine_capped_pairs", "q_drift_baseline",
     "q_train_order", "q_shard_manifest",
     "q_quality_threshold_sweep", "q_cluster_size_hist",
+    "q_cluster_takedown",
     "q_ingest_audit", "q_snapshot_audit", "q_dedup_clusters",
 ]
 

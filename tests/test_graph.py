@@ -219,3 +219,43 @@ def test_incremental_components(spark):
     assert lbl[11] == lbl[1] == 1
     assert lbl[30] == lbl[20]
     assert lbl[41] == 40 and lbl[5] == 5
+
+
+def test_remove_and_relabel_splits_components(spark):
+    """r9: removing a chain's middle node must SPLIT its component —
+    the case star-union merging cannot express — while untouched
+    clusters keep their labels verbatim, matching a from-scratch CC
+    over the survivors bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.graph import connected_components, remove_and_relabel
+
+    # component A: chain 1-2-3 (removing 2 splits it into {1}, {3});
+    # component B: triangle 10-11-12 (untouched); isolated node 20
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 20)], "id bigint"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+        "src bigint, dst bigint",
+    )
+    labels = connected_components(nodes, edges, edges_cheap=True)
+    removed = spark.createDataFrame([(2,)], "id bigint")
+
+    got = {
+        r.id: r.component
+        for r in remove_and_relabel(labels, edges, removed).collect()
+    }
+    want = {
+        r.id: r.component
+        for r in connected_components(
+            nodes.filter(F.col("id") != 2),
+            edges.filter((F.col("src") != 2) & (F.col("dst") != 2)),
+            edges_cheap=True,
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == 1 and got[3] == 3      # the split happened
+    assert got[10] == got[11] == got[12] == 10  # untouched cluster
+    assert got[20] == 20
+    assert 2 not in got

@@ -218,6 +218,56 @@ def connected_components(
     )
 
 
+def remove_and_relabel(
+    labels: DataFrame, edges: DataFrame, removed_ids: DataFrame
+) -> DataFrame:
+    """Update a MAINTAINED component assignment after a TAKEDOWN —
+    the removal twin of incremental_components (r9).  Merging is
+    monotone (star-union handles it), but a removal can SPLIT a
+    component, which no label-merge can express — yet only the
+    components that CONTAINED a removed node can change.  So:
+
+      1. affected = the component labels of the removed ids;
+      2. untouched clusters keep their labels verbatim (zero work);
+      3. the affected clusters' surviving members are re-clustered
+         from scratch over the maintained edge set restricted to them
+         (edges with removed endpoints drop in the same semi-join).
+
+    Cost is |affected components| not |corpus|: one semi-join to find
+    affected members, CC over their induced subgraph — for a takedown
+    touching a handful of dup families, a few thousand edges instead
+    of the whole pair graph.  Labels keep the min-id contract, so the
+    result is bit-identical to a full rebuild over the surviving
+    corpus (pinned by tests/test_graph.py and the driver-gated
+    q_cluster_takedown).
+
+    labels: (id, component) pre-takedown; edges: (src, dst) the
+    maintained near-dup edge set (thresholded pair table);
+    removed_ids: one column of ids to delete."""
+    rem = removed_ids.select(
+        F.col(removed_ids.columns[0]).alias("id")
+    ).distinct()
+    affected = (
+        labels.join(rem, "id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    keep = labels.join(rem, "id", "left_anti")
+    stable = keep.join(F.broadcast(affected), "component", "left_anti")
+    members = keep.join(F.broadcast(affected), "component", "left_semi").select(
+        "id"
+    )
+    sub_edges = (
+        edges.join(members.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(members.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    relabeled = connected_components(members, sub_edges, edges_cheap=True)
+    return stable.select("id", "component").unionByName(
+        relabeled.select("id", "component")
+    )
+
+
 def incremental_components(
     labels: DataFrame, delta_edges: DataFrame, new_nodes: DataFrame
 ) -> DataFrame:

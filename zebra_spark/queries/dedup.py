@@ -2086,6 +2086,60 @@ def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 50  # fixture eval-set membership: doc_id % 50 == 0 (~2%)
+
+
+@query(
+    "q_cluster_takedown",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    kept_edges AS (
+      SELECT doc_a, doc_b FROM edges
+      WHERE doc_a % {EVAL_MOD} <> 0 AND doc_b % {EVAL_MOD} <> 0
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM kept_edges
+      UNION SELECT doc_b, doc_a FROM kept_edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+    """,
+)
+def q_cluster_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown on the MAINTAINED cluster labels, hash-gated (r9):
+    removing the doc_id % {EVAL_MOD} == 0 cohort via
+    graph.remove_and_relabel — untouched clusters keep their labels
+    verbatim, only components that CONTAINED a removed doc re-cluster
+    over their induced subgraph — must equal the oracle's from-scratch
+    closure over the surviving corpus.  Merging had incremental
+    maintenance (q_cluster_delta); this closes the removal side, so
+    the 'clusters' artifact now has the same takedown story as the
+    pair tables (splits included, which star-union cannot express)."""
+    from zebra_spark.graph import remove_and_relabel
+    from zebra_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    removed = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    labels = cluster_label_table(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster").alias("component")
+    )
+    edges = threshold_edges(pair_table(spark, sf_dir))
+    return remove_and_relabel(labels, edges, removed).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
 @query("q_cluster_delta", oracle=_SQL_CLUSTERS_ORACLE)
 def q_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CLUSTER maintenance (r8): the post-batch component
@@ -2129,7 +2183,6 @@ def q_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVAL_MOD = 50  # fixture eval-set membership: doc_id % 50 == 0 (~2%)
 DECON_THRESHOLD = 0.7  # containment level that flags contamination
 
 
