@@ -137,6 +137,11 @@ def main() -> None:
         "q_drift_baseline",
         "q_train_order",
         "q_shard_manifest",
+        # round-9 late wave: the curation dial, the duplication-family
+        # size distribution, and the cluster-labels takedown
+        "q_quality_threshold_sweep",
+        "q_cluster_size_hist",
+        "q_cluster_takedown",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -40,7 +40,8 @@ HEADLINE = [
     "q_cosine_assign_delta", "q_cosine_delta_unseen", "q_cell_drift",
     "q_cluster_delta", "q_semantic_cluster_delta", "q_band_balance",
     "q_cell_balance", "q_ingest_audit", "q_train_order",
-    "q_shard_manifest",
+    "q_shard_manifest", "q_quality_threshold_sweep",
+    "q_cluster_size_hist", "q_cluster_takedown",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -114,6 +115,23 @@ NOTES = {
         "One hash expression + one two-level aggregation over the "
         "corpus scan; the shard-balance evidence for the N_SHARDS "
         "knob."
+    ),
+    "q_quality_threshold_sweep": (
+        "Per-doc features once (one token aggregation), 9-row "
+        "threshold spine broadcast, one grouped aggregation + a 1-row "
+        "totals broadcast — the whole curve costs one corpus scan."
+    ),
+    "q_cluster_size_hist": (
+        "Two groupBys over the maintained 'clusters' labels parquet — "
+        "no graph traversal at query time."
+    ),
+    "q_cluster_takedown": (
+        "Affected components found by one semi-join on the label "
+        "table; untouched clusters pass through verbatim (anti-join "
+        "against the broadcast affected set); CC runs only on the "
+        "affected families' induced subgraph.  The fixture's mega "
+        "dup-family makes 'affected' ~ everything here — see "
+        "SCALING.md."
     ),
     "q_ingest_audit": (
         "The nightly tick's surface: nine 1-row section summaries "
