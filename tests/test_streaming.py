@@ -1621,3 +1621,108 @@ def test_reseed_cosine_state(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_fsutil_delete_handles_plain_files(spark, tmp_path):
+    """ADVICE r10: rmtree's local branch (shutil.rmtree) silently
+    no-ops on a regular file, so the reseed 'pure scratch' wipe left a
+    stale drift_baseline.json beside emptied tables; fsutil.delete
+    must remove files AND directories, and missing paths are no-ops."""
+    from zebra_spark import fsutil
+
+    f = tmp_path / "drift_baseline.json"
+    f.write_text("{}")
+    fsutil.delete(spark, str(f))
+    assert not f.exists()
+
+    d = tmp_path / "somedir"
+    (d / "sub").mkdir(parents=True)
+    fsutil.delete(spark, str(d))
+    assert not d.exists()
+
+    fsutil.delete(spark, str(tmp_path / "never_existed"))  # no-op
+
+
+def test_epoch_dirs_with_glob_metachars_in_path(spark, tmp_path):
+    """ADVICE r10: a state dir containing [, ], ? or * must not turn
+    into glob syntax in the committed-epoch scan — previously every
+    epoch=*/_SUCCESS went invisible and readers hid committed rows."""
+    from zebra_spark import fsutil
+
+    base = tmp_path / "st[at]e?*"
+    marked = base / "tbl" / "epoch=0"
+    marked.mkdir(parents=True)
+    (marked / "_SUCCESS").write_text("")
+    got = fsutil.glob_paths(spark, str(base / "tbl"), "epoch=*/_SUCCESS")
+    assert got == [str(marked / "_SUCCESS")]
+    # (a FULL maintain cycle in such a dir is impossible regardless:
+    # spark.read.parquet globs its path argument too, so a metachar
+    # state dir fails LOUDLY at the first Spark read — the fsutil fix
+    # closes the one layer where the failure was silent)
+
+
+def test_capped_out_of_order_backfill_refused(spark, tmp_path):
+    """ADVICE r10: the capped stream==batch contract requires
+    monotonically increasing vec_ids once a cell fills; an
+    out-of-order backfill into an over-cap cell must raise (it would
+    silently evict earlier-admitted prefix members and leave stale
+    over-cap pairs no capped rebuild contains), while an out-of-order
+    backfill whose cells all sit under the cap stays legal (the cap
+    never binds, so it is bit-identical to a rebuild)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+    )
+
+    # the hot-cell fixture from test_cosine_max_cell_cap: cell 0
+    # collects every vector, so cap=4 binds hard
+    dim, cap = 10, 4
+    rows = [(i, [100.0 if j == i else 0.0 for j in range(dim)], 0)
+            for i in range(10)]
+    rows += [(10 + k, [50.0] * 5 + [0.0] * 5, 0) for k in range(8)]
+    d = str(tmp_path / "sf_hot")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    e = dd.embeddings_d(spark, d).select("vec_id", "emb")
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, d))
+    maintain_cosine_tables(
+        spark, state, e.filter(F.col("vec_id") >= 14), epoch_id=0,
+        max_cell=cap,
+    )
+    with pytest.raises(ValueError, match="monotonically increasing"):
+        maintain_cosine_tables(
+            spark, state, e.filter(F.col("vec_id") < 14), epoch_id=1,
+            max_cell=cap,
+        )
+    # uncapped maintenance of the same out-of-order split stays legal
+    state2 = str(tmp_path / "cstate_uncapped")
+    init_cosine_state(spark, state2, dd.cosine_seed_table(spark, d))
+    maintain_cosine_tables(
+        spark, state2, e.filter(F.col("vec_id") >= 14), epoch_id=0,
+        max_cell=None,
+    )
+    maintain_cosine_tables(
+        spark, state2, e.filter(F.col("vec_id") < 14), epoch_id=1,
+        max_cell=None,
+    )
+    # under-cap cells: out-of-order is benign and admitted
+    state3 = str(tmp_path / "cstate_undercap")
+    init_cosine_state(spark, state3, dd.cosine_seed_table(spark, d))
+    maintain_cosine_tables(
+        spark, state3, e.filter(F.col("vec_id").isin(15, 16)),
+        epoch_id=0, max_cell=100,
+    )
+    maintain_cosine_tables(
+        spark, state3, e.filter(F.col("vec_id").isin(11, 12)),
+        epoch_id=1, max_cell=100,
+    )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

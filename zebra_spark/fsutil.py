@@ -74,17 +74,25 @@ def list_subdirs(spark, path: str) -> list[str]:
     ]
 
 
-def glob_paths(spark, pattern: str) -> list[str]:
-    """Paths matching a glob pattern (one filesystem call — the
-    committed-epoch scan uses `epoch=*/_SUCCESS` so N epochs cost one
-    listing, not N existence probes).  Local patterns use the stdlib
-    glob; scheme'd paths go through FileSystem.globStatus."""
-    if _is_local(pattern):
+def glob_paths(spark, base: str, pattern: str) -> list[str]:
+    """Paths under directory `base` matching relative glob `pattern`
+    (one filesystem call — the committed-epoch scan uses
+    `epoch=*/_SUCCESS` so N epochs cost one listing, not N existence
+    probes).  `base` is taken LITERALLY: a state dir containing `[`,
+    `]`, `?` or `*` must not turn into glob syntax, or every committed
+    epoch goes invisible and readers hide its rows (ADVICE r9) — so
+    the wildcard part is a separate argument and `base` is escaped per
+    backend.  Local paths use the stdlib glob; scheme'd paths go
+    through FileSystem.globStatus (backslash-escape convention)."""
+    if _is_local(base):
         import glob as _glob
 
-        return sorted(_glob.glob(pattern))
+        return sorted(_glob.glob(f"{_glob.escape(base)}/{pattern}"))
     jvm = spark._jvm
-    hpattern = jvm.org.apache.hadoop.fs.Path(pattern)
+    escaped = "".join(
+        f"\\{c}" if c in "*?[]{}\\" else c for c in base
+    )
+    hpattern = jvm.org.apache.hadoop.fs.Path(f"{escaped}/{pattern}")
     fs = hpattern.getFileSystem(spark._jsc.hadoopConfiguration())
     statuses = fs.globStatus(hpattern)
     if statuses is None:
@@ -98,6 +106,23 @@ def rmtree(spark, path: str) -> None:
     returns false rather than raising)."""
     if _is_local(path):
         shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+
+
+def delete(spark, path: str) -> None:
+    """Delete a path that may be a plain FILE or a directory; missing
+    paths are a no-op.  rmtree's local branch is shutil.rmtree, which
+    silently no-ops on a regular file (ADVICE r9: the reseed 'pure
+    scratch' wipe left a stale drift_baseline.json beside the emptied
+    state tables) — file deletes must come here.  The Hadoop branch's
+    FileSystem.delete already handles both shapes."""
+    if _is_local(path):
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
         return
     fs, hpath = _hadoop_fs(spark, path)
     fs.delete(hpath, True)

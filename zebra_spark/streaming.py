@@ -624,7 +624,7 @@ def _epoch_dirs(spark, table_path: str) -> tuple[set, set] | None:
     present = {int(d.split("=", 1)[1]) for d in subs}
     committed = {
         int(p.rstrip("/").rsplit("/", 2)[-2].split("=", 1)[1])
-        for p in glob_paths(spark, f"{table_path}/epoch=*/_SUCCESS")
+        for p in glob_paths(spark, table_path, "epoch=*/_SUCCESS")
     }
     if len(present - committed) > 1:
         raise ValueError(
@@ -1006,6 +1006,42 @@ def maintain_cosine_tables(
 
     if max_cell is _DEFAULT_MAX_CELL:
         max_cell = NDUP_MAX_CELL
+    if max_cell is not None and have_state:
+        # the capped stream==batch contract requires monotonically
+        # increasing vec_ids ONCE A CELL FILLS (the admitted prefix of
+        # a full cell is the max_cell smallest ids — an out-of-order
+        # backfill would evict earlier-admitted members and leave
+        # stale over-cap pairs no capped rebuild contains, silently).
+        # Enforce it instead of documenting it (ADVICE r9), without
+        # taxing the honest path: the order probe is one min/max
+        # aggregate pair per epoch answered from parquet footer stats,
+        # and the cell-size scan runs only for out-of-order batches —
+        # an all-cells-under-cap backfill is bit-identical to a
+        # rebuild (the cap never binds), so it stays legal.
+        state_max = read_state(vec_p).agg(F.max("vec_id")).first()[0]
+        batch_min = batch.agg(F.min("vec_id")).first()[0]
+        if (
+            state_max is not None
+            and batch_min is not None
+            and batch_min <= state_max
+        ):
+            biggest = (
+                other_assign.groupBy("cell_id")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            if biggest is not None and biggest > max_cell:
+                raise ValueError(
+                    f"capped maintenance (max_cell={max_cell}) with an "
+                    f"over-cap cell ({biggest} members) requires "
+                    f"monotonically increasing vec_ids, but batch min "
+                    f"vec_id {batch_min} <= state max vec_id "
+                    f"{state_max} — an out-of-order backfill under a "
+                    "binding cap diverges from a capped rebuild; "
+                    "ingest in id order, or rebuild via "
+                    "reseed_cosine_state, or pass max_cell=None"
+                )
     cand = _cell_collide_pairs(batch_assign, other_assign, max_cell=max_cell)
     delta = _score_pairs(cand, e, vectorized=False)
     # write order: the batch's own state (vecs, assign) lands before
@@ -1279,13 +1315,16 @@ def reseed_cosine_state(
     # combined corpus a second time.  The target is pure scratch until
     # cutover (the old state is the source of truth), so wiping it is
     # always safe.
-    from zebra_spark.fsutil import rmtree
+    from zebra_spark.fsutil import delete, rmtree
 
     for name in COSINE_STATE_TABLES + ("seeds",):
         rmtree(spark, f"{new_state_dir}/{name}")
         rmtree(spark, f"{new_state_dir}/{name}__compact")
         rmtree(spark, f"{new_state_dir}/{name}__old")
-    rmtree(spark, f"{new_state_dir}/{DRIFT_BASELINE_FILE}")
+    # the baseline is a plain FILE — rmtree's local branch silently
+    # no-ops on files (ADVICE r9), which would leave a stale baseline
+    # beside empty tables if we crash before persist_drift_baseline
+    delete(spark, f"{new_state_dir}/{DRIFT_BASELINE_FILE}")
 
     vecs = read_cosine_state(spark, old_state_dir)[0]
     if remove_ids is not None:
