@@ -27,6 +27,7 @@ def load_all_queries() -> None:
         ann,
         tpch,
         audit,
+        tick,
     )
 
 

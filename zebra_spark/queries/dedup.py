@@ -84,22 +84,9 @@ def _minhash_sigs(
     same results either way."""
     if n_hashes <= 32:
         from zebra_spark.io import load
-        from zebra_spark.streaming import minhash_band_keys, token_ids_expr
 
-        docs = load(spark, sf_dir, "documents")
-        return (
-            docs.select("doc_id", token_ids_expr("text").alias("tids"))
-            .select(
-                "doc_id",
-                F.explode(
-                    minhash_band_keys("tids", n_hashes, n_bands)
-                ).alias("b"),
-            )
-            .select(
-                "doc_id",
-                F.col("b.band").alias("band"),
-                F.col("b.key").alias("key"),
-            )
+        return batch_signatures(
+            load(spark, sf_dir, "documents"), n_hashes, n_bands
         )
     t2 = _token_ids(spark, sf_dir)
     params = spark.createDataFrame(
@@ -315,6 +302,54 @@ def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
     return df
 
 
+def batch_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(doc_id, band, key): banded MinHash signatures for ONE frame of
+    (doc_id, text, ...) rows — per-row native expressions (token-id
+    array materialized once per row, then n_hashes array_min
+    permutation scans), ZERO shuffle.  This is THE signature kernel:
+    the full build (_minhash_sigs), the streaming screen
+    (streaming.minhash_band_keys callers) and the chained tick's
+    per-batch append (queries.tick) all produce rows through these
+    expressions, so batch == stream == tick signatures by construction
+    and an ingest batch's signatures are exactly the rows a full
+    rebuild would hold for those docs."""
+    from zebra_spark.streaming import minhash_band_keys, token_ids_expr
+
+    return (
+        docs.select("doc_id", token_ids_expr("text").alias("tids"))
+        .select(
+            "doc_id",
+            F.explode(
+                minhash_band_keys("tids", n_hashes, n_bands)
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.col("b.band").alias("band"),
+            F.col("b.key").alias("key"),
+        )
+    )
+
+
+def batch_toksets(docs: DataFrame) -> DataFrame:
+    """(doc_id, words sorted array): per-doc distinct token sets for
+    ONE frame of (doc_id, text, ...) rows — the per-row twin of
+    tokset_table's grouped build (array_distinct(split) == the distinct
+    exploded words; array_sort fixes one order for both), shared by the
+    full build and the chained tick's per-batch append so verify-stage
+    inputs cannot drift between the two paths.  Per-row means ZERO
+    shuffle: the grouped formulation's explode → groupBy(collect_set)
+    re-shuffles every token, this touches none."""
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("words"),
+    )
+
+
 def sig_table(
     spark: SparkSession,
     sf_dir: str,
@@ -335,13 +370,15 @@ def sig_table(
 def tokset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, words sorted array): per-doc distinct token sets — the
     verify-stage input shared by the pair-table build and the
-    incremental screen."""
+    incremental screen.  Built through the per-row batch_toksets kernel
+    (r10): bit-identical to the earlier explode → collect_set →
+    array_sort chain, but with zero shuffle — the distinct-and-sort
+    happens inside each row."""
 
     def build() -> DataFrame:
-        tok = tokens(spark, sf_dir, distinct=True).select("doc_id", "word")
-        return tok.groupBy("doc_id").agg(
-            F.array_sort(F.collect_set("word")).alias("words")
-        )
+        from zebra_spark.io import load
+
+        return batch_toksets(load(spark, sf_dir, "documents"))
 
     key = ("toksets", str(Path(sf_dir).resolve()))
     return _derived_table(spark, key, build)

@@ -1,0 +1,476 @@
+"""Chained steady-state maintenance ticks (VERDICT r9 #1).
+
+`queries.audit.ingest_then_audit` proves the nightly tick's DELTA paths
+are exact, but its maintained artifacts are rebuilt per call as
+`base ∪ delta` session scaffolding — the "production appends the delta
+to maintained parquet" sentence was inferred, never executed.  This
+module executes it: `init_tick_state` bootstraps a persisted state
+directory (frozen seeds + drift baseline + empty maintained tables) and
+`run_tick` ingests one batch by APPENDING its deltas to the persisted
+parquet — tick n+1 reads exactly what tick n wrote, nothing is rebuilt.
+
+State directory layout (plain parquet — the batch twin of
+streaming.py's exactly-once epoch state; a crash-replay story belongs
+to the streaming maintainers, this is the nightly batch tick):
+
+    sigs/       (doc_id, band, key)                appended per tick
+    toksets/    (doc_id, words)                    appended per tick
+    minhash/    (doc_a, doc_b, n_common, na, nb)   appended per tick
+    cosassign/  (vec_id, cell_id)                  appended per tick
+    cosine/     (id_a, id_b, dist)                 appended per tick
+    clusters/   (doc_id, cluster)                  rewritten per tick
+                                                   (|V| rows, delta cost)
+    cosseeds/   (cell_id, ce)                      frozen at init /
+                                                   reseed only
+    driftbase/  (n, mse)                           written at init /
+                                                   reseed only
+
+Why the chain equals a one-shot rebuild (each step already pinned):
+signatures/toksets are per-row deterministic (batch_signatures /
+batch_toksets — disjoint batches partition the full tables); a verified
+pair (a, b) is emitted by exactly one tick — the one that ingests its
+LATER endpoint (pair_table_delta emits pairs involving >=1 batch doc
+against the corpus-so-far, both-new pairs dedup inside the delta); the
+same argument covers cosine pairs under frozen seeds
+(cosine_assign_delta determinism); labels via incremental_components
+== full CC (star-union preserves connectivity classes).  The composite
+equality — N chained ticks, final state byte-equal to from-scratch —
+is pinned by tests/test_tick.py and driver-hash-checked end-to-end by
+q_tick_chain_pairs / q_tick_chain_cosine / q_tick_chain_clusters, whose
+oracles recompute the final corpus from scratch in SQL.
+
+Scale shape at 100 TB: per-tick cost is batch-proportional (the delta
+joins touch batch x bucket/cell volumes; appends write only delta rows;
+the label merge iterates |V| + |delta| star edges) and FLAT in
+accumulated corpus size — measured across a chained run in
+scripts/tick_chain_scale.py, recorded in SCALING.md.
+
+No reference counterpart (emmyoh/zebra is a vector store); this is the
+LLM-data-pipeline maintenance surface mandated by SURVEY.md §2.C.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zebra_spark.functions import rnd
+from zebra_spark.registry import query, sql_rnd
+
+# append-maintained kinds, in ingest order (sigs/toksets must land
+# before the lexical delta reads them; cosassign before the cosine
+# delta's cell join)
+TICK_APPEND_KINDS = ("sigs", "toksets", "minhash", "cosassign", "cosine")
+TICK_KINDS = TICK_APPEND_KINDS + ("clusters", "cosseeds", "driftbase")
+
+
+def _register_all(sf_dir: str, state_dir: str) -> dict[str, str | None]:
+    """Point every maintained-table kind at the persisted state dir;
+    returns the previous registrations for the finally-restore."""
+    from zebra_spark.queries.dedup import register_maintained_table
+
+    return {
+        kind: register_maintained_table(kind, sf_dir, f"{state_dir}/{kind}")
+        for kind in TICK_KINDS
+    }
+
+
+def _restore_all(sf_dir: str, prevs: dict[str, str | None]) -> None:
+    from zebra_spark.queries.dedup import register_maintained_table
+
+    for kind, prev in prevs.items():
+        register_maintained_table(kind, sf_dir, prev)
+
+
+def _swap_write(spark: SparkSession, state_dir: str, kind: str,
+                df: DataFrame) -> None:
+    """Full rewrite of one maintained table via write-aside + rename:
+    `df` may READ the table being replaced (the label merge reads the
+    pre-tick labels), so writing in place would be a read-modify-write
+    of the same files mid-job.  POSIX/HDFS rename is atomic; object
+    stores get copy+delete (same caveat as database.save_database)."""
+    from zebra_spark.fsutil import rename, rmtree
+
+    nxt = f"{state_dir}/{kind}__next"
+    rmtree(spark, nxt)
+    df.write.mode("overwrite").parquet(nxt)
+    rmtree(spark, f"{state_dir}/{kind}")
+    rename(spark, nxt, f"{state_dir}/{kind}")
+
+
+def init_tick_state(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    seed_vecs: DataFrame,
+) -> None:
+    """Bootstrap a chained-tick state directory: freeze the cosine
+    blocking's seed set over `seed_vecs` (vec_id, emb — the bootstrap
+    corpus: the first snapshot in production; the full-corpus
+    projection when a plain-SQL oracle must be able to recompute the
+    chain, see q_tick_chain_cosine), persist its drift baseline beside
+    the seeds, and write every maintained table EMPTY — each through
+    the same function that appends to it later, so the schemas cannot
+    drift from the append path.  The first run_tick then ingests the
+    first batch through the identical code path as every later tick."""
+    from zebra_spark.io import load
+    from zebra_spark.queries import dedup as dd
+
+    seeds = dd._cosine_seeds(seed_vecs.select("vec_id", "emb"))
+    seeds.write.mode("overwrite").parquet(f"{state_dir}/cosseeds")
+    seeds = spark.read.parquet(f"{state_dir}/cosseeds")
+    dd.cell_drift_audit(spark, sf_dir, seed_vecs, "corpus", seeds).select(
+        "n", "mse"
+    ).write.mode("overwrite").parquet(f"{state_dir}/driftbase")
+
+    no_docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(0)
+    dd.batch_signatures(no_docs).write.mode("overwrite").parquet(
+        f"{state_dir}/sigs"
+    )
+    dd.batch_toksets(no_docs).write.mode("overwrite").parquet(
+        f"{state_dir}/toksets"
+    )
+    prevs = _register_all(sf_dir, state_dir)
+    try:
+        no_ids = no_docs.select("doc_id")
+        dd.pair_table_delta(spark, sf_dir, no_ids).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/minhash")
+        no_vecs = seed_vecs.select("vec_id", "emb").limit(0)
+        dd.cosine_assign_delta(spark, sf_dir, no_vecs).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/cosassign")
+        dd.cosine_pair_table_delta(
+            spark, sf_dir, new_ids=no_vecs.select("vec_id")
+        ).write.mode("overwrite").parquet(f"{state_dir}/cosine")
+        spark.createDataFrame([], "doc_id bigint, cluster bigint").write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/clusters")
+    finally:
+        _restore_all(sf_dir, prevs)
+
+
+def _reseed_tick_state(
+    spark: SparkSession, sf_dir: str, state_dir: str, batch_vecs: DataFrame
+) -> None:
+    """Drift-triggered reseed INSIDE the batch tick (the batch twin of
+    streaming.reseed_cosine_state): deltas against stale blocking are
+    meaningless, so the semantic artifacts rebuild from scratch over
+    ingested ∪ batch — new frozen seeds, full re-assignment, full
+    capped pair table, new persisted baseline.  The ingested corpus'
+    raw vectors come back from the lake (embeddings table) by the
+    maintained assignment's ids; the BATCH's vectors come from the
+    frame in hand (an ingest batch need not have landed in the lake
+    yet — and a drifted batch's whole point is that the lake's prior
+    snapshot does not describe it); all four tables swap in
+    together."""
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+
+    prior = (
+        spark.read.parquet(f"{state_dir}/cosassign")
+        .select("vec_id")
+        .distinct()
+    )
+    # materialize BEFORE the swaps: e_all lazily reads the OLD
+    # cosassign files (prior ids), which the cosassign swap deletes —
+    # an unmaterialized plan would chase vanished parquet parts
+    e_all = (
+        embeddings_d(spark, sf_dir)
+        .select("vec_id", "emb")
+        .join(prior, "vec_id", "left_semi")
+        .unionByName(batch_vecs.select("vec_id", "emb"))
+    ).localCheckpoint()
+    seeds = dd._cosine_seeds(e_all)
+    _swap_write(spark, state_dir, "cosseeds", seeds)
+    seeds = spark.read.parquet(f"{state_dir}/cosseeds")
+    assign = dd._assign_to_seeds(e_all, seeds)
+    _swap_write(spark, state_dir, "cosassign", assign)
+    assign = spark.read.parquet(f"{state_dir}/cosassign")
+    pairs = dd._score_pairs(
+        dd._cell_collide_pairs(assign, assign, max_cell=dd.NDUP_MAX_CELL),
+        e_all,
+        vectorized=False,
+    )
+    _swap_write(spark, state_dir, "cosine", pairs)
+    _swap_write(
+        spark,
+        state_dir,
+        "driftbase",
+        dd.cell_drift_audit(spark, sf_dir, e_all, "corpus", seeds).select(
+            "n", "mse"
+        ),
+    )
+
+
+def run_tick(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    batch_docs: DataFrame,
+    batch_vecs: DataFrame,
+    timings: dict | None = None,
+    audit: bool = False,
+    reseed_ratio: float = 5.0,
+):
+    """ONE steady-state maintenance tick over PERSISTED artifacts:
+    append `batch_docs` (doc_id, text) and `batch_vecs` (vec_id, emb)
+    — genuinely new, ids disjoint from every earlier tick — to the
+    maintained tables under `state_dir`, at delta cost.
+
+      1. drift gate: the batch's mean nearest-seed distance vs the
+         PERSISTED baseline (one broadcast-seed pass over the batch);
+         a drifted batch reseeds the semantic family from scratch
+         (_reseed_tick_state) — quiet ticks touch only deltas;
+      2. append the batch's signatures + token sets (per-row kernels);
+      3. append pair_table_delta — the lexical pairs the batch adds
+         against corpus-so-far (reads the just-appended signatures);
+      4. append cosine_assign_delta (frozen seeds, broadcast) and then
+         cosine_pair_table_delta (cell join against the post-append
+         maintained assignment);
+      5. rewrite cluster labels at delta cost via
+         incremental_components (star ∪ thresholded lexical delta) —
+         write-aside + rename, |V| rows;
+      6. audit=True: run the full snapshot audit over the maintained
+         artifacts (the nightly read side) and return its frames.
+
+    Everything registry-visible is restored on exit; callers running
+    ticks concurrently with other queries on the same sf_dir should
+    chain over a private mirror of the corpus dir (the mid-tick
+    maintained tables are PARTIAL corpora — see q_tick_chain_pairs).
+
+    `timings` (optional dict) receives 'update_s' (appends + label
+    rewrite — the steady-state number SCALING.md tracks), 'audit_s'
+    and 'reseed_triggered'."""
+    from zebra_spark.graph import incremental_components
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.queries.audit import snapshot_audit
+
+    batch_docs = batch_docs.select("doc_id", "text")
+    batch_vecs = batch_vecs.select("vec_id", "emb")
+    prevs = _register_all(sf_dir, state_dir)
+    try:
+        t0 = time.perf_counter()
+        drifted = dd.needs_reseed(
+            spark,
+            sf_dir,
+            batch_vecs,
+            ratio_threshold=reseed_ratio,
+            baseline_mse=dd.drift_baseline(spark, sf_dir),
+        )
+        if timings is not None:
+            timings["reseed_triggered"] = drifted
+
+        # lexical family: batch rows first (the delta's corpus side is
+        # the post-append signature table), then the pair delta —
+        # localCheckpoint so the append and the label merge below share
+        # one materialization instead of re-running the band join
+        dd.batch_signatures(batch_docs).write.mode("append").parquet(
+            f"{state_dir}/sigs"
+        )
+        dd.batch_toksets(batch_docs).write.mode("append").parquet(
+            f"{state_dir}/toksets"
+        )
+        ldelta = dd.pair_table_delta(
+            spark, sf_dir, batch_docs.select("doc_id")
+        ).localCheckpoint()
+        ldelta.write.mode("append").parquet(f"{state_dir}/minhash")
+
+        # semantic family: quiet ticks append assignment + pair deltas
+        # under the frozen seeds; a drifted batch invalidates the
+        # blocking, so the whole family rebuilds over ingested ∪ batch
+        if drifted:
+            _reseed_tick_state(spark, sf_dir, state_dir, batch_vecs)
+        else:
+            dd.cosine_assign_delta(spark, sf_dir, batch_vecs).write.mode(
+                "append"
+            ).parquet(f"{state_dir}/cosassign")
+            dd.cosine_pair_table_delta(
+                spark, sf_dir, new_ids=batch_vecs.select("vec_id")
+            ).write.mode("append").parquet(f"{state_dir}/cosine")
+
+        # cluster labels: star-collapse the persisted labels, merge the
+        # batch's thresholded lexical delta — |V| + |delta| edges
+        labels = spark.read.parquet(f"{state_dir}/clusters").select(
+            F.col("doc_id").alias("id"), F.col("cluster").alias("component")
+        )
+        merged = incremental_components(
+            labels,
+            dd.threshold_edges(ldelta),
+            batch_docs.select(F.col("doc_id").alias("id")),
+        ).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+        )
+        _swap_write(spark, state_dir, "clusters", merged)
+        if timings is not None:
+            timings["update_s"] = round(time.perf_counter() - t0, 3)
+
+        if not audit:
+            return None
+        t0 = time.perf_counter()
+        frames = snapshot_audit(spark, sf_dir)
+        if timings is not None:
+            for df in frames.values():
+                df.count()
+            timings["audit_s"] = round(time.perf_counter() - t0, 3)
+        return frames
+    finally:
+        _restore_all(sf_dir, prevs)
+
+
+# --- the chain at the driver hash gate --------------------------------------
+#
+# One 3-tick chain per dataset per session (built under a lock, against
+# a PRIVATE symlink mirror of the corpus dir so the registry
+# registrations cannot leak partial-corpus reads to concurrent
+# consumers of the real sf_dir); the three q_tick_chain_* queries read
+# its final maintained tables.  Their oracles recompute the final
+# corpus FROM SCRATCH in SQL — so a chain that drops, invents, or
+# double-appends a single row across any tick breaks a driver hash.
+
+_CHAIN_STATE: dict[str, str] = {}
+_CHAIN_LOCK = threading.Lock()
+_CHAIN_TICKS = 3
+
+
+def _mirror_sf_dir(sf_dir: str) -> str:
+    """Symlink mirror of a fixture corpus dir: same raw tables, a
+    distinct resolved path — so register_maintained_table keys for the
+    chain are private to it."""
+    base = tempfile.mkdtemp(prefix="zebra_tick_corpus_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    for p in Path(sf_dir).iterdir():
+        if p.name.endswith(".parquet"):
+            os.symlink(str(p.resolve()), f"{base}/{p.name}")
+    return base
+
+
+def chain_state(spark: SparkSession, sf_dir: str) -> str:
+    """State dir of the session's 3-tick chained-maintenance run for
+    `sf_dir`: the corpus split by doc_id % 3 / vec_id % 3 into three
+    disjoint ingest batches, each appended by run_tick against the
+    previous tick's persisted artifacts.  Seeds freeze over the full
+    corpus-prefix at init — the fixture convention that keeps the
+    blocking identical to the from-scratch SQL oracles' (production
+    freezes over the first snapshot instead; tests pin that shape)."""
+    key = str(Path(sf_dir).resolve())
+    path = _CHAIN_STATE.get(key)
+    if path is None:
+        with _CHAIN_LOCK:
+            path = _CHAIN_STATE.get(key)
+            if path is None:
+                from zebra_spark.io import embeddings_d, load
+
+                mirror = _mirror_sf_dir(sf_dir)
+                base = tempfile.mkdtemp(prefix="zebra_tick_state_")
+                atexit.register(shutil.rmtree, base, ignore_errors=True)
+                path = f"{base}/state"
+                e = embeddings_d(spark, mirror).select("vec_id", "emb")
+                init_tick_state(spark, mirror, path, seed_vecs=e)
+                docs = load(spark, mirror, "documents").select(
+                    "doc_id", "text"
+                )
+                for k in range(_CHAIN_TICKS):
+                    run_tick(
+                        spark,
+                        mirror,
+                        path,
+                        docs.filter(F.col("doc_id") % _CHAIN_TICKS == k),
+                        e.filter(F.col("vec_id") % _CHAIN_TICKS == k),
+                    )
+                _CHAIN_STATE[key] = path
+    return path
+
+
+# the from-scratch SQL the chain must reproduce: same CTE cores as the
+# delta gates (q_pair_table_delta / q_cosine_table_delta /
+# q_dedup_clusters), WITHOUT their batch-slice filters — the chain's
+# final corpus is the whole dataset.
+from zebra_spark.queries.dedup import (  # noqa: E402
+    _SQL_CLUSTERS_ORACLE,
+    _SQL_COSINE_ASSIGN,
+    _SQL_MINHASH_CORE,
+    _SQL_TOK,
+    N_HASHES,
+)
+from zebra_spark import functions as zf  # noqa: E402
+
+
+@query(
+    "q_tick_chain_pairs",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_CORE}
+    SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    """,
+)
+def q_tick_chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained steady-state maintenance at the driver hash gate
+    (VERDICT r9 #1): after three successive run_tick ingests — each
+    APPENDING its delta to the previous tick's persisted parquet, no
+    base ∪ delta scaffolding anywhere — the maintained lexical pair
+    table must equal the oracle's from-scratch full-corpus build.  A
+    pair missed (later endpoint's tick failed to see the earlier one),
+    invented, or double-appended by any tick breaks the hash."""
+    return spark.read.parquet(f"{chain_state(spark, sf_dir)}/minhash").select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+    )
+
+
+@query(
+    "q_tick_chain_cosine",
+    oracle=f"""
+    WITH {_SQL_COSINE_ASSIGN.strip()}
+    SELECT c.id_a, c.id_b,
+           {sql_rnd(zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64))}
+             AS dist
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    """,
+)
+def q_tick_chain_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain's semantic family at the driver hash gate: three
+    frozen-seed assignment appends + cell-join pair deltas, against the
+    oracle's one-shot full-corpus assignment and exact cosine scoring.
+    Seeds freeze over the full corpus-prefix at init (chain_state's
+    fixture convention), so the SQL oracle can recompute the identical
+    blocking without replaying the chain."""
+    st = chain_state(spark, sf_dir)
+    return spark.read.parquet(f"{st}/cosine").select(
+        "id_a", "id_b", rnd(F.col("dist")).alias("dist")
+    )
+
+
+@query("q_tick_chain_clusters", oracle=_SQL_CLUSTERS_ORACLE)
+def q_tick_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain's maintained cluster labels at the driver hash gate:
+    three incremental_components merges (star ∪ per-tick thresholded
+    lexical delta, labels rewritten at |V| cost per tick) must equal
+    the oracle's recursive-CTE transitive closure over the FULL
+    corpus' near-dup graph — min-id labels, keep=1 on representatives
+    (same contract as q_dedup_clusters, here produced by the chain)."""
+    labels = spark.read.parquet(f"{chain_state(spark, sf_dir)}/clusters")
+    return labels.select(
+        "doc_id",
+        "cluster",
+        F.when(F.col("cluster") == F.col("doc_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
