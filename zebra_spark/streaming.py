@@ -421,6 +421,7 @@ def maintain_pair_tables(
     state_dir: str,
     batch_df: DataFrame,
     epoch_id: int | None = None,
+    clusters: bool = False,
 ) -> None:
     """Process ONE ingest batch of documents (doc_id, text) against the
     maintained near-dup state under `state_dir`:
@@ -448,7 +449,20 @@ def maintain_pair_tables(
       epoch stamp because parquet append is not idempotent; partitioned
       overwrite is.)  Reads go through read_pair_state, which drops the
       epoch column; compact_pair_state folds the accumulated epoch dirs
-      into one for file hygiene."""
+      into one for file hygiene.
+
+    clusters=True (r10, VERDICT r9 #2) additionally maintains the
+    component-label artifact `clusters/` (doc_id, cluster) as a live
+    snapshot: after the pair writes, the batch's thresholded delta is
+    star-merged into the persisted labels via
+    graph.incremental_components and the snapshot swapped in
+    (crash-recovered like compaction).  This needs no epoch layout of
+    its own because the merge is IDEMPOTENT — re-merging an
+    already-applied delta into the merged labels changes no component
+    (star(merged) ∪ delta has the same connectivity classes), so a
+    replayed epoch recomputes the same delta against `epoch < N` state
+    and re-merges harmlessly.  Read via read_cluster_labels; takedowns
+    via remove_from_cluster_state."""
     from zebra_spark.fsutil import exists as fs_exists
 
     recover_state_swaps(spark, state_dir, PAIR_STATE_TABLES)
@@ -511,6 +525,11 @@ def maintain_pair_tables(
         )
     )
     toks_out = batch.select("doc_id", "words")
+    if clusters:
+        # one materialization feeds both the pair write and the label
+        # merge (recomputing the band join per consumer would double
+        # the epoch's dominant cost)
+        delta = delta.localCheckpoint()
     if epoch_id is None:
         delta.write.mode("append").parquet(pair_p)
         bks.write.mode("append").parquet(sig_p)
@@ -520,6 +539,14 @@ def maintain_pair_tables(
         bks.write.mode("overwrite").parquet(f"{sig_p}/epoch={epoch_id}")
         toks_out.write.mode("overwrite").parquet(f"{tok_p}/epoch={epoch_id}")
         _assert_epoch_committed(spark, tok_p, epoch_id)
+    if clusters:
+        # AFTER the pair writes: a crash before the merge leaves the
+        # epoch's pairs committed and the labels one epoch stale; the
+        # stream's replay overwrites the pairs (same rows) and
+        # re-merges — idempotent, so the labels heal
+        _merge_cluster_labels(
+            spark, state_dir, delta, batch.select("doc_id")
+        )
 
 
 def read_pair_state(
@@ -867,13 +894,109 @@ PAIR_STATE_TABLES = ("sigs", "toks", "pairs")
 def compact_pair_state(
     spark: SparkSession, state_dir: str, n_files: int = 4
 ) -> None:
-    """compact_state over the lexical near-dup state tables."""
+    """compact_state over the lexical near-dup state tables.  The
+    clusters/ snapshot (if maintained) needs no folding — it is always
+    exactly one snapshot, swapped whole."""
     compact_state(spark, state_dir, PAIR_STATE_TABLES, n_files=n_files)
+
+
+# --- streaming-maintained cluster labels (r10, VERDICT r9 #2) ---------------
+#
+# The label artifact the batch tick maintains (queries.audit /
+# queries.tick 'clusters' kind), given the streaming story: maintained
+# in the foreachBatch sink at delta cost, crash-safe via the
+# snapshot-swap machinery, takedown via graph.remove_and_relabel.
+# Unlike the append tables it needs NO epoch layout: component merging
+# is idempotent (re-merging an applied delta is a no-op), so replay
+# safety comes for free and the artifact is always one whole snapshot.
+
+CLUSTER_STATE_TABLE = "clusters"
+
+
+def _merge_cluster_labels(
+    spark: SparkSession,
+    state_dir: str,
+    pair_delta: DataFrame,
+    batch_ids: DataFrame,
+    n_files: int = 4,
+) -> None:
+    """Star-merge one batch's thresholded pair delta into the persisted
+    label snapshot (graph.incremental_components — |V| + |delta| edges,
+    O(log delta-chain) rounds) and swap the new snapshot in.  The first
+    batch writes the snapshot directly (nothing to swap)."""
+    from zebra_spark.fsutil import exists as fs_exists
+    from zebra_spark.graph import incremental_components
+    from zebra_spark.queries.dedup import threshold_edges
+
+    recover_state_swaps(spark, state_dir, (CLUSTER_STATE_TABLE,))
+    p = f"{state_dir}/{CLUSTER_STATE_TABLE}"
+    have = fs_exists(spark, p)
+    if have:
+        labels = spark.read.parquet(p).select(
+            F.col("doc_id").alias("id"), F.col("cluster").alias("component")
+        )
+    else:
+        labels = spark.createDataFrame([], "id bigint, component bigint")
+    merged = incremental_components(
+        labels,
+        threshold_edges(pair_delta),
+        batch_ids.select(F.col("doc_id").alias("id")),
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
+    if have:
+        _snapshot_and_swap(spark, p, merged, n_files, epoch_layout=False)
+    else:
+        merged.coalesce(n_files).write.mode("overwrite").parquet(p)
+
+
+def read_cluster_labels(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(doc_id, cluster): the maintained label snapshot — bit-identical
+    to batch connected components over the state's pair graph after
+    any batch split, replay, or compaction (pinned by
+    tests/test_streaming.py).  Empty frame if no batch carried
+    clusters=True yet."""
+    from zebra_spark.fsutil import exists as fs_exists
+
+    recover_state_swaps(spark, state_dir, (CLUSTER_STATE_TABLE,))
+    p = f"{state_dir}/{CLUSTER_STATE_TABLE}"
+    if not fs_exists(spark, p):
+        return spark.createDataFrame([], "doc_id bigint, cluster bigint")
+    return spark.read.parquet(p)
+
+
+def remove_from_cluster_state(
+    spark: SparkSession, state_dir: str, ids_df: DataFrame,
+    n_files: int = 4,
+) -> None:
+    """Takedown on the maintained label snapshot: re-cluster ONLY the
+    components that contained a removed doc (graph.remove_and_relabel —
+    stable clusters keep their labels verbatim) over the maintained
+    pair graph, and swap the new snapshot in.  Run it WITH
+    remove_from_pair_state (either order: remove_and_relabel restricts
+    edges to surviving members itself, so pre- and post-takedown pair
+    states give the same relabeling) and, like every takedown, at
+    rest.  Post-takedown labels are bit-identical to a from-scratch CC
+    over the surviving corpus (pinned by tests)."""
+    from zebra_spark.fsutil import exists as fs_exists
+    from zebra_spark.graph import remove_and_relabel
+    from zebra_spark.queries.dedup import threshold_edges
+
+    recover_state_swaps(spark, state_dir, (CLUSTER_STATE_TABLE,))
+    p = f"{state_dir}/{CLUSTER_STATE_TABLE}"
+    if not fs_exists(spark, p):
+        return
+    labels = spark.read.parquet(p).select(
+        F.col("doc_id").alias("id"), F.col("cluster").alias("component")
+    )
+    _, _, pairs = read_pair_state(spark, state_dir)
+    relabeled = remove_and_relabel(
+        labels, threshold_edges(pairs), ids_df
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
+    _snapshot_and_swap(spark, p, relabeled, n_files, epoch_layout=False)
 
 
 def stream_maintain_pair_tables(
     spark: SparkSession, docs_stream: DataFrame, state_dir: str,
-    checkpoint_dir: str,
+    checkpoint_dir: str, clusters: bool = False,
 ):
     """Wire maintain_pair_tables as a foreachBatch sink over a document
     stream (doc_id, text).  EXACTLY-once on restart (r7): each epoch's
@@ -883,11 +1006,15 @@ def stream_maintain_pair_tables(
     own output — no ledger, no duplicate pairs (pinned by
     tests/test_streaming.py::test_epoch_replay_idempotent).  Read the
     result via read_pair_state; compact with compact_pair_state once
-    the stream is stopped."""
+    the stream is stopped.  clusters=True additionally maintains the
+    component-label snapshot per epoch (read_cluster_labels)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
-            maintain_pair_tables(spark, state_dir, batch_df, epoch_id=epoch_id)
+            maintain_pair_tables(
+                spark, state_dir, batch_df, epoch_id=epoch_id,
+                clusters=clusters,
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(sink)
