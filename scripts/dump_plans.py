@@ -42,6 +42,9 @@ HEADLINE = [
     "q_cell_balance", "q_ingest_audit", "q_train_order",
     "q_shard_manifest", "q_quality_threshold_sweep",
     "q_cluster_size_hist", "q_cluster_takedown",
+    "q_cosine_capped_pairs", "q_drift_baseline",
+    "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
+    "q_export_shards",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -141,6 +144,50 @@ NOTES = {
         "(q_pair_table_delta, q_cosine_table_delta, "
         "q_cosine_assign_delta, q_cluster_delta); the drift gate adds "
         "one broadcast-seed batch pass ((n, mse) scalars only)."
+    ),
+    "q_cosine_capped_pairs": (
+        "The giant-cell guard at a BINDING cap=64: per-cell sorted "
+        "member lists are sliced to their max_cell prefix BEFORE pair "
+        "fan-out (F.slice on the collect_list aggregate — a windowed "
+        "prefix, fully distributed, no collect), bounding per-cell "
+        "pairs at cap^2/2 regardless of cell size.  Same admitted set "
+        "as the delta kernel's row_number window "
+        "(test_cosine_max_cell_cap pins equality)."
+    ),
+    "q_drift_baseline": (
+        "The persisted reseed baseline: corpus x broadcast-seed "
+        "nested loop -> per-vector min -> ONE global (n, avg) "
+        "aggregate.  Two scalars reach the driver; this is the 1-row "
+        "'driftbase' artifact every nightly needs_reseed compares a "
+        "batch against without re-scoring the corpus."
+    ),
+    "q_tick_chain_pairs": (
+        "Reads the final maintained lexical pair table of the "
+        "session's 3-tick chained-maintenance run (queries/tick.py): "
+        "the serving plan is ONE parquet scan of the appended state — "
+        "the whole point of maintained artifacts.  The chain's build "
+        "plans are the already-audited delta shapes "
+        "(q_pair_table_delta per tick); chain == from-scratch is the "
+        "oracle's job."
+    ),
+    "q_tick_chain_cosine": (
+        "One parquet scan of the chain's appended cosine pair state; "
+        "per-tick build shape is q_cosine_table_delta's (cell "
+        "equi-join, batch side semi-join-reduced, frozen broadcast "
+        "seeds)."
+    ),
+    "q_tick_chain_clusters": (
+        "One parquet scan of the chain's label snapshot, rewritten "
+        "per tick at |V| rows via the star-union merge "
+        "(q_cluster_delta's audited shape)."
+    ),
+    "q_export_shards": (
+        "Prices the export WRITE + read-back: the write is one "
+        "shuffle on the shard key (the per-shard pos window and the "
+        "writer's repartition share it) + sort-within-partition + "
+        "partitionBy shard dirs; the serving plan here is the "
+        "file-level manifest — one scan of the written files, one "
+        "two-level aggregation."
     ),
     "q_graph_pagerank": (
         "Static print repeats the persisted sym/deg frames' *lineage* at "

@@ -353,3 +353,117 @@ def test_ingest_audit_summary_shape(spark):
     # one (count, bit_xor) aggregate pair per section survives in the
     # final plan
     assert p.count("partial_count") >= n, p[:2000]
+
+
+def _build_plan(df) -> str:
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_capped_pairs_windowed_prefix_no_cartesian(spark):
+    """The binding giant-cell cap: per-cell member lists sliced to the
+    cap BEFORE pair fan-out — a distributed aggregate+slice, no
+    cartesian, no corpus-wide window; per-cell pair explosion bounded
+    at cap^2/2 by construction.  Asserted on the BUILD plan (the
+    serving query q_cosine_capped_pairs reads the derived parquet)."""
+    from zebra_spark.queries import dedup as dd
+
+    cand, e = dd._cosine_candidates(spark, SF_ORACLE, max_cell=64)
+    p = _build_plan(dd._score_pairs(cand, e, vectorized=False))
+    assert "CartesianProduct" not in p
+    assert "slice(" in p, p[:2000]        # the prefix cap in the plan
+    assert "collect_list" in p, p[:2000]  # per-cell sorted member lists
+    # pair generation explodes the capped lists, never a theta self-join
+    assert "Generate" in p
+
+
+def test_drift_baseline_two_scalars_only(spark):
+    """The drift baseline's BUILD: corpus x broadcast-seed loop ->
+    per-vector min -> ONE global aggregate; no cartesian of corpus x
+    corpus (the serving query q_drift_baseline reads the persisted
+    1-row artifact)."""
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+
+    p = _build_plan(
+        dd.cell_drift_audit(
+            spark, SF_ORACLE,
+            embeddings_d(spark, SF_ORACLE).select("vec_id", "emb"),
+            "corpus",
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # x broadcast(seeds)
+    assert p.count("HashAggregate") >= 4   # per-vector min + global pair
+    # the serving plan is the 1-row artifact scan, nothing heavier
+    ps = plan_of(spark, "q_drift_baseline")
+    assert ps.count("Scan parquet") == 2 and "Join" not in ps
+
+
+def test_train_order_window_partitioned_by_shard(spark):
+    """q_train_order's window must be partitioned by shard (shuffle +
+    per-partition sort, a distributed export writer's shape) — never a
+    single-partition global window."""
+    p = plan_of(spark, "q_train_order")
+    assert "Window" in p
+    # the Exchange feeding the window hashes on the shard key, so the
+    # plan carries a hashpartitioning exchange (not SinglePartition)
+    assert "hashpartitioning(shard" in p, p[:2000]
+    assert "SinglePartition" not in p, p[:2000]
+
+
+def test_quality_sweep_broadcast_grid_bounded_scans(spark):
+    """q_quality_threshold_sweep: the 9-row grid and the 1-row totals
+    are BROADCAST against the one per-doc feature pass — the whole
+    curve costs the feature scan, not 9 corpus scans."""
+    p = plan_of(spark, "q_quality_threshold_sweep")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") >= 2  # grid + totals
+    assert p.count("Scan parquet") <= 4  # 2 scans (tree + detail print)
+
+
+def test_cluster_hist_and_takedown_shapes(spark):
+    """q_cluster_size_hist: aggregation-only over the maintained label
+    parquet.  q_cluster_takedown: stable labels pass through via
+    broadcast anti-join; no cartesian anywhere."""
+    import re
+
+    p = plan_of(spark, "q_cluster_size_hist")
+    assert "CartesianProduct" not in p
+    assert re.search(r"Join", p) is None, p[:1500]
+    p = plan_of(spark, "q_cluster_takedown")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin LeftAnti" in p  # stable-cluster passthrough
+
+
+def test_tick_chain_serving_is_state_scan(spark):
+    """The chained-maintenance queries serve from ONE parquet scan of
+    the appended state (the point of maintained artifacts); the build
+    cost lives in the per-tick delta plans audited under their own
+    entries."""
+    for name, extra in (
+        ("q_tick_chain_pairs", 0),
+        ("q_tick_chain_cosine", 0),
+        ("q_tick_chain_clusters", 0),
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "Join" not in p, (name, p[:1200])
+        assert p.count("Scan parquet") == 2, (name, p[:1200])  # tree+detail
+
+
+def test_export_manifest_single_filescan_aggregation(spark):
+    """q_export_shards' serving frame: one scan of the WRITTEN shard
+    files -> one two-level aggregation, no joins (the write itself is
+    priced by executing the query, not visible in this plan)."""
+    import re
+
+    p = plan_of(spark, "q_export_shards")
+    assert "CartesianProduct" not in p
+    assert re.search(r"Join", p) is None, p[:1500]
+    assert p.count("HashAggregate") >= 2
