@@ -40,20 +40,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already have
-# a driver row.  r8's four pins all got green/clean rows in r08, so
-# that pin is retired.  r9 pins its seven NEW oracled queries (the
-# binding giant-cell cap, the persisted drift baseline, the export
-# stage's training order + shard manifest, the quality-threshold
-# sweep, the cluster-size histogram, and the cluster takedown), the two audit
-# composites whose surface changed 8 -> 9 sections (dup_clusters
-# joined the audit), and q_dedup_clusters, whose serving path now goes
-# through the maintainable cluster_label_table — 10 pins total.
+# a driver row.  r9's ten pins all got green/clean rows in r09, so that
+# pin is retired.  r10 pins its four NEW oracled queries (the three
+# chained-maintenance gates — each a 3-tick append-only chain whose
+# final state must hash-equal a from-scratch SQL rebuild — and the
+# export writer's file-level manifest), plus a freshness rotation of
+# the five rows-only/oracled names whose latest clean rows are r6/r7
+# vintage (VERDICT r9 #7).
 _FORCE_FIRST = [
-    "q_cosine_capped_pairs", "q_drift_baseline",
-    "q_train_order", "q_shard_manifest",
-    "q_quality_threshold_sweep", "q_cluster_size_hist",
-    "q_cluster_takedown",
-    "q_ingest_audit", "q_snapshot_audit", "q_dedup_clusters",
+    "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
+    "q_export_shards",
+    "q_agg_approx", "q_emb_pca", "q_ann_pq", "q_ann_ivfpq",
+    "q_index_drift",
 ]
 
 _PRIORITY = [

@@ -9,6 +9,22 @@ Per-query timings map to BASELINE.md rows:
   q_agg_hash -> B1, q_join_inner -> B2, knn_exact_100 -> B3,
   lsh_build -> B4, lsh_query_100 -> B5, q_dedup_exact -> B6,
   ingest -> B7; value = full-suite wall-clock (B8-style total).
+
+Isolated-trial protocol (r10, VERDICT r9 #4) — the numbers that make
+round-over-round deltas attributable:
+  - After the shared build rows (pair_table_build/cosine_table_build,
+    whose one-time cost is priced explicitly), the derived-table
+    registry is SNAPSHOT.  Before every isolated trial the registry is
+    restored to that snapshot and harness caches released, so a trial
+    can never read an artifact a PREVIOUS query materialized (r9's
+    q_dedup_clusters hotspot read a primed label table at 0.186 s —
+    a cache hit, not a cost).
+  - headline_frozen_median: each of the 27 frozen rows re-run 3x under
+    that isolation; the field is the sum of per-row MEDIANS — the
+    cross-round comparability number (the single-shot headline_frozen
+    is kept for continuity with r5-r9, but carries trial noise the
+    42-54 s r9 spread demonstrated).
+  - hotspots_isolated uses the same isolation (median of 3).
 """
 
 from __future__ import annotations
@@ -142,6 +158,14 @@ def main() -> None:
         "q_quality_threshold_sweep",
         "q_cluster_size_hist",
         "q_cluster_takedown",
+        # round-10: the export WRITE (per-shard parquet in training
+        # order + file-level manifest) and the chained-maintenance
+        # serving reads (their one-time 3-tick chain build is priced
+        # by the tick_chain_build row, like the pair-table builds)
+        "q_export_shards",
+        "q_tick_chain_pairs",
+        "q_tick_chain_cosine",
+        "q_tick_chain_clusters",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
@@ -177,10 +201,14 @@ def main() -> None:
     # one-per-corpus-snapshot build cost is visible instead of being
     # re-paid invisibly inside each consumer.
     from zebra_spark.queries.dedup import cosine_pair_table, pair_table
+    from zebra_spark.queries.tick import chain_state
 
     for bname, builder in (
         ("pair_table_build", pair_table),
         ("cosine_table_build", cosine_pair_table),
+        # the 3-tick chained-maintenance state (r10): one build per
+        # session, the steady-state per-tick cost is SCALING.md's table
+        ("tick_chain_build", chain_state),
     ):
         if only_set is not None and bname not in only_set:
             continue
@@ -193,6 +221,22 @@ def main() -> None:
             print(f"{bname} failed: {exc}", file=sys.stderr)
         finally:
             release_caches()
+
+    # isolated-trial foundation (r10): everything materialized up to
+    # here (the shared pair tables + their nested artifacts + the chain
+    # state) is priced by its own build row; anything a LATER query
+    # registers is that query's own cost and must not leak into other
+    # rows' isolated trials
+    from zebra_spark.queries.dedup import (
+        derived_registry_snapshot,
+        restore_derived_registry,
+    )
+
+    shared_snapshot = derived_registry_snapshot()
+
+    def isolate() -> None:
+        restore_derived_registry(shared_snapshot)
+        release_caches()
 
     for name in headline:
         t0 = time.perf_counter()
@@ -218,6 +262,7 @@ def main() -> None:
             errors["knn_exact_100"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"query knn_exact_100 failed: {exc}", file=sys.stderr)
 
+    idx = None
     if wanted("lsh_build") or wanted("lsh_query_100"):
         try:
             from zebra_spark.index.lsh import LSHIndex
@@ -245,36 +290,86 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
-    # Isolated-trial hotspot medians (VERDICT r5 #8): a single-shot
-    # number can absorb cross-process contention on the bench box and
-    # masquerade as a regression; for every registry query at/above 5 s
-    # record the median of 3 back-to-back re-trials (caches released
-    # between trials).  These are steady-state costs: the shared pair
-    # table is already materialized, whose one-time cost is the
-    # pair_table_build row.
-    hotspots: dict[str, float] = {}
-    if only_set is None:
+    # per-row runners for the non-registry frozen rows, shared by the
+    # isolated-trial passes below
+    def _run_ingest() -> None:
+        d = tempfile.mkdtemp(prefix="zebra_bench_")
+        try:
+            bench_ingest(spark, sf_dir, d)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _run_lsh_build() -> None:
+        from zebra_spark.index.lsh import LSHIndex
+
+        LSHIndex.build(spark, sf_dir, num_trees=15, seed=42)
+
+    specials = {
+        "knn_exact_100": lambda: _consume(
+            knn_exact(spark, sf_dir, n_queries=100, k=10)
+        ),
+        "lsh_build": _run_lsh_build,
+        "lsh_query_100": (
+            (lambda: _consume(idx.search_ids(range(100), k=10)))
+            if idx is not None
+            else None
+        ),
+        "ingest": _run_ingest,
+    }
+
+    def isolated_median(name: str, n_trials: int = 3) -> float | None:
+        """Median of n isolated trials: derived registry restored to the
+        post-shared-builds snapshot and caches released BEFORE each
+        trial, so no trial reads an artifact another query primed."""
         import statistics
 
+        runner = specials.get(name) or (
+            lambda: _consume(zebra_spark.QUERIES[name](spark, sf_dir))
+        )
+        trials = []
+        for _ in range(n_trials):
+            isolate()
+            t0 = time.perf_counter()
+            try:
+                runner()
+            except Exception as exc:  # noqa: BLE001
+                errors[f"isolated:{name}"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+                return None
+            trials.append(round(time.perf_counter() - t0, 3))
+        isolate()
+        return round(statistics.median(trials), 3)
+
+    # Isolated-trial hotspot medians (VERDICT r5 #8, isolation fixed in
+    # r10 per VERDICT r9 #4): for every registry query at/above 5 s,
+    # the median of 3 trials with the derived registry restored to the
+    # post-shared-builds snapshot first — a hotspot can no longer read
+    # a label/baseline artifact an earlier query materialized.
+    hotspots: dict[str, float] = {}
+    if only_set is None:
         for name in [
             n for n, t in times.items()
             if t >= 5.0 and n in zebra_spark.QUERIES
         ]:
-            trials = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                try:
-                    _consume(zebra_spark.QUERIES[name](spark, sf_dir))
-                except Exception as exc:  # noqa: BLE001
-                    errors[f"hotspot:{name}"] = (
-                        f"{type(exc).__name__}: {exc}"[:200]
-                    )
-                    break
-                finally:
-                    release_caches()
-                trials.append(round(time.perf_counter() - t0, 3))
-            if trials:
-                hotspots[name] = round(statistics.median(trials), 3)
+            med = isolated_median(name)
+            if med is not None:
+                hotspots[name] = med
+
+    # Frozen-subset re-baseline (r10, VERDICT r9 #4): per-row medians
+    # of 3 isolated trials over the NEVER-CHANGING 27-row subset.  The
+    # single-shot headline_frozen stays for r5-r9 continuity; the
+    # median field is the number r10+ rounds compare.
+    frozen_medians: dict[str, float] = {}
+    if only_set is None:
+        for name in sorted(FROZEN_ROWS):
+            if name not in times:
+                continue
+            if specials.get(name) is None and name not in zebra_spark.QUERIES:
+                continue
+            med = isolated_median(name)
+            if med is not None:
+                frozen_medians[name] = med
 
     total = round(sum(times.values()), 3)
     out = {
@@ -296,6 +391,13 @@ def main() -> None:
     }
     if hotspots:
         out["hotspots_isolated"] = hotspots
+    if frozen_medians:
+        # the r10+ comparability number: sum of per-row medians of 3
+        # isolated trials (protocol in the module docstring)
+        out["headline_frozen_median"] = round(
+            sum(frozen_medians.values()), 3
+        )
+        out["frozen_medians"] = frozen_medians
 
     # B8: the FULL hash-checked suite (every oracled query) at sf0.01,
     # one warm session — tracked by the artifact itself rather than

@@ -350,6 +350,28 @@ def batch_toksets(docs: DataFrame) -> DataFrame:
     )
 
 
+def derived_registry_snapshot() -> dict:
+    """Copy of the session's derived-table registry — pair with
+    restore_derived_registry to drop everything registered AFTER a
+    known point.  The bench harness uses this for isolated trials
+    (VERDICT r9 #4): a hotspot trial that reads a derived artifact some
+    EARLIER query materialized (e.g. cluster labels) prices a cache
+    hit, not the query — so each trial restores the registry to the
+    post-shared-builds snapshot first."""
+    with _DERIVED_LOCK:
+        return dict(_DERIVED)
+
+
+def restore_derived_registry(snapshot: dict) -> None:
+    """Drop every derived-table key not present in `snapshot` (their
+    tempdir files are atexit-cleaned; re-registration just rebuilds).
+    Keys in the snapshot keep their paths — shared artifacts priced by
+    their own build rows stay warm."""
+    with _DERIVED_LOCK:
+        for key in [k for k in _DERIVED if k not in snapshot]:
+            _DERIVED.pop(key, None)
+
+
 def sig_table(
     spark: SparkSession,
     sf_dir: str,
