@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # vintage (VERDICT r9 #7).
 _FORCE_FIRST = [
     "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
-    "q_export_shards",
+    "q_export_shards", "q_pack_sequences", "q_mix_rebalance",
     "q_agg_approx", "q_emb_pca", "q_ann_pq", "q_ann_ivfpq",
     "q_index_drift",
 ]

@@ -166,6 +166,10 @@ def main() -> None:
         "q_tick_chain_pairs",
         "q_tick_chain_cosine",
         "q_tick_chain_clusters",
+        # round-10 late wave: sequence packing (concat-and-chunk over
+        # the export order) and deterministic mixture rebalancing
+        "q_pack_sequences",
+        "q_mix_rebalance",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -44,7 +44,7 @@ HEADLINE = [
     "q_cluster_size_hist", "q_cluster_takedown",
     "q_cosine_capped_pairs", "q_drift_baseline",
     "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
-    "q_export_shards",
+    "q_export_shards", "q_pack_sequences", "q_mix_rebalance",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -188,6 +188,22 @@ NOTES = {
         "partitionBy shard dirs; the serving plan here is the "
         "file-level manifest — one scan of the written files, one "
         "two-level aggregation."
+    ),
+    "q_pack_sequences": (
+        "Concat-and-chunk sequence packing: ONE shuffle on the shard "
+        "key + a per-partition running-sum window over the training "
+        "order — the same partitioning the export writer uses, so "
+        "packing rides the export shuffle.  Sequence assignment is "
+        "integer window arithmetic (no UDF, no global window)."
+    ),
+    "q_mix_rebalance": (
+        "Mixture rebalancing with a SKEW-FREE exact rank: the global "
+        "per-language rank decomposes by hash range — broadcast "
+        "per-bucket prefix counts + row_number within (lang, bucket), "
+        "a window over |languages| x 1024 well-distributed keys, "
+        "bit-equal to ranking each whole language in one task.  "
+        "Quota arithmetic is all-integer (basis points), so both "
+        "engines agree exactly."
     ),
     "q_graph_pagerank": (
         "Static print repeats the persisted sym/deg frames' *lineage* at "

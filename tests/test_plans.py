@@ -457,6 +457,37 @@ def test_tick_chain_serving_is_state_scan(spark):
         assert p.count("Scan parquet") == 2, (name, p[:1200])  # tree+detail
 
 
+def test_pack_sequences_rides_shard_window(spark):
+    """q_pack_sequences: the running token sum is a window partitioned
+    by the shard key (the export writer's shuffle) — one corpus scan,
+    no join, never a single-partition global window."""
+    p = plan_of(spark, "q_pack_sequences")
+    assert "CartesianProduct" not in p
+    assert "Join" not in p, p[:1500]
+    assert "Window" in p
+    assert "hashpartitioning(shard" in p, p[:2000]
+    assert "SinglePartition" not in p, p[:2000]
+
+
+def test_mix_rebalance_bucketed_rank_no_skew(spark):
+    """q_mix_rebalance: the per-language rank is decomposed by hash
+    bucket — the ranking window partitions on (lang, bkt), never on
+    lang alone (|languages| keys = the dominant language's slice in
+    one task), and the prefix/quota frames arrive broadcast."""
+    p = plan_of(spark, "q_mix_rebalance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "hashpartitioning(lang" in p
+    # the corpus-sized window must carry the bucket key
+    assert "windowspecdefinition(lang#" in p or "windowspecdefinition(lang" in p
+    import re
+
+    corpus_windows = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+, [^,]+),", p)
+    assert corpus_windows, p[:2000]
+    for spec in corpus_windows:
+        assert "bkt" in spec, (spec, p[:2000])
+
+
 def test_export_manifest_single_filescan_aggregation(spark):
     """q_export_shards' serving frame: one scan of the WRITTEN shard
     files -> one two-level aggregation, no joins (the write itself is
