@@ -401,6 +401,9 @@ def main() -> None:
         out["headline_frozen_median"] = round(
             sum(frozen_medians.values()), 3
         )
+        # rows actually summed — a dropped row (failed trial) must be
+        # visible, or cross-round medians compare different subsets
+        out["frozen_median_n"] = len(frozen_medians)
         out["frozen_medians"] = frozen_medians
 
     # B8: the FULL hash-checked suite (every oracled query) at sf0.01,

@@ -1855,3 +1855,122 @@ def test_cluster_labels_backfill_and_empty_state(spark, tmp_path):
 
     release_caches()
     assert vhash(got) == vhash(want)
+
+
+def test_cluster_labels_enable_midstream_bootstraps(spark, tmp_path):
+    """r10 review: flipping clusters=True on a state that already holds
+    epochs must BOOTSTRAP the label snapshot from the full pair state
+    (one-time closure), not start from empty labels — earlier docs and
+    edges would otherwise be missing from the snapshot forever."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.graph import connected_components
+    from zebra_spark.io import load
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.streaming import (
+        maintain_pair_tables,
+        read_cluster_labels,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    # two epochs WITHOUT label maintenance, then the operator enables it
+    for part in range(2):
+        maintain_pair_tables(
+            spark, state, docs.filter(F.col("doc_id") % 3 == part),
+            epoch_id=part, clusters=False,
+        )
+    maintain_pair_tables(
+        spark, state, docs.filter(F.col("doc_id") % 3 == 2),
+        epoch_id=2, clusters=True,
+    )
+    got = read_cluster_labels(spark, state).toPandas()
+    want = (
+        connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            dd.threshold_edges(dd.pair_table(spark, SF_SMOKE)),
+            edges_cheap=True,
+        )
+        .select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+        )
+        .toPandas()
+    )
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+    assert len(got) == len(want) > 0
+    assert vhash(got) == vhash(want)
+
+
+def test_capped_backfill_untouched_overcap_cell_allowed(spark, tmp_path):
+    """r10 review: the out-of-order guard must only consider cells the
+    BATCH assigns into — a historic over-cap cell the batch never
+    touches cannot change any admitted prefix, and rejecting on it
+    would permanently refuse every legal backfill once one cell
+    fills."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+    )
+
+    dim, cap = 12, 4
+    # 12 orthogonal seeds: vectors biased toward seeds {0..4} assign to
+    # exactly those 5 cells (NDUP_ASSIGN=5); vectors biased toward
+    # {7..11} assign to exactly those — the two groups share no cell
+    seeds = spark.createDataFrame(
+        [(j, [10.0 if i == j else 0.0 for i in range(dim)])
+         for j in range(dim)],
+        "cell_id bigint, ce array<float>",
+    )
+
+    def vec(main: int, minors: list[int]) -> list[float]:
+        v = [0.0] * dim
+        v[main] = 100.0
+        for m in minors:
+            v[m] = 1.0
+        return v
+
+    # epoch 0: 12 monotone vectors in the {0..4} region -> cells 0..4
+    # each hold 12 members, far over cap
+    g_a = [(100 + k, vec(0, [1, 2, 3, 4])) for k in range(12)]
+    # epoch 1: an out-of-order backfill (ids BELOW state max) entirely
+    # in the {7..11} region -> touched cells end at 4 members == cap
+    g_b = [(k, vec(11, [7, 8, 9, 10])) for k in range(4)]
+    # epoch 2: out-of-order AND touching the over-cap region -> refused
+    g_c = [(50 + k, vec(0, [1, 2, 3, 4])) for k in range(2)]
+
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, seeds)
+    schema = "vec_id bigint, emb array<float>"
+    maintain_cosine_tables(
+        spark, state, spark.createDataFrame(g_a, schema), epoch_id=0,
+        max_cell=cap,
+    )
+    # legal backfill: over-cap cells exist but are untouched
+    maintain_cosine_tables(
+        spark, state, spark.createDataFrame(g_b, schema), epoch_id=1,
+        max_cell=cap,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="monotonically increasing"):
+        maintain_cosine_tables(
+            spark, state, spark.createDataFrame(g_c, schema), epoch_id=2,
+            max_cell=cap,
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

@@ -109,3 +109,55 @@ def test_manifest_from_files_detects_mutation(spark, tmp_path):
     shutil.rmtree(victim)
     after = shard_manifest_from_files(spark, out).count()
     assert after == before - 1
+
+
+def test_export_dir_reused_across_invocations(spark):
+    """r10 review: q_export_shards writes a full-corpus export per
+    call; repeat invocations in one session (bench row, B8 suite,
+    parity sweep, driver sim) must overwrite ONE session-scoped dir
+    per dataset, not stack corpus-sized tempdir copies."""
+    import zebra_spark
+    from zebra_spark.queries.text import _EXPORT_DIRS
+
+    zebra_spark.load_all_queries()
+    from tests.conftest import SF_SMOKE
+
+    n1 = zebra_spark.QUERIES["q_export_shards"](spark, SF_SMOKE).count()
+    dirs_after_first = dict(_EXPORT_DIRS)
+    n2 = zebra_spark.QUERIES["q_export_shards"](spark, SF_SMOKE).count()
+    assert n1 == n2 > 0
+    assert dict(_EXPORT_DIRS) == dirs_after_first  # same dir, rewritten
+
+
+def test_restore_derived_registry_reclaims_disk(spark, tmp_path):
+    """r10 review: restore_derived_registry must DELETE module-owned
+    artifacts it pops (the bench's isolated trials call it dozens of
+    times — popped keys whose corpus-sized parquet lingered until
+    atexit could fill the disk mid-run), while externally registered
+    maintained paths survive."""
+    import os
+
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.queries.tick import _mirror_sf_dir
+    from tests.conftest import SF_SMOKE
+
+    mirror = _mirror_sf_dir(SF_SMOKE)  # private key space for this test
+    snap = dd.derived_registry_snapshot()
+    dd.tokset_table(spark, mirror)  # module-built artifact
+    built = [
+        p for k, p in dd.derived_registry_snapshot().items() if k not in snap
+    ]
+    assert built and all(os.path.exists(p) for p in built)
+
+    # an externally registered maintained path must never be deleted
+    ext = str(tmp_path / "ext_minhash")
+    spark.createDataFrame(
+        [], "doc_a bigint, doc_b bigint, n_common bigint, na bigint, nb bigint"
+    ).write.mode("overwrite").parquet(ext)
+    dd.register_maintained_table("minhash", mirror, ext)
+
+    dd.restore_derived_registry(snap)
+    assert all(not os.path.exists(p) for p in built)  # reclaimed now
+    assert os.path.exists(ext)  # external path untouched
+    # re-registration after a restore just rebuilds
+    assert dd.tokset_table(spark, mirror).count() > 0

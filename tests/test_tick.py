@@ -189,3 +189,91 @@ def test_tick_reseed_on_drifted_batch(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_tick_quiet_path_scores_vectors_not_in_lake(spark, tmp_path):
+    """r10 review: a QUIET tick's cosine delta must score against the
+    state's own maintained vectors, not the lake — an ingest batch
+    need not have landed in the embeddings table, and an endpoint
+    missing from the scoring source silently drops the pair.  Batch 2
+    here uses vec_ids the lake has never seen; the final maintained
+    pair table must still equal the from-scratch build over ALL
+    ingested vectors."""
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries import dedup as dd
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    lake = embeddings_d(spark, mirror).select("vec_id", "emb")
+    # same distribution (quiet), ids disjoint and ABOVE the lake's
+    # (monotone), and absent from the lake parquet by construction
+    unlanded = lake.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "emb"
+    )
+    all_vecs = lake.unionByName(unlanded)
+    init_tick_state(spark, mirror, state, seed_vecs=all_vecs)
+    t1: dict = {}
+    run_tick(
+        spark, mirror, state,
+        docs.filter(F.col("doc_id") % 2 == 0), lake, timings=t1,
+    )
+    t2: dict = {}
+    run_tick(
+        spark, mirror, state,
+        docs.filter(F.col("doc_id") % 2 == 1), unlanded, timings=t2,
+    )
+    assert t1["reseed_triggered"] is False
+    assert t2["reseed_triggered"] is False
+
+    seeds = spark.read.parquet(f"{state}/cosseeds")
+    want_assign = dd._assign_to_seeds(all_vecs, seeds)
+    got_assign = spark.read.parquet(f"{state}/cosassign")
+    assert _vhash(got_assign.toPandas()) == _vhash(want_assign.toPandas())
+    want_pairs = dd._score_pairs(
+        dd._cell_collide_pairs(
+            want_assign, want_assign, max_cell=dd.NDUP_MAX_CELL
+        ),
+        all_vecs,
+        vectorized=False,
+    )
+    got_pairs = spark.read.parquet(f"{state}/cosine")
+    assert got_pairs.count() == want_pairs.count() > 0
+    assert _vhash(got_pairs.toPandas()) == _vhash(want_pairs.toPandas())
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+
+def test_tick_capped_out_of_order_batch_refused(spark, tmp_path, monkeypatch):
+    """r10 review: the batch tick gets the same capped-backfill guard
+    as streaming — an out-of-order batch whose touched cells exceed
+    the cap would silently diverge from a capped rebuild, so run_tick
+    must refuse it."""
+    import pytest
+
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries import dedup as dd
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    vecs = embeddings_d(spark, mirror).select("vec_id", "emb")
+    init_tick_state(spark, mirror, state, seed_vecs=vecs)
+    run_tick(
+        spark, mirror, state,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        vecs.filter(F.col("vec_id") % 2 == 0),
+    )
+    # the odd ids interleave below the state's max -> out-of-order;
+    # with a cap of 1 every shared cell is over cap -> refused
+    monkeypatch.setattr(dd, "NDUP_MAX_CELL", 1)
+    with pytest.raises(ValueError, match="monotonically increasing"):
+        run_tick(
+            spark, mirror, state,
+            docs.filter(F.col("doc_id") % 2 == 1),
+            vecs.filter(F.col("vec_id") % 2 == 1),
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

@@ -262,6 +262,11 @@ def _minhash_scored(
 # parquet round-trip preserves exact values (longs + exact int sizes).
 
 _DERIVED: dict[tuple, str] = {}
+# paths whose parquet files THIS module materialized into its own
+# tempdirs (vs externally registered maintained tables, which the
+# registry must never delete) — restore_derived_registry reclaims
+# these eagerly instead of leaving corpus-sized orphans until atexit
+_OWNED_PATHS: set[str] = set()
 # RLock: builds nest (pair_table's build reads sig_table/tokset_table),
 # so the building thread re-enters; other threads still serialize
 _DERIVED_LOCK = threading.RLock()
@@ -286,6 +291,7 @@ def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
                 base = tempfile.mkdtemp(prefix="zebra_derived_")
                 atexit.register(shutil.rmtree, base, ignore_errors=True)
                 path = f"{base}/data"
+                _OWNED_PATHS.add(path)
                 # the build's internal persists (signatures, token sets,
                 # assignment blocks) are scoped to the build: the parquet
                 # write is their terminal action, so they must not linger
@@ -363,13 +369,22 @@ def derived_registry_snapshot() -> dict:
 
 
 def restore_derived_registry(snapshot: dict) -> None:
-    """Drop every derived-table key not present in `snapshot` (their
-    tempdir files are atexit-cleaned; re-registration just rebuilds).
-    Keys in the snapshot keep their paths — shared artifacts priced by
-    their own build rows stay warm."""
+    """Drop every derived-table key not present in `snapshot`, and
+    DELETE the dropped artifacts' files when this module owns them
+    (module-built tempdirs; re-registration just rebuilds) — the
+    bench's isolated trials call this dozens of times, and popping the
+    key while leaving corpus-sized parquet behind until atexit can
+    fill the disk mid-run (r10 review).  Externally registered
+    maintained paths are never deleted.  Keys in the snapshot keep
+    their paths — shared artifacts priced by their own build rows stay
+    warm."""
     with _DERIVED_LOCK:
         for key in [k for k in _DERIVED if k not in snapshot]:
-            _DERIVED.pop(key, None)
+            path = _DERIVED.pop(key, None)
+            if path in _OWNED_PATHS:
+                _OWNED_PATHS.discard(path)
+                # the owned layout is <tempdir>/data — reclaim the dir
+                shutil.rmtree(str(Path(path).parent), ignore_errors=True)
 
 
 def sig_table(
@@ -1356,6 +1371,7 @@ def cosine_pair_table_delta(
     new_ids: DataFrame | None = None,
     new_vectors: DataFrame | None = None,
     max_cell: int | None = NDUP_MAX_CELL,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, dist): the embedding-space twin of pair_table_delta
     (VERDICT r6 #2) — the exact-cosine scored pairs INVOLVING at least
@@ -1381,14 +1397,23 @@ def cosine_pair_table_delta(
       table PLUS those batch assignments (so new-new pairs form), and
       scoring reads corpus ∪ batch embeddings.  vec_ids must be
       disjoint from the corpus.  Equivalence to the same-seed rebuild
-      slice is driver-hash-checked (q_cosine_delta_unseen)."""
+      slice is driver-hash-checked (q_cosine_delta_unseen).
+
+    `embeddings` overrides the scoring source (vec_id, emb) — the lake
+    by default.  A maintainer whose ingested vectors have not (all)
+    landed in the lake passes its own maintained vectors here
+    (queries/tick.py's vecs table); scoring inner-joins both pair
+    endpoints, so an endpoint missing from the source would silently
+    drop the pair (r10 review)."""
     if (new_vectors is None) == (new_ids is None):
         # validate BEFORE touching the derived-table registry: the
         # corpus assign build is the most expensive artifact and must
         # not run as a side effect of a call that then raises
         raise ValueError("pass exactly one of new_ids / new_vectors")
     assign = cosine_assign_table(spark, sf_dir)
-    e = embeddings_d(spark, sf_dir).select("vec_id", "emb")
+    e = (
+        embeddings if embeddings is not None else embeddings_d(spark, sf_dir)
+    ).select("vec_id", "emb")
     if new_vectors is not None:
         batch = new_vectors.select("vec_id", "emb")
         batch_assign = cosine_assign_delta(spark, sf_dir, batch)

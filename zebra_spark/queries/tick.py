@@ -16,6 +16,11 @@ to the streaming maintainers, this is the nightly batch tick):
     sigs/       (doc_id, band, key)                appended per tick
     toksets/    (doc_id, words)                    appended per tick
     minhash/    (doc_a, doc_b, n_common, na, nb)   appended per tick
+    vecs/       (vec_id, emb)                      appended per tick
+                                                   (raw truth — batches
+                                                   need not be in the
+                                                   lake; scoring + reseed
+                                                   read THIS, r10 review)
     cosassign/  (vec_id, cell_id)                  appended per tick
     cosine/     (id_a, id_b, dist)                 appended per tick
     clusters/   (doc_id, cluster)                  rewritten per tick
@@ -66,10 +71,16 @@ from zebra_spark.functions import rnd
 from zebra_spark.registry import query, sql_rnd
 
 # append-maintained kinds, in ingest order (sigs/toksets must land
-# before the lexical delta reads them; cosassign before the cosine
-# delta's cell join)
-TICK_APPEND_KINDS = ("sigs", "toksets", "minhash", "cosassign", "cosine")
-TICK_KINDS = TICK_APPEND_KINDS + ("clusters", "cosseeds", "driftbase")
+# before the lexical delta reads them; vecs before the scoring that
+# reads it; cosassign before the cosine delta's cell join)
+TICK_APPEND_KINDS = ("sigs", "toksets", "minhash", "vecs", "cosassign",
+                     "cosine")
+# kinds registered with the session's derived-table registry; vecs is
+# tick-state-internal RAW TRUTH (the ingested vectors themselves —
+# batches need not have landed in the lake, r10 review) and has no
+# registry consumers, so it is persisted but never registered
+TICK_KINDS = ("sigs", "toksets", "minhash", "cosassign", "cosine",
+              "clusters", "cosseeds", "driftbase")
 
 
 def _register_all(sf_dir: str, state_dir: str) -> dict[str, str | None]:
@@ -138,6 +149,12 @@ def init_tick_state(
     dd.batch_toksets(no_docs).write.mode("overwrite").parquet(
         f"{state_dir}/toksets"
     )
+    # the ingested vectors themselves: the tick's scoring source —
+    # batches need not have landed in the lake (r10 review), so the
+    # state keeps its own raw truth, exactly like streaming's vecs/
+    seed_vecs.select("vec_id", "emb").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/vecs")
     prevs = _register_all(sf_dir, state_dir)
     try:
         no_ids = no_docs.select("doc_id")
@@ -159,36 +176,28 @@ def init_tick_state(
 
 
 def _reseed_tick_state(
-    spark: SparkSession, sf_dir: str, state_dir: str, batch_vecs: DataFrame
+    spark: SparkSession, sf_dir: str, state_dir: str
 ) -> None:
     """Drift-triggered reseed INSIDE the batch tick (the batch twin of
     streaming.reseed_cosine_state): deltas against stale blocking are
     meaningless, so the semantic artifacts rebuild from scratch over
     ingested ∪ batch — new frozen seeds, full re-assignment, full
-    capped pair table, new persisted baseline.  The ingested corpus'
-    raw vectors come back from the lake (embeddings table) by the
-    maintained assignment's ids; the BATCH's vectors come from the
-    frame in hand (an ingest batch need not have landed in the lake
-    yet — and a drifted batch's whole point is that the lake's prior
-    snapshot does not describe it); all four tables swap in
-    together."""
-    from zebra_spark.io import embeddings_d
+    capped pair table, new persisted baseline.  The raw vectors come
+    from the state's OWN maintained vecs table (the batch is already
+    appended there by run_tick) — never from the lake, whose snapshot
+    need not contain the ingested vectors at all (r10 review: the
+    lake semi-join silently dropped every never-landed vector from
+    the rebuild); all four derived tables swap in together."""
     from zebra_spark.queries import dedup as dd
 
-    prior = (
-        spark.read.parquet(f"{state_dir}/cosassign")
-        .select("vec_id")
-        .distinct()
-    )
-    # materialize BEFORE the swaps: e_all lazily reads the OLD
-    # cosassign files (prior ids), which the cosassign swap deletes —
-    # an unmaterialized plan would chase vanished parquet parts
+    # materialize BEFORE the swaps: the rebuilds below lazily read the
+    # OLD cosassign/seed files, which the swaps delete — an
+    # unmaterialized plan would chase vanished parquet parts
     e_all = (
-        embeddings_d(spark, sf_dir)
+        spark.read.parquet(f"{state_dir}/vecs")
         .select("vec_id", "emb")
-        .join(prior, "vec_id", "left_semi")
-        .unionByName(batch_vecs.select("vec_id", "emb"))
-    ).localCheckpoint()
+        .localCheckpoint()
+    )
     seeds = dd._cosine_seeds(e_all)
     _swap_write(spark, state_dir, "cosseeds", seeds)
     seeds = spark.read.parquet(f"{state_dir}/cosseeds")
@@ -209,6 +218,55 @@ def _reseed_tick_state(
             "n", "mse"
         ),
     )
+
+
+def _guard_capped_append(
+    spark: SparkSession,
+    state_dir: str,
+    batch_assign: DataFrame,
+    batch_vecs: DataFrame,
+) -> None:
+    """The batch-tick twin of streaming's capped-backfill guard (r10
+    review: streaming got the guard, the tick did not): under a binding
+    giant-cell cap the admitted prefix of a FULL cell is its max_cell
+    smallest vec_ids, so an out-of-order batch landing in an over-cap
+    cell would retroactively evict earlier-admitted members — the
+    maintained pair table would silently diverge from a capped rebuild.
+    Monotone batches skip everything after one footer-stat min/max
+    probe; out-of-order batches are still legal while every cell they
+    TOUCH stays under the cap (the cap never binds there)."""
+    from zebra_spark.queries import dedup as dd
+
+    max_cell = dd.NDUP_MAX_CELL
+    if max_cell is None:
+        return
+    prior_assign = spark.read.parquet(f"{state_dir}/cosassign")
+    state_max = prior_assign.agg(F.max("vec_id")).first()[0]
+    batch_min = batch_vecs.agg(F.min("vec_id")).first()[0]
+    if state_max is None or batch_min is None or batch_min > state_max:
+        return
+    biggest = (
+        prior_assign.unionByName(batch_assign)
+        .join(
+            F.broadcast(batch_assign.select("cell_id").distinct()),
+            "cell_id",
+            "left_semi",
+        )
+        .groupBy("cell_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if biggest is not None and biggest > max_cell:
+        raise ValueError(
+            f"capped tick maintenance (max_cell={max_cell}) with an "
+            f"over-cap touched cell ({biggest} members) requires "
+            f"monotonically increasing vec_ids, but batch min vec_id "
+            f"{batch_min} <= state max vec_id {state_max} — an "
+            "out-of-order backfill under a binding cap diverges from "
+            "a capped rebuild; ingest in id order or let the drift "
+            "gate reseed"
+        )
 
 
 def run_tick(
@@ -284,17 +342,27 @@ def run_tick(
         ).localCheckpoint()
         ldelta.write.mode("append").parquet(f"{state_dir}/minhash")
 
+        # the state's raw vector truth — appended FIRST, so the quiet
+        # path's scoring source and a reseed both see ingested ∪ batch
+        # (a batch need not have landed in the lake; r10 review)
+        batch_vecs.write.mode("append").parquet(f"{state_dir}/vecs")
+
         # semantic family: quiet ticks append assignment + pair deltas
         # under the frozen seeds; a drifted batch invalidates the
         # blocking, so the whole family rebuilds over ingested ∪ batch
         if drifted:
-            _reseed_tick_state(spark, sf_dir, state_dir, batch_vecs)
+            _reseed_tick_state(spark, sf_dir, state_dir)
         else:
-            dd.cosine_assign_delta(spark, sf_dir, batch_vecs).write.mode(
-                "append"
-            ).parquet(f"{state_dir}/cosassign")
+            adf = dd.cosine_assign_delta(
+                spark, sf_dir, batch_vecs
+            ).localCheckpoint()
+            _guard_capped_append(spark, state_dir, adf, batch_vecs)
+            adf.write.mode("append").parquet(f"{state_dir}/cosassign")
             dd.cosine_pair_table_delta(
-                spark, sf_dir, new_ids=batch_vecs.select("vec_id")
+                spark,
+                sf_dir,
+                new_ids=batch_vecs.select("vec_id"),
+                embeddings=spark.read.parquet(f"{state_dir}/vecs"),
             ).write.mode("append").parquet(f"{state_dir}/cosine")
 
         # cluster labels: star-collapse the persisted labels, merge the

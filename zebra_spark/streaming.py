@@ -935,13 +935,24 @@ def _merge_cluster_labels(
         labels = spark.read.parquet(p).select(
             F.col("doc_id").alias("id"), F.col("cluster").alias("component")
         )
+        edges = threshold_edges(pair_delta)
+        nodes = batch_ids.select(F.col("doc_id").alias("id"))
     else:
+        # BOOTSTRAP from the pair state, not from empty: clusters=True
+        # may be enabled on a stream whose state already holds N epochs
+        # (or after clusters=False epochs), and starting from empty
+        # labels would silently drop every earlier doc and edge forever
+        # (r10 review).  At merge time this epoch's pairs are already
+        # committed, so the one-time full closure over the state covers
+        # past epochs AND this batch; on a brand-new state it is just
+        # the first batch — no extra cost.
         labels = spark.createDataFrame([], "id bigint, component bigint")
-    merged = incremental_components(
-        labels,
-        threshold_edges(pair_delta),
-        batch_ids.select(F.col("doc_id").alias("id")),
-    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
+        sigs, _, pairs = read_pair_state(spark, state_dir)
+        edges = threshold_edges(pairs)
+        nodes = sigs.select(F.col("doc_id").alias("id")).distinct()
+    merged = incremental_components(labels, edges, nodes).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
     if have:
         _snapshot_and_swap(spark, p, merged, n_files, epoch_layout=False)
     else:
@@ -1152,8 +1163,17 @@ def maintain_cosine_tables(
             and batch_min is not None
             and batch_min <= state_max
         ):
+            # only cells the BATCH assigns into can change an admitted
+            # prefix — a historic over-cap cell the batch never touches
+            # is inert, and rejecting on it would permanently brick
+            # every legal backfill once any cell fills (r10 review)
             biggest = (
-                other_assign.groupBy("cell_id")
+                other_assign.join(
+                    F.broadcast(batch_assign.select("cell_id").distinct()),
+                    "cell_id",
+                    "left_semi",
+                )
+                .groupBy("cell_id")
                 .count()
                 .agg(F.max("count"))
                 .first()[0]
