@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FORCE_FIRST = [
     "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
     "q_export_shards", "q_pack_sequences", "q_mix_rebalance",
+    "q_token_budget_sample", "q_export_dedup_order",
     "q_agg_approx", "q_emb_pca", "q_ann_pq", "q_ann_ivfpq",
     "q_index_drift",
 ]

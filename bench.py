@@ -167,9 +167,13 @@ def main() -> None:
         "q_tick_chain_cosine",
         "q_tick_chain_clusters",
         # round-10 late wave: sequence packing (concat-and-chunk over
-        # the export order) and deterministic mixture rebalancing
+        # the export order), deterministic mixture rebalancing,
+        # per-source token-budget sampling, and the deduped export
+        # order (cluster representatives through the export window)
         "q_pack_sequences",
         "q_mix_rebalance",
+        "q_token_budget_sample",
+        "q_export_dedup_order",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -45,6 +45,7 @@ HEADLINE = [
     "q_cosine_capped_pairs", "q_drift_baseline",
     "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
     "q_export_shards", "q_pack_sequences", "q_mix_rebalance",
+    "q_token_budget_sample", "q_export_dedup_order",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -204,6 +205,20 @@ NOTES = {
         "bit-equal to ranking each whole language in one task.  "
         "Quota arithmetic is all-integer (basis points), so both "
         "engines agree exactly."
+    ),
+    "q_token_budget_sample": (
+        "Token-denominated sampling with the same skew-free "
+        "decomposition as q_mix_rebalance: broadcast per-(source, "
+        "bucket) token prefix sums + a running sum within (source, "
+        "bucket) — bit-equal to the single per-source cumulative "
+        "window without putting the dominant source in one task."
+    ),
+    "q_export_dedup_order": (
+        "curate -> dedup -> export composition: one scan of the "
+        "maintained 'clusters' artifact (keep = representative), "
+        "then the export writer's shard-key window over the "
+        "survivors.  No graph traversal at query time; the closure "
+        "cost lives in the maintained-label build/maintenance."
     ),
     "q_graph_pagerank": (
         "Static print repeats the persisted sym/deg frames' *lineage* at "

@@ -488,6 +488,37 @@ def test_mix_rebalance_bucketed_rank_no_skew(spark):
         assert "bkt" in spec, (spec, p[:2000])
 
 
+def test_token_budget_sample_bucketed_cumsum_no_skew(spark):
+    """q_token_budget_sample: the per-source running token sum is
+    decomposed by hash bucket — the corpus-sized window partitions on
+    (source, bkt), never on source alone, with the prefix frame
+    broadcast."""
+    import re
+
+    p = plan_of(spark, "q_token_budget_sample")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, p[:2000]
+    corpus_windows = re.findall(
+        r"sum\([^)]*\) windowspecdefinition\(([^,]+, [^,]+),", p
+    )
+    assert corpus_windows, p[:2000]
+    # every RUNNING (two-key-partitioned) sum window carries bkt; the
+    # prefix window over the tiny (source, bkt) aggregate is 1-keyed
+    assert any("bkt" in spec for spec in corpus_windows), (corpus_windows,)
+
+
+def test_export_dedup_order_serves_from_labels(spark):
+    """q_export_dedup_order: one scan of the maintained label parquet
+    -> filter representatives -> the shard-partitioned export window.
+    No joins, no closure at query time, never a single-partition
+    window."""
+    p = plan_of(spark, "q_export_dedup_order")
+    assert "CartesianProduct" not in p
+    assert "Join" not in p, p[:1500]
+    assert "hashpartitioning(shard" in p, p[:2000]
+    assert "SinglePartition" not in p, p[:2000]
+
+
 def test_export_manifest_single_filescan_aggregation(spark):
     """q_export_shards' serving frame: one scan of the WRITTEN shard
     files -> one two-level aggregation, no joins (the write itself is

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
-from zebra_spark.queries.text import sql_word_hash, tokens, word_hash_expr
+from zebra_spark.queries.text import (
+    _SQL_SHARD_HASH,
+    N_SHARDS,
+    sql_word_hash,
+    tokens,
+    word_hash_expr,
+)
 from zebra_spark.caching import cache_scope, tracked_persist
 from zebra_spark.registry import QUERIES, query, sql_rnd
 
@@ -2167,6 +2173,66 @@ def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@query(
+    "q_export_dedup_order",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ),
+    reps AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN labels l ON l.doc_id = d.doc_id
+      WHERE coalesce(l.cluster, d.doc_id) = d.doc_id
+    ),
+    h AS (SELECT doc_id, {_SQL_SHARD_HASH} AS hv FROM reps)
+    SELECT doc_id,
+           CAST(hv % {N_SHARDS} AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % {N_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_export_dedup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUPED training order (r10): the export order of the corpus'
+    cluster REPRESENTATIVES only — the keep-one-per-family policy
+    (keep = doc_id == its component label, q_dedup_clusters' contract)
+    composed with q_train_order's deterministic (shard, pos)
+    assignment.  This is the curate -> dedup -> export composition a
+    production run actually ships: positions are dense over the
+    SURVIVORS (a fresh per-shard window over the filtered set, not a
+    filter of the full-corpus positions).  Serving cost is one scan of
+    the maintained 'clusters' artifact + the shard-key window the
+    export writer pays anyway; no graph traversal at query time."""
+    from pyspark.sql import Window
+
+    from zebra_spark.queries.text import N_SHARDS, shard_hash_col
+
+    reps = (
+        cluster_label_table(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster"))
+        .select("doc_id")
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        reps.select("doc_id", shard_hash_col().alias("hv"))
+        .withColumn("shard", (F.col("hv") % N_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
     )
 
 
