@@ -243,7 +243,15 @@ def remove_and_relabel(
 
     labels: (id, component) pre-takedown; edges: (src, dst) the
     maintained near-dup edge set (thresholded pair table);
-    removed_ids: one column of ids to delete."""
+    removed_ids: one column of ids to delete.
+
+    Size note (r9 verdict): `affected` is broadcast — one row per
+    affected COMPONENT, bounded by the takedown's scope, so fine for
+    any realistic takedown (measured flat at x10 corpus in
+    scripts/takedown_scale.py).  A takedown spanning a large fraction
+    of all components (corpus-scale purge) should instead rebuild
+    labels from scratch over the survivors — at that scope the rebuild
+    is the cheaper plan anyway, and the broadcast stops being small."""
     rem = removed_ids.select(
         F.col(removed_ids.columns[0]).alias("id")
     ).distinct()
