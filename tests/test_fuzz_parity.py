@@ -370,3 +370,88 @@ def test_random_cell_cap_kernel(seed, spark):
         (a, b) for a, b in want if a in batch_ids or b in batch_ids
     }
     assert got_b == want_b, (seed, sorted(batch_ids), cap)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_bucketed_window_decompositions(seed, spark, tmp_path):
+    """Seeded differential fuzz of the r10 skew-free window
+    decompositions: q_mix_rebalance (bucketed RANK) and
+    q_token_budget_sample (bucketed RUNNING SUM) on random synthetic
+    corpora must equal an independent plain-Python model that sorts
+    each group by (hash, doc_id) outright — the bucket split must
+    never change membership."""
+    import zebra_spark
+    from zebra_spark.queries.text import (
+        MIX_BP,
+        SPLIT_A,
+        SPLIT_M,
+        TOKEN_BUDGET_PER_SOURCE,
+    )
+
+    zebra_spark.load_all_queries()
+    rng = random.Random(8000 + seed)
+    langs = sorted(MIX_BP)
+    sources = [f"s{i}" for i in range(rng.randint(2, 6))]
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    # sparse ids, out of order, some huge — membership is a pure row
+    # function, so none of that may matter
+    ids = rng.sample(range(0, 10_000_000), rng.randint(40, 300))
+    for doc_id in ids:
+        n_words = rng.randint(1, 120)
+        text = " ".join(rng.choice(vocab) for _ in range(n_words))
+        rows.append(
+            (doc_id, text, rng.choice(langs), rng.choice(sources), len(text))
+        )
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def hv(doc_id: int, const: int) -> int:
+        return ((doc_id % SPLIT_M) * SPLIT_A + const) % SPLIT_M
+
+    # --- mix rebalance: independent model -------------------------------
+    by_lang: dict = {}
+    for doc_id, text, lang, source, _ in rows:
+        by_lang.setdefault(lang, []).append(doc_id)
+    counts = {l: len(v) for l, v in by_lang.items() if l in MIX_BP}
+    scale = min(counts[l] * 10000 // MIX_BP[l] for l in counts)
+    want_mix = set()
+    for l, members in by_lang.items():
+        if l not in MIX_BP:
+            continue
+        quota = MIX_BP[l] * scale // 10000
+        ranked = sorted(members, key=lambda i: (hv(i, 98765), i))
+        want_mix.update((i, l) for i in ranked[:quota])
+    got_mix = {
+        (r.doc_id, r.lang)
+        for r in zebra_spark.QUERIES["q_mix_rebalance"](spark, d).collect()
+    }
+    assert got_mix == want_mix, (seed, len(got_mix), len(want_mix))
+
+    # --- token budget: independent model --------------------------------
+    by_src: dict = {}
+    for doc_id, text, lang, source, _ in rows:
+        by_src.setdefault(source, []).append(
+            (doc_id, len(text.split(" ")))
+        )
+    want_tb = set()
+    for source, members in by_src.items():
+        cum = 0
+        for doc_id, nt in sorted(
+            members, key=lambda t: (hv(t[0], 24680), t[0])
+        ):
+            cum += nt
+            if cum > TOKEN_BUDGET_PER_SOURCE:
+                break
+            want_tb.add((doc_id, source, nt))
+    got_tb = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in zebra_spark.QUERIES["q_token_budget_sample"](
+            spark, d
+        ).collect()
+    }
+    assert got_tb == want_tb, (seed, len(got_tb), len(want_tb))
