@@ -161,3 +161,39 @@ def test_restore_derived_registry_reclaims_disk(spark, tmp_path):
     assert os.path.exists(ext)  # external path untouched
     # re-registration after a restore just rebuilds
     assert dd.tokset_table(spark, mirror).count() > 0
+
+
+def test_export_publish_is_atomic_over_stale_staging(spark, tmp_path):
+    """r10: the export writes to a __staging sibling and renames over
+    the published dir after job commit.  A prior crash (stale staging
+    junk beside a complete previous export) must not corrupt the next
+    run: staging is replaced, the published dir is the new complete
+    export, and readers of the published path never see a mix."""
+    import os
+
+    from zebra_spark.queries.text import (
+        export_training_shards,
+        shard_manifest_from_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "export")
+    m1 = export_training_shards(spark, SF_SMOKE, out).toPandas()
+    assert not os.path.exists(f"{out}__staging")  # staging consumed
+
+    # simulate a crashed half-export: junk staging beside the good one
+    os.makedirs(f"{out}__staging/shard=0")
+    with open(f"{out}__staging/shard=0/garbage", "w") as f:
+        f.write("not parquet")
+
+    m2 = export_training_shards(spark, SF_SMOKE, out).toPandas()
+    assert not os.path.exists(f"{out}__staging")
+    key = lambda pdf: sorted(  # noqa: E731
+        tuple(r) for r in pdf.reindex(sorted(pdf.columns), axis=1)
+        .itertuples(index=False)
+    )
+    assert key(m1) == key(m2)
+    # the published dir re-reads clean
+    assert (
+        key(shard_manifest_from_files(spark, out).toPandas()) == key(m1)
+    )
