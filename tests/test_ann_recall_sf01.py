@@ -1,0 +1,75 @@
+"""Pinned recall gates at sf0.1 for the three centroid-based ANN
+families (VERDICT r10 #5): LSH has recall@10 = 1.0 pinned in test_lsh;
+IVF / PQ / IVF-PQ had tuning grids (scripts/ivfpq_tuning_grid.py) but
+no recall-vs-exact assertion at the larger fixture — a regression in
+cell or codebook construction could pass silently.  Each gate trains
+seeded over the real sf0.1 embeddings (2,000 x 64-d) and asserts
+recall@10 >= 0.9 against the exact brute-force kNN for 100 queries.
+
+The settings are each family's honest serving point at this corpus
+shape (chosen by a one-off sweep against the exact baseline, not
+cranked to exhaustive): IVF probes 12/16 cells (0.95 measured; 10
+cells reads 0.896); PQ uses 16 subspaces x 16 codes and re-ranks the
+top-200 ADC candidates exactly (0.956; the coarser m=8/k=16 needs
+refine=500 for 0.93); IVF-PQ probes 12/16 cells and re-ranks
+top-400."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zebra_spark.queries.vector import knn_exact
+
+SF01 = "/root/testdata/sf0.1"
+N_QUERIES = 100
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    df = knn_exact(spark, SF01, n_queries=N_QUERIES, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    return set(map(tuple, df.toPandas().itertuples(index=False)))
+
+
+def _recall(ann_df, exact_pairs) -> float:
+    a = set(
+        map(
+            tuple,
+            ann_df.select("query_id", "neighbor_id")
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    return len(a & exact_pairs) / len(exact_pairs)
+
+
+def test_ivf_recall_sf01(spark, exact_pairs):
+    from zebra_spark.index.ivf import IVFIndex
+
+    idx = IVFIndex.train(spark, SF01, k=16, iters=5, seed=42)
+    ids = spark.range(N_QUERIES).select(F.col("id").alias("vec_id"))
+    r = _recall(idx.search_ids_df(ids, k=10, nprobe=12), exact_pairs)
+    assert r >= 0.9, f"IVF recall@10 {r} < 0.9 at sf0.1"
+
+
+def test_pq_recall_sf01(spark, exact_pairs):
+    from zebra_spark.index.pq import PQIndex
+
+    idx = PQIndex.train(spark, SF01, m=16, k=16, seed=42)
+    r = _recall(
+        idx.search_ids(range(N_QUERIES), k=10, refine=200), exact_pairs
+    )
+    assert r >= 0.9, f"PQ recall@10 {r} < 0.9 at sf0.1"
+
+
+def test_ivfpq_recall_sf01(spark, exact_pairs):
+    from zebra_spark.index.ivfpq import IVFPQIndex
+
+    idx = IVFPQIndex.train(spark, SF01, k_coarse=16, m=8, k=16, seed=42)
+    r = _recall(
+        idx.search_ids(range(N_QUERIES), k=10, nprobe=12, refine=400),
+        exact_pairs,
+    )
+    assert r >= 0.9, f"IVF-PQ recall@10 {r} < 0.9 at sf0.1"

@@ -9,10 +9,11 @@ import subprocess
 import sys
 
 
-def test_bench_emits_contract_json():
+def test_bench_emits_contract_json(tmp_path):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    env["SPARK_GRAFT_BENCH_FULL"] = str(tmp_path / "bench_full.json")
     # fast subset: every row *kind* (registry query, knn special, lsh
     # build+query specials, ingest) without the heavy dedup pipeline —
     # the contract under test is the JSON shape, not the full suite
@@ -34,10 +35,15 @@ def test_bench_emits_contract_json():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, out.stdout[-2000:]
+    # COMPACT stdout line (VERDICT r10 #1): the driver's capture choked
+    # on the grown full map, so the line carries only the headline
+    # scalars + the BASELINE.md-mapped rows and must stay under 2 KB;
+    # the full per-query map lands in the file named by "full".
+    assert len(lines[-1]) <= 2000
     payload = json.loads(lines[-1])
     assert set(payload) >= {
         "metric", "value", "unit", "queries", "sf",
-        "headline_frozen", "headline_full",
+        "headline_frozen", "headline_full", "full", "n_queries",
     }
     assert payload["unit"] == "sec"
     # the frozen subset is a subset of the full suite, by construction
@@ -45,8 +51,14 @@ def test_bench_emits_contract_json():
     assert payload["headline_full"] == payload["value"]
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
-    assert len(payload["queries"]) >= 10
+    # the subset run covers 6 of the 8 baseline-mapped compact rows
+    assert len(payload["queries"]) >= 6
     assert all(v >= 0 for v in payload["queries"].values())
+    full = json.loads((tmp_path / "bench_full.json").read_text())
+    assert set(full) >= {"metric", "value", "unit", "queries", "sf"}
+    assert len(full["queries"]) >= 10
+    assert full["queries"].keys() >= payload["queries"].keys()
+    assert payload["n_queries"] == len(full["queries"])
 
 
 def test_driver_gate_order_pins_rows_only():

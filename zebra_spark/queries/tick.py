@@ -405,8 +405,19 @@ def run_tick(
 # double-appends a single row across any tick breaks a driver hash.
 
 _CHAIN_STATE: dict[str, str] = {}
+_CHAIN_TIMINGS: dict[str, list[dict]] = {}
 _CHAIN_LOCK = threading.Lock()
 _CHAIN_TICKS = 3
+
+
+def chain_timings(sf_dir: str) -> list[dict]:
+    """Per-tick `timings` dicts recorded by this session's chain build
+    for `sf_dir` (empty if the chain was not built yet).  The LAST
+    entry's update_s is the steady-state per-tick cost bench.py
+    surfaces as `tick_update_s` (VERDICT r10 #6) — the number that
+    stays flat while the corpus grows, as opposed to the isolated
+    q_ingest_audit row whose cold scaffolding rebuilds dominate."""
+    return _CHAIN_TIMINGS.get(str(Path(sf_dir).resolve()), [])
 
 
 def _mirror_sf_dir(sf_dir: str) -> str:
@@ -421,14 +432,23 @@ def _mirror_sf_dir(sf_dir: str) -> str:
     return base
 
 
-def chain_state(spark: SparkSession, sf_dir: str) -> str:
+def chain_state(
+    spark: SparkSession, sf_dir: str, with_audit: bool = False
+) -> str:
     """State dir of the session's 3-tick chained-maintenance run for
     `sf_dir`: the corpus split by doc_id % 3 / vec_id % 3 into three
     disjoint ingest batches, each appended by run_tick against the
     previous tick's persisted artifacts.  Seeds freeze over the full
     corpus-prefix at init — the fixture convention that keeps the
     blocking identical to the from-scratch SQL oracles' (production
-    freezes over the first snapshot instead; tests pin that shape)."""
+    freezes over the first snapshot instead; tests pin that shape).
+
+    Per-tick `timings` are recorded in chain_timings(sf_dir);
+    `with_audit=True` (bench.py only) additionally runs the nightly
+    snapshot audit on the LAST tick so its read-side cost lands in
+    that tick's audit_s — the parity/serving callers leave it off,
+    and a later with_audit=True call against an already-built chain
+    does not re-run anything (one build per dataset per session)."""
     key = str(Path(sf_dir).resolve())
     path = _CHAIN_STATE.get(key)
     if path is None:
@@ -446,14 +466,20 @@ def chain_state(spark: SparkSession, sf_dir: str) -> str:
                 docs = load(spark, mirror, "documents").select(
                     "doc_id", "text"
                 )
+                ticks: list[dict] = []
                 for k in range(_CHAIN_TICKS):
+                    t: dict = {}
                     run_tick(
                         spark,
                         mirror,
                         path,
                         docs.filter(F.col("doc_id") % _CHAIN_TICKS == k),
                         e.filter(F.col("vec_id") % _CHAIN_TICKS == k),
+                        timings=t,
+                        audit=with_audit and k == _CHAIN_TICKS - 1,
                     )
+                    ticks.append(t)
+                _CHAIN_TIMINGS[key] = ticks
                 _CHAIN_STATE[key] = path
     return path
 
