@@ -163,6 +163,123 @@ def test_restore_derived_registry_reclaims_disk(spark, tmp_path):
     assert dd.tokset_table(spark, mirror).count() > 0
 
 
+def test_epoch_append_equals_one_shot_order(spark, tmp_path):
+    """The append-friendly export (r11, VERDICT r10 #2): three
+    successive export_epoch_append calls — one per ingest epoch, the
+    tick chain's doc_id % 3 split — must produce exactly the one-shot
+    epoch-major order q_export_append_order computes over the union,
+    with earlier epochs' files untouched by later appends, and a
+    replay of a mid epoch (crash re-run) must REPLACE, not duplicate."""
+    import os
+
+    from zebra_spark.io import load
+    from zebra_spark.queries.text import export_epoch_append
+
+    out = str(tmp_path / "inc")
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    for k in range(3):
+        export_epoch_append(
+            spark, out, docs.filter(F.col("doc_id") % 3 == k), k
+        )
+        if k == 0:
+            epoch0_files = {
+                str(p): p.stat().st_mtime
+                for p in Path(out).glob("epoch=0/**/*.parquet")
+            }
+    # later appends never touched epoch 0's files
+    assert epoch0_files
+    assert {
+        str(p): p.stat().st_mtime
+        for p in Path(out).glob("epoch=0/**/*.parquet")
+    } == epoch0_files
+
+    got = (
+        spark.read.parquet(out)
+        .select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("shard").cast("int").alias("shard"),
+            "pos",
+        )
+        .toPandas()
+    )
+    want = zebra_spark.QUERIES["q_export_append_order"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert _vhash(got) == _vhash(want)
+
+    # crash replay of epoch 1: same batch re-appended — idempotent
+    export_epoch_append(spark, out, docs.filter(F.col("doc_id") % 3 == 1), 1)
+    again = (
+        spark.read.parquet(out)
+        .select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("shard").cast("int").alias("shard"),
+            "pos",
+        )
+        .toPandas()
+    )
+    assert _vhash(again) == _vhash(want)
+    assert not os.path.exists(f"{out}__epoch1_staging")
+
+
+def test_tick_chain_then_export_composition(spark, tmp_path):
+    """VERDICT r10 #2's composition pin: run the 3-tick chained
+    maintenance, take down every non-representative via the chain's
+    MAINTAINED cluster labels, and publish the deduped export — the
+    file-level manifest must equal the from-corpus manifest over
+    exactly the representative set.  This is the curate→dedup→tick→
+    export pipeline end to end on persisted artifacts."""
+    from zebra_spark.io import load
+    from zebra_spark.queries.text import (
+        N_SHARDS,
+        export_training_shards,
+        shard_hash_col,
+    )
+    from zebra_spark.queries.tick import chain_state
+
+    labels = spark.read.parquet(
+        f"{chain_state(spark, SF_SMOKE)}/clusters"
+    )
+    removed = labels.filter(F.col("doc_id") != F.col("cluster")).select(
+        "doc_id"
+    )
+    out = str(tmp_path / "dedup_export")
+    manifest = export_training_shards(
+        spark, SF_SMOKE, out, removed_ids=removed
+    ).toPandas()
+
+    survivors = (
+        load(spark, SF_SMOKE, "documents")
+        .join(removed, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            (shard_hash_col() % N_SHARDS).cast("int").alias("shard"),
+        )
+    )
+    want = (
+        survivors.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .toPandas()
+    )
+    assert _vhash(manifest) == _vhash(want)
+    # the takedown actually cut something, and no removed doc shipped
+    exported = spark.read.parquet(out).select("doc_id")
+    assert exported.join(removed, "doc_id", "left_semi").count() == 0
+    assert removed.count() > 0
+
+
 def test_export_publish_is_atomic_over_stale_staging(spark, tmp_path):
     """r10: the export writes to a __staging sibling and renames over
     the published dir after job commit.  A prior crash (stale staging

@@ -128,6 +128,19 @@ def delete(spark, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def mkdirs(spark, path: str) -> None:
+    """Create a directory (and parents) on whatever filesystem owns
+    `path`; existing dirs are a no-op.  rename()'s local branch is a
+    bare os.rename whose destination PARENT must already exist — the
+    epoch-append export publishes `out_dir/epoch=K` by rename, and the
+    first epoch has no out_dir yet."""
+    if _is_local(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.mkdirs(hpath)
+
+
 def rename(spark, src: str, dst: str) -> None:
     """Directory rename (atomic on POSIX and HDFS; object stores give a
     copy+delete — callers that need atomic swap document the caveat)."""
