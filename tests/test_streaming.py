@@ -1974,3 +1974,81 @@ def test_capped_backfill_untouched_overcap_cell_allowed(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_cluster_label_merge_cadence(spark, tmp_path):
+    """label_merge_every=K (r11, VERDICT r10 #7): the |V|-row snapshot
+    rewrite defers to every K-th epoch — between merges the labels
+    visibly LAG (deferred epochs' docs absent), flush_cluster_labels
+    publishes them, and the final labels are bit-identical to per-epoch
+    merging.  Backfill mode rejects K > 1 (no epoch numbering)."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.streaming import (
+        flush_cluster_labels,
+        maintain_pair_tables,
+        read_cluster_labels,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    lazy = str(tmp_path / "lazy")
+    eager = str(tmp_path / "eager")
+    for part in range(5):
+        batch = docs.filter(F.col("doc_id") % 5 == part)
+        maintain_pair_tables(
+            spark, lazy, batch, epoch_id=part, clusters=True,
+            label_merge_every=3,
+        )
+        maintain_pair_tables(
+            spark, eager, batch, epoch_id=part, clusters=True,
+        )
+        if part == 1:
+            # epoch 1 deferred (1 - wm(0) < 3): its docs are not in
+            # the lagging snapshot yet — the write saving is real
+            lag = read_cluster_labels(spark, lazy)
+            assert (
+                lag.join(batch.select("doc_id"), "doc_id", "left_semi")
+                .count()
+                == 0
+            )
+            assert lag.count() > 0  # epoch 0's bootstrap is there
+        if part == 3:
+            # epoch 3 merged the committed range (0, 3] — caught up
+            n3 = read_cluster_labels(spark, lazy).count()
+            assert n3 == read_cluster_labels(spark, eager).count()
+
+    # epoch 4 deferred again; flush publishes the remaining range
+    assert (
+        read_cluster_labels(spark, lazy).count()
+        < read_cluster_labels(spark, eager).count()
+    )
+    flush_cluster_labels(spark, lazy)
+    got = read_cluster_labels(spark, lazy).toPandas()
+    want = read_cluster_labels(spark, eager).toPandas()
+    assert len(got) == len(want) > 0
+    assert vhash(got) == vhash(want)
+    # flush is idempotent / no-op when current
+    flush_cluster_labels(spark, lazy)
+    assert vhash(read_cluster_labels(spark, lazy).toPandas()) == vhash(want)
+
+    # backfill appends cannot defer: no epoch numbering to range over
+    with pytest.raises(ValueError, match="epoch"):
+        maintain_pair_tables(
+            spark, str(tmp_path / "bf"), docs.limit(10), clusters=True,
+            label_merge_every=2,
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

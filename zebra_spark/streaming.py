@@ -422,6 +422,7 @@ def maintain_pair_tables(
     batch_df: DataFrame,
     epoch_id: int | None = None,
     clusters: bool = False,
+    label_merge_every: int = 1,
 ) -> None:
     """Process ONE ingest batch of documents (doc_id, text) against the
     maintained near-dup state under `state_dir`:
@@ -462,7 +463,16 @@ def maintain_pair_tables(
     (star(merged) ∪ delta has the same connectivity classes), so a
     replayed epoch recomputes the same delta against `epoch < N` state
     and re-merges harmlessly.  Read via read_cluster_labels; takedowns
-    via remove_from_cluster_state."""
+    via remove_from_cluster_state.
+
+    label_merge_every=K (r11, VERDICT r10 #7) bounds the snapshot's
+    write amplification: each merge rewrites |V| rows, so per-epoch
+    merging at 100 TB rewrites the full label table per micro-batch;
+    with K > 1 (epoch mode only) merges run every K epochs over the
+    committed epoch range since the persisted watermark, labels lag
+    <= K-1 epochs between merges, and flush_cluster_labels publishes
+    current labels on demand — final labels are bit-identical to K=1
+    (pinned by test)."""
     from zebra_spark.fsutil import exists as fs_exists
 
     recover_state_swaps(spark, state_dir, PAIR_STATE_TABLES)
@@ -545,7 +555,8 @@ def maintain_pair_tables(
         # stream's replay overwrites the pairs (same rows) and
         # re-merges — idempotent, so the labels heal
         _merge_cluster_labels(
-            spark, state_dir, delta, batch.select("doc_id")
+            spark, state_dir, delta, batch.select("doc_id"),
+            epoch_id=epoch_id, merge_every=label_merge_every,
         )
 
 
@@ -911,27 +922,82 @@ def compact_pair_state(
 # safety comes for free and the artifact is always one whole snapshot.
 
 CLUSTER_STATE_TABLE = "clusters"
+# watermark FILE (not a table): highest epoch whose pairs are merged
+# into the label snapshot.  Files at the state root are invisible to
+# the per-table parquet readers, and a missing watermark (legacy state)
+# degrades to an idempotent over-merge, never to a dropped epoch.
+_CLUSTER_WM = "clusters_merged_upto"
+
+
+def _cluster_watermark(spark: SparkSession, state_dir: str) -> int | None:
+    from zebra_spark.fsutil import exists as fs_exists, read_text
+
+    p = f"{state_dir}/{_CLUSTER_WM}"
+    return int(read_text(spark, p)) if fs_exists(spark, p) else None
 
 
 def _merge_cluster_labels(
     spark: SparkSession,
     state_dir: str,
-    pair_delta: DataFrame,
-    batch_ids: DataFrame,
+    pair_delta: DataFrame | None,
+    batch_ids: DataFrame | None,
     n_files: int = 4,
+    epoch_id: int | None = None,
+    merge_every: int = 1,
 ) -> None:
-    """Star-merge one batch's thresholded pair delta into the persisted
-    label snapshot (graph.incremental_components — |V| + |delta| edges,
-    O(log delta-chain) rounds) and swap the new snapshot in.  The first
-    batch writes the snapshot directly (nothing to swap)."""
-    from zebra_spark.fsutil import exists as fs_exists
+    """Star-merge pair deltas into the persisted label snapshot
+    (graph.incremental_components — |V| + |delta| edges, O(log
+    delta-chain) rounds) and swap the new snapshot in.  The first
+    batch writes the snapshot directly (nothing to swap).
+
+    MERGE CADENCE (r11, VERDICT r10 #7): each merge rewrites the full
+    |V|-row snapshot, so per-epoch merging write-amplifies at corpus
+    scale (a 100 TB label table rewritten per micro-batch).
+    `merge_every=K` (epoch mode only — backfill appends have no epoch
+    numbering to defer against) merges only when the current epoch is
+    >= K past the persisted watermark; deferred epochs' pairs are
+    already committed in the pair state, so the merge epoch reads the
+    committed epoch RANGE (watermark, epoch_id] from `pairs/` instead
+    of the in-memory batch delta — which also heals a crashed prior
+    merge and a missing watermark (legacy state: over-merge everything
+    <= epoch_id; re-merging applied epochs is an idempotent no-op).
+    Between merges read_cluster_labels lags <= K-1 epochs — call
+    flush_cluster_labels to publish current labels."""
+    from zebra_spark.fsutil import exists as fs_exists, write_text
     from zebra_spark.graph import incremental_components
     from zebra_spark.queries.dedup import threshold_edges
 
+    if merge_every > 1 and epoch_id is None:
+        raise ValueError(
+            "label merge cadence (merge_every > 1) requires exactly-once "
+            "epoch mode — backfill appends (epoch_id=None) have no epoch "
+            "numbering to defer merges against"
+        )
     recover_state_swaps(spark, state_dir, (CLUSTER_STATE_TABLE,))
     p = f"{state_dir}/{CLUSTER_STATE_TABLE}"
     have = fs_exists(spark, p)
-    if have:
+    wm = _cluster_watermark(spark, state_dir) if epoch_id is not None else None
+    if have and epoch_id is not None:
+        if wm is not None and epoch_id - wm < merge_every:
+            return  # defer — also makes a replayed merged epoch a no-op
+        sig_p = f"{state_dir}/{PAIR_STATE_TABLES[0]}"
+        pair_p = f"{state_dir}/{PAIR_STATE_TABLES[2]}"
+        cond = F.col("epoch") <= F.lit(epoch_id)
+        if wm is not None:
+            cond = cond & (F.col("epoch") > F.lit(wm))
+        labels = spark.read.parquet(p).select(
+            F.col("doc_id").alias("id"), F.col("cluster").alias("component")
+        )
+        edges = threshold_edges(
+            spark.read.parquet(pair_p).filter(cond).drop("epoch")
+        )
+        nodes = (
+            spark.read.parquet(sig_p)
+            .filter(cond)
+            .select(F.col("doc_id").alias("id"))
+            .distinct()
+        )
+    elif have:
         labels = spark.read.parquet(p).select(
             F.col("doc_id").alias("id"), F.col("cluster").alias("component")
         )
@@ -957,6 +1023,39 @@ def _merge_cluster_labels(
         _snapshot_and_swap(spark, p, merged, n_files, epoch_layout=False)
     else:
         merged.coalesce(n_files).write.mode("overwrite").parquet(p)
+    if epoch_id is not None:
+        # AFTER the swap: a crash in between re-merges the same closed
+        # range next time (idempotent), never skips one
+        write_text(spark, f"{state_dir}/{_CLUSTER_WM}", str(epoch_id))
+
+
+def flush_cluster_labels(
+    spark: SparkSession, state_dir: str, n_files: int = 4
+) -> None:
+    """Publish step for a deferred-merge label snapshot (r11, VERDICT
+    r10 #7): merge every committed-but-unmerged pair epoch into
+    `clusters/` so read_cluster_labels is current — call at
+    end-of-window / before serving when label_merge_every > 1.  No-op
+    when already current or on a backfill-layout state (those merge
+    per batch).  Also BOOTSTRAPS the snapshot (full closure over the
+    committed state) when labels were never enabled — enabling
+    clusters at publish time costs one closure, same as the mid-stream
+    enablement path."""
+    pair_p = f"{state_dir}/{PAIR_STATE_TABLES[2]}"
+    listing = _epoch_dirs(spark, pair_p)
+    if listing is None:
+        return  # backfill layout: per-batch merges, nothing deferred
+    _, committed = listing
+    if not committed:
+        return
+    maxe = max(committed)
+    wm = _cluster_watermark(spark, state_dir)
+    if wm is not None and wm >= maxe:
+        return
+    _merge_cluster_labels(
+        spark, state_dir, None, None, n_files=n_files, epoch_id=maxe,
+        merge_every=1,
+    )
 
 
 def read_cluster_labels(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -964,7 +1063,9 @@ def read_cluster_labels(spark: SparkSession, state_dir: str) -> DataFrame:
     to batch connected components over the state's pair graph after
     any batch split, replay, or compaction (pinned by
     tests/test_streaming.py).  Empty frame if no batch carried
-    clusters=True yet."""
+    clusters=True yet.  Under label_merge_every=K the snapshot lags up
+    to K-1 epochs between merges — flush_cluster_labels first when
+    current labels are required."""
     from zebra_spark.fsutil import exists as fs_exists
 
     recover_state_swaps(spark, state_dir, (CLUSTER_STATE_TABLE,))
@@ -1008,6 +1109,7 @@ def remove_from_cluster_state(
 def stream_maintain_pair_tables(
     spark: SparkSession, docs_stream: DataFrame, state_dir: str,
     checkpoint_dir: str, clusters: bool = False,
+    label_merge_every: int = 1,
 ):
     """Wire maintain_pair_tables as a foreachBatch sink over a document
     stream (doc_id, text).  EXACTLY-once on restart (r7): each epoch's
@@ -1018,13 +1120,15 @@ def stream_maintain_pair_tables(
     tests/test_streaming.py::test_epoch_replay_idempotent).  Read the
     result via read_pair_state; compact with compact_pair_state once
     the stream is stopped.  clusters=True additionally maintains the
-    component-label snapshot per epoch (read_cluster_labels)."""
+    component-label snapshot per epoch (read_cluster_labels);
+    label_merge_every=K defers the |V|-row snapshot rewrite to every
+    K-th epoch (flush_cluster_labels to publish between merges)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
             maintain_pair_tables(
                 spark, state_dir, batch_df, epoch_id=epoch_id,
-                clusters=clusters,
+                clusters=clusters, label_merge_every=label_merge_every,
             )
 
     return (
