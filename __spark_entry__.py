@@ -40,19 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already have
-# a driver row.  r9's ten pins all got green/clean rows in r09, so that
-# pin is retired.  r10 pins its four NEW oracled queries (the three
-# chained-maintenance gates — each a 3-tick append-only chain whose
-# final state must hash-equal a from-scratch SQL rebuild — and the
-# export writer's file-level manifest), plus a freshness rotation of
-# the five rows-only/oracled names whose latest clean rows are r6/r7
-# vintage (VERDICT r9 #7).
+# a driver row.  r10's thirteen pins all got green/clean rows in r10,
+# so that pin is retired.  r11 pins its ONE new oracled query (the
+# epoch-major append-friendly export order, VERDICT r10 #2), plus the
+# next slice of the rows-only freshness rotation (VERDICT r10 #4:
+# q_multimodal_features and q_snapshot_audit now hold the OLDEST clean
+# rows, r6/r7 vintage).
 _FORCE_FIRST = [
-    "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
-    "q_export_shards", "q_pack_sequences", "q_mix_rebalance",
-    "q_token_budget_sample", "q_export_dedup_order",
-    "q_agg_approx", "q_emb_pca", "q_ann_pq", "q_ann_ivfpq",
-    "q_index_drift",
+    "q_export_append_order",
+    "q_multimodal_features", "q_snapshot_audit",
 ]
 
 _PRIORITY = [
