@@ -277,3 +277,54 @@ def test_tick_capped_out_of_order_batch_refused(spark, tmp_path, monkeypatch):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_tick_extends_epoch_export(spark, tmp_path):
+    """r11 (VERDICT r10 #2): a tick can EXTEND the epoch-major export —
+    run_tick(export_dir=..., export_epoch=k) publishes each batch's
+    shard files in the same call, and after the full chain the export
+    is identical to the one-shot epoch-major order over the corpus
+    (q_export_append_order's fixture convention doc_id % 3 == epoch
+    matches the 3-tick split exactly)."""
+    from zebra_spark.io import embeddings_d, load
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    export = str(tmp_path / "export")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    vecs = embeddings_d(spark, mirror).select("vec_id", "emb")
+    init_tick_state(spark, mirror, state, seed_vecs=vecs)
+    for k in range(3):
+        timings: dict = {}
+        run_tick(
+            spark, mirror, state,
+            docs.filter(F.col("doc_id") % 3 == k),
+            vecs.filter(F.col("vec_id") % 3 == k),
+            timings=timings,
+            export_dir=export, export_epoch=k,
+        )
+        assert timings["export_s"] >= 0
+    got = (
+        spark.read.parquet(export)
+        .select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("shard").cast("int").alias("shard"),
+            "pos",
+        )
+        .toPandas()
+    )
+    want = zebra_spark.QUERIES["q_export_append_order"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert _vhash(got) == _vhash(want)
+
+    # export_dir without an epoch key is a contract error, not a guess
+    with pytest.raises(ValueError, match="export_epoch"):
+        run_tick(
+            spark, mirror, state, docs.limit(1), vecs.limit(1),
+            export_dir=export,
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

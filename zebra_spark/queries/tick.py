@@ -278,6 +278,8 @@ def run_tick(
     timings: dict | None = None,
     audit: bool = False,
     reseed_ratio: float = 5.0,
+    export_dir: str | None = None,
+    export_epoch: int | None = None,
 ):
     """ONE steady-state maintenance tick over PERSISTED artifacts:
     append `batch_docs` (doc_id, text) and `batch_vecs` (vec_id, emb)
@@ -306,12 +308,26 @@ def run_tick(
     maintained tables are PARTIAL corpora — see q_tick_chain_pairs).
 
     `timings` (optional dict) receives 'update_s' (appends + label
-    rewrite — the steady-state number SCALING.md tracks), 'audit_s'
-    and 'reseed_triggered'."""
+    rewrite — the steady-state number SCALING.md tracks), 'audit_s',
+    'export_s' and 'reseed_triggered'.
+
+    `export_dir` + `export_epoch` (r11, VERDICT r10 #2): the tick
+    EXTENDS the epoch-major training export in the same call —
+    text.export_epoch_append publishes the batch as
+    `epoch={export_epoch}/shard=S/*` files (batch-proportional
+    shuffle, atomic per-epoch rename, idempotent replay), so N ticks
+    leave the export identical to a one-shot epoch-major publish of
+    the final corpus (pinned by tests/test_tick.py).  The interleaved
+    full-rewrite export stays the periodic re-shuffle path."""
     from zebra_spark.graph import incremental_components
     from zebra_spark.queries import dedup as dd
     from zebra_spark.queries.audit import snapshot_audit
 
+    if export_dir is not None and export_epoch is None:
+        raise ValueError(
+            "export_dir requires export_epoch — the epoch-major "
+            "export's per-tick directory key"
+        )
     batch_docs = batch_docs.select("doc_id", "text")
     batch_vecs = batch_vecs.select("vec_id", "emb")
     prevs = _register_all(sf_dir, state_dir)
@@ -380,6 +396,19 @@ def run_tick(
         _swap_write(spark, state_dir, "clusters", merged)
         if timings is not None:
             timings["update_s"] = round(time.perf_counter() - t0, 3)
+
+        if export_dir is not None:
+            from zebra_spark.queries.text import export_epoch_append
+
+            t0 = time.perf_counter()
+            export_epoch_append(
+                spark,
+                export_dir,
+                batch_docs.withColumn("n_chars", F.length("text")),
+                export_epoch,
+            )
+            if timings is not None:
+                timings["export_s"] = round(time.perf_counter() - t0, 3)
 
         if not audit:
             return None
