@@ -314,3 +314,207 @@ def test_export_publish_is_atomic_over_stale_staging(spark, tmp_path):
     assert (
         key(shard_manifest_from_files(spark, out).toPandas()) == key(m1)
     )
+
+
+def _read_order(spark, out):
+    return (
+        spark.read.option("basePath", out)
+        .parquet(out)
+        .select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("shard").cast("int").alias("shard"),
+            "pos",
+        )
+        .toPandas()
+    )
+
+
+def _build_epoch_export(spark, out):
+    from zebra_spark.io import load
+    from zebra_spark.queries.text import export_epoch_append
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    for k in range(3):
+        export_epoch_append(
+            spark, out, docs.filter(F.col("doc_id") % 3 == k), k
+        )
+    return docs
+
+
+def test_epoch_takedown_stable_positions(spark, tmp_path):
+    """r11: export_epoch_takedown rewrites ONLY the epoch dirs holding
+    a taken-down doc; survivors keep the exact (shard, pos) they were
+    published with (holes, not a dense renumber), and a later append
+    continues above max(pos) with no position collisions."""
+    from zebra_spark.queries.text import (
+        export_epoch_append,
+        export_epoch_takedown,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+    before = _read_order(spark, out)
+    untouched = {
+        str(p): p.stat().st_mtime
+        for e in (0, 2)
+        for p in Path(out).glob(f"epoch={e}/**/*.parquet")
+    }
+    # a takedown confined to epoch 1 (doc_id % 3 == 1) by construction
+    ids = docs.filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 7 == 3)
+    ).select("doc_id")
+    n_removed = ids.count()
+    assert n_removed > 0
+    assert export_epoch_takedown(spark, out, ids) == [1]
+
+    # epochs 0 and 2 were never rewritten
+    assert {
+        str(p): p.stat().st_mtime
+        for e in (0, 2)
+        for p in Path(out).glob(f"epoch={e}/**/*.parquet")
+    } == untouched
+
+    after = _read_order(spark, out)
+    removed = set(r.doc_id for r in ids.collect())
+    want = before[~before.doc_id.isin(removed)]
+    assert _vhash(after) == _vhash(want)  # survivors: positions stable
+
+    # append epoch 3 over the holes: no (shard, pos) collision, and
+    # every new position lands strictly above the surviving max
+    export_epoch_append(
+        spark, out,
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "n_chars",
+        ),
+        3,
+    )
+    full = _read_order(spark, out)
+    assert not full.duplicated(subset=["shard", "pos"]).any()
+    old_max = after.groupby("shard")["pos"].max()
+    new_min = full[full.epoch == 3].groupby("shard")["pos"].min()
+    for s in new_min.index:
+        assert new_min[s] > old_max.get(s, 0)
+
+
+def test_epoch_takedown_matches_registry_oracle(spark):
+    """The driver-gated q_export_append_takedown drives the same path
+    through real files; its Spark side must equal the full-corpus
+    order minus the fixture slice with ORIGINAL positions."""
+    got = zebra_spark.QUERIES["q_export_append_takedown"](
+        spark, SF_SMOKE
+    ).toPandas()
+    order = zebra_spark.QUERIES["q_export_append_order"](
+        spark, SF_SMOKE
+    ).toPandas()
+    want = order[order.doc_id % 7 != 3]
+    assert _vhash(got) == _vhash(want)
+
+
+def test_epoch_compact_preserves_content_and_extends(spark, tmp_path):
+    """r11: export_epoch_compact folds epoch dirs <= K into one dir
+    with (doc_id, shard, pos) byte-identical and per-file read order
+    preserved; appends and takedowns still work on the compacted
+    tree."""
+    import pyarrow.parquet as pq
+
+    from zebra_spark.queries.text import (
+        export_epoch_append,
+        export_epoch_compact,
+        export_epoch_takedown,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+    before = _read_order(spark, out)
+
+    assert export_epoch_compact(spark, out, 2) == 3
+    assert sorted(
+        d.name for d in Path(out).iterdir() if d.is_dir()
+    ) == ["epoch=2"]
+    after = _read_order(spark, out)
+    # content identical; the epoch DIR value collapses to 2 (pos is
+    # the order truth)
+    assert _vhash(after.drop(columns=["epoch"])) == _vhash(
+        before.drop(columns=["epoch"])
+    )
+    assert set(after.epoch) == {2}
+    for f in sorted(Path(out).glob("epoch=2/shard=*/*.parquet")):
+        pos = pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
+        assert pos == sorted(pos)
+
+    # re-compacting is a no-op; append continues above max(pos)
+    assert export_epoch_compact(spark, out, 2) == 0
+    export_epoch_append(
+        spark, out,
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "n_chars",
+        ),
+        3,
+    )
+    full = _read_order(spark, out)
+    assert not full.duplicated(subset=["shard", "pos"]).any()
+    assert len(full) == len(before) + (before.doc_id % 3 == 0).sum()
+
+    # takedown on the compacted tree rewrites the (single) folded dir
+    ids = docs.filter(F.col("doc_id") % 11 == 5).select("doc_id")
+    assert export_epoch_takedown(spark, out, ids) == [2]
+    assert ids.count() > 0
+    left = _read_order(spark, out)
+    assert len(left) == len(full) - ids.count()
+
+
+def test_epoch_compact_crash_recovery(spark, tmp_path):
+    """A crash between the compact marker landing and the staging
+    publish must be repaired by the next export entry point: the
+    recovery replays the swap tail (remove sources, publish staging,
+    drop marker) and the tree reads complete."""
+    import zebra_spark.fsutil as fsutil
+    from zebra_spark.queries.text import (
+        export_epoch_append,
+        export_epoch_compact,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+    before = _read_order(spark, out)
+
+    real_rename = fsutil.rename
+    def dying_rename(spark_, src, dst):
+        if src.endswith("__compact_staging"):
+            raise RuntimeError("simulated crash before publish")
+        real_rename(spark_, src, dst)
+
+    fsutil.rename = dying_rename
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            export_epoch_compact(spark, out, 2)
+    finally:
+        fsutil.rename = real_rename
+
+    # crashed state: marker + staging present, source dirs gone
+    assert Path(f"{out}/_compact_commit").exists()
+    assert Path(f"{out}__compact_staging").exists()
+
+    # any entry point repairs it (appending epoch 3 here)
+    export_epoch_append(
+        spark, out,
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "n_chars",
+        ),
+        3,
+    )
+    assert not Path(f"{out}/_compact_commit").exists()
+    assert not Path(f"{out}__compact_staging").exists()
+    full = _read_order(spark, out)
+    recovered = full[full.epoch == 2]
+    assert _vhash(recovered.drop(columns=["epoch"])) == _vhash(
+        before.drop(columns=["epoch"])
+    )
+    assert len(full) == len(before) + (before.doc_id % 3 == 0).sum()
