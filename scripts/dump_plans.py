@@ -46,6 +46,7 @@ HEADLINE = [
     "q_tick_chain_pairs", "q_tick_chain_cosine", "q_tick_chain_clusters",
     "q_export_shards", "q_pack_sequences", "q_mix_rebalance",
     "q_token_budget_sample", "q_export_dedup_order",
+    "q_export_append_order", "q_export_append_takedown",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -219,6 +220,23 @@ NOTES = {
         "then the export writer's shard-key window over the "
         "survivors.  No graph traversal at query time; the closure "
         "cost lives in the maintained-label build/maintenance."
+    ),
+    "q_export_append_order": (
+        "Epoch-major append-friendly order: same one-shuffle-on-shard "
+        "+ per-shard window shape as q_train_order, with (epoch, hv, "
+        "doc_id) as the sort key so each epoch's rows land strictly "
+        "after every earlier epoch's — the property that lets "
+        "export_epoch_append publish one epoch's files per tick "
+        "without touching existing files."
+    ),
+    "q_export_append_takedown": (
+        "Drives the REAL takedown path: 3 epoch appends + an "
+        "affected-epoch-only rewrite on disk, then reads the "
+        "published tree back — the serving plan is a partition-"
+        "discovering parquet scan of the epoch=/shard= dirs.  The "
+        "takedown itself is one broadcast semi-join to find affected "
+        "epochs + one partition-pruned anti-join rewrite per hit; "
+        "survivors keep their original (shard, pos)."
     ),
     "q_graph_pagerank": (
         "Static print repeats the persisted sym/deg frames' *lineage* at "

@@ -2052,3 +2052,74 @@ def test_cluster_label_merge_cadence(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_sink_extends_epoch_export(spark, tmp_path):
+    """r11: maintain_pair_tables(export_dir=...) publishes each
+    epoch's docs into the epoch-major training export under the
+    STREAM'S epoch numbering — after the 3-epoch ingest the export is
+    bit-identical to the one-shot epoch-major order (the fixture's
+    doc_id % 3 convention matches the batch split), a replayed epoch
+    REPLACES its export dir (idempotent), and backfill mode
+    (epoch_id=None) refuses the export."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import zebra_spark
+    from zebra_spark.io import load
+    from zebra_spark.streaming import maintain_pair_tables
+    from tests.conftest import SF_SMOKE
+
+    zebra_spark.load_all_queries()
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    export = str(tmp_path / "export")
+    for part in range(3):
+        maintain_pair_tables(
+            spark, state, docs.filter(F.col("doc_id") % 3 == part),
+            epoch_id=part, export_dir=export,
+        )
+
+    def read_export():
+        return (
+            spark.read.option("basePath", export)
+            .parquet(export)
+            .select(
+                "doc_id",
+                F.col("epoch").cast("int").alias("epoch"),
+                F.col("shard").cast("int").alias("shard"),
+                "pos",
+            )
+            .toPandas()
+        )
+
+    want = zebra_spark.QUERIES["q_export_append_order"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert vhash(read_export()) == vhash(want)
+
+    # crash replay of epoch 1: state AND export both idempotent
+    maintain_pair_tables(
+        spark, state, docs.filter(F.col("doc_id") % 3 == 1),
+        epoch_id=1, export_dir=export,
+    )
+    assert vhash(read_export()) == vhash(want)
+
+    with _pytest.raises(ValueError, match="epoch mode"):
+        maintain_pair_tables(
+            spark, str(tmp_path / "state2"), docs.limit(1),
+            export_dir=export,
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

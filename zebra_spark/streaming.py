@@ -423,6 +423,7 @@ def maintain_pair_tables(
     epoch_id: int | None = None,
     clusters: bool = False,
     label_merge_every: int = 1,
+    export_dir: str | None = None,
 ) -> None:
     """Process ONE ingest batch of documents (doc_id, text) against the
     maintained near-dup state under `state_dir`:
@@ -472,9 +473,26 @@ def maintain_pair_tables(
     committed epoch range since the persisted watermark, labels lag
     <= K-1 epochs between merges, and flush_cluster_labels publishes
     current labels on demand — final labels are bit-identical to K=1
-    (pinned by test)."""
+    (pinned by test).
+
+    export_dir (r11): the stream EXTENDS the epoch-major training
+    export in the same sink call — after the epoch's state commit,
+    text.export_epoch_append publishes the batch as
+    `epoch={epoch_id}/shard=S/*` files under export_dir, reusing the
+    STREAM'S epoch numbering, so the export inherits the sink's
+    exactly-once story verbatim: a replayed epoch REPLACES its export
+    dir (idempotent), and after any batch split the export is
+    bit-identical to a one-shot epoch-major publish of the union
+    (pinned by test).  Epoch mode only — backfill appends
+    (epoch_id=None) have no epoch key to publish under."""
     from zebra_spark.fsutil import exists as fs_exists
 
+    if export_dir is not None and epoch_id is None:
+        raise ValueError(
+            "export_dir requires exactly-once epoch mode — backfill "
+            "appends (epoch_id=None) have no epoch key for the "
+            "epoch-major export"
+        )
     recover_state_swaps(spark, state_dir, PAIR_STATE_TABLES)
     sig_p, tok_p, pair_p = (f"{state_dir}/{n}" for n in PAIR_STATE_TABLES)
     batch = batch_df.select(
@@ -549,6 +567,20 @@ def maintain_pair_tables(
         bks.write.mode("overwrite").parquet(f"{sig_p}/epoch={epoch_id}")
         toks_out.write.mode("overwrite").parquet(f"{tok_p}/epoch={epoch_id}")
         _assert_epoch_committed(spark, tok_p, epoch_id)
+    if export_dir is not None:
+        # AFTER the state commit: a crash before this leaves the epoch
+        # committed but unexported; the stream's replay re-runs the
+        # sink and the export's per-epoch dir replace makes it right
+        from zebra_spark.queries.text import export_epoch_append
+
+        export_epoch_append(
+            spark,
+            export_dir,
+            batch_df.select(
+                "doc_id", "text", F.length("text").alias("n_chars")
+            ),
+            epoch_id,
+        )
     if clusters:
         # AFTER the pair writes: a crash before the merge leaves the
         # epoch's pairs committed and the labels one epoch stale; the
@@ -1109,7 +1141,7 @@ def remove_from_cluster_state(
 def stream_maintain_pair_tables(
     spark: SparkSession, docs_stream: DataFrame, state_dir: str,
     checkpoint_dir: str, clusters: bool = False,
-    label_merge_every: int = 1,
+    label_merge_every: int = 1, export_dir: str | None = None,
 ):
     """Wire maintain_pair_tables as a foreachBatch sink over a document
     stream (doc_id, text).  EXACTLY-once on restart (r7): each epoch's
@@ -1122,13 +1154,17 @@ def stream_maintain_pair_tables(
     the stream is stopped.  clusters=True additionally maintains the
     component-label snapshot per epoch (read_cluster_labels);
     label_merge_every=K defers the |V|-row snapshot rewrite to every
-    K-th epoch (flush_cluster_labels to publish between merges)."""
+    K-th epoch (flush_cluster_labels to publish between merges);
+    export_dir extends the epoch-major training export per epoch
+    under the stream's own epoch numbering (exactly-once by the same
+    replace-on-replay contract as the state commits)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
             maintain_pair_tables(
                 spark, state_dir, batch_df, epoch_id=epoch_id,
                 clusters=clusters, label_merge_every=label_merge_every,
+                export_dir=export_dir,
             )
 
     return (
