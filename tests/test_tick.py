@@ -328,3 +328,82 @@ def test_tick_extends_epoch_export(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_tick_takedown_equals_fresh_rebuild(spark, tmp_path):
+    """r11: tick_takedown removes an id set from EVERY maintained
+    table + the cluster labels + (optionally) the epoch export, and
+    the post-takedown state is bit-identical to a fresh chain over
+    the surviving corpus under the same frozen seeds.  The seed guard
+    refuses a takedown that hits the frozen seed set."""
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries.tick import TICK_KINDS, tick_takedown
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    export = str(tmp_path / "export")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    vecs = embeddings_d(spark, mirror).select("vec_id", "emb")
+    seed_vecs = vecs.filter(F.col("vec_id") % 3 == 0)
+    init_tick_state(spark, mirror, state, seed_vecs=seed_vecs)
+    for k in range(3):
+        run_tick(
+            spark, mirror, state,
+            docs.filter(F.col("doc_id") % 3 == k),
+            vecs.filter(F.col("vec_id") % 3 == k),
+            export_dir=export, export_epoch=k,
+        )
+
+    # ids far above the frozen seed prefix, spread across ticks
+    takedown = docs.filter(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") > 100)
+    ).select("doc_id")
+    n_removed = takedown.count()
+    assert n_removed > 0
+    pre_export = (
+        spark.read.option("basePath", export).parquet(export)
+        .select("doc_id", "shard", "pos").toPandas()
+    )
+    tick_takedown(spark, mirror, state, takedown, export_dir=export)
+
+    # fresh rebuild over the survivors, same frozen seeds, one tick
+    fresh = str(tmp_path / "fresh")
+    init_tick_state(spark, mirror, fresh, seed_vecs=seed_vecs)
+    surv_docs = docs.join(takedown, "doc_id", "left_anti")
+    surv_vecs = vecs.join(
+        takedown.withColumnRenamed("doc_id", "vec_id"), "vec_id",
+        "left_anti",
+    )
+    run_tick(spark, mirror, fresh, surv_docs, surv_vecs)
+    for kind in TICK_KINDS:
+        if kind in ("cosseeds", "driftbase"):
+            continue  # frozen/init artifacts, not takedown targets
+        got = spark.read.parquet(f"{state}/{kind}").toPandas()
+        want = spark.read.parquet(f"{fresh}/{kind}").toPandas()
+        assert _vhash(got) == _vhash(want), kind
+    got_vecs = spark.read.parquet(f"{state}/vecs").select("vec_id")
+    assert got_vecs.join(takedown.withColumnRenamed(
+        "doc_id", "vec_id"), "vec_id", "left_semi").count() == 0
+
+    # export scrubbed: removed docs gone, survivors' positions stable
+    post_export = (
+        spark.read.option("basePath", export).parquet(export)
+        .select("doc_id", "shard", "pos").toPandas()
+    )
+    removed = set(r.doc_id for r in takedown.collect())
+    assert not (post_export.doc_id.isin(removed)).any()
+    want_export = pre_export[~pre_export.doc_id.isin(removed)]
+    assert _vhash(post_export) == _vhash(want_export)
+
+    # seed guard: the smallest seed id is by construction a frozen seed
+    seed_min = spark.read.parquet(f"{state}/cosseeds").agg(
+        F.min("cell_id")
+    ).first()[0]
+    with pytest.raises(ValueError, match="seed"):
+        tick_takedown(
+            spark, mirror, state,
+            spark.createDataFrame([(int(seed_min),)], "doc_id bigint"),
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

@@ -423,6 +423,134 @@ def run_tick(
         _restore_all(sf_dir, prevs)
 
 
+def tick_takedown(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    ids_df: DataFrame,
+    export_dir: str | None = None,
+) -> None:
+    """RIGHT-TO-BE-FORGOTTEN across the whole persisted tick state —
+    one call removes a doc/vector id set from every maintained table
+    (sigs, toksets, minhash, vecs, cosassign, cosine), relabels the
+    cluster snapshot affected-components-only
+    (graph.remove_and_relabel), and, with `export_dir`, scrubs the
+    epoch-major training export via text.export_epoch_takedown
+    (affected epoch dirs only, survivors keep their positions).  The
+    post-takedown state is bit-identical to a fresh chain over the
+    surviving corpus under the SAME frozen seeds (pinned by
+    tests/test_tick.py): row tables are per-row deterministic, no
+    surviving pair involves a removed endpoint, and the min-id label
+    contract makes the relabel equal a full re-cluster.
+
+    Two REFUSE guards mirror the streaming removers:
+    - seed hit (cosseeds' cell_id IS the source vec_id): removing a
+      seed changes the blocking for every future batch — that is a
+      reseed (fresh state over the survivors), not a delete;
+    - binding giant-cell cap: under NDUP_MAX_CELL, a capped rebuild
+      over the survivors would ADMIT previously-evicted members of an
+      over-cap cell (pairs a deletion can't create), so a takedown
+      touching an over-cap cell diverges from the capped rebuild —
+      refused conservatively, same posture as _guard_capped_append.
+
+    Scale shape: the row-table rewrites are one anti-join + full
+    rewrite each — takedown is compaction-class maintenance (run at
+    rest, amortized over many ticks), NOT a per-batch op; the label
+    relabel and the export scrub are both affected-only."""
+    from zebra_spark.graph import remove_and_relabel
+    from zebra_spark.queries import dedup as dd
+
+    ids = (
+        ids_df.select(F.col(ids_df.columns[0]).alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    seed_hits = (
+        spark.read.parquet(f"{state_dir}/cosseeds")
+        .join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "cell_id")),
+            "cell_id",
+            "left_semi",
+        )
+        .limit(1)
+        .count()
+    )
+    if seed_hits:
+        raise ValueError(
+            "takedown ids include frozen seed vectors (cosseeds' "
+            "cell_id is the source vec_id); removing a seed changes "
+            "the blocking for every future batch — rebuild a fresh "
+            "state over the surviving corpus (reseed) instead"
+        )
+
+    if dd.NDUP_MAX_CELL is not None:
+        assign = spark.read.parquet(f"{state_dir}/cosassign")
+        touched = (
+            assign.join(
+                F.broadcast(ids.withColumnRenamed("doc_id", "vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+            .select("cell_id")
+            .distinct()
+        )
+        biggest = (
+            assign.join(F.broadcast(touched), "cell_id", "left_semi")
+            .groupBy("cell_id")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if biggest is not None and biggest > dd.NDUP_MAX_CELL:
+            raise ValueError(
+                f"capped tick state (max_cell={dd.NDUP_MAX_CELL}) "
+                f"takedown touches an over-cap cell ({biggest} "
+                "members): a capped rebuild over the survivors would "
+                "admit previously-evicted members, which a deletion "
+                "cannot reproduce — reseed into a fresh state instead"
+            )
+
+    def anti(df: DataFrame, *cols: str) -> DataFrame:
+        for c in cols:
+            df = df.join(
+                F.broadcast(ids.select(F.col("doc_id").alias(c))),
+                c,
+                "left_anti",
+            )
+        return df
+
+    for kind, cols in (
+        ("sigs", ("doc_id",)),
+        ("toksets", ("doc_id",)),
+        ("minhash", ("doc_a", "doc_b")),
+        ("vecs", ("vec_id",)),
+        ("cosassign", ("vec_id",)),
+        ("cosine", ("id_a", "id_b")),
+    ):
+        _swap_write(
+            spark, state_dir, kind,
+            anti(spark.read.parquet(f"{state_dir}/{kind}"), *cols),
+        )
+
+    labels = spark.read.parquet(f"{state_dir}/clusters").select(
+        F.col("doc_id").alias("id"), F.col("cluster").alias("component")
+    )
+    # post-swap minhash: surviving-vs-surviving edges only
+    edges = dd.threshold_edges(
+        spark.read.parquet(f"{state_dir}/minhash")
+    )
+    relabeled = remove_and_relabel(labels, edges, ids).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    _swap_write(spark, state_dir, "clusters", relabeled)
+
+    if export_dir is not None:
+        from zebra_spark.queries.text import export_epoch_takedown
+
+        export_epoch_takedown(spark, export_dir, ids)
+
+
 # --- the chain at the driver hash gate --------------------------------------
 #
 # One 3-tick chain per dataset per session (built under a lock, against
