@@ -174,6 +174,11 @@ def main() -> None:
         "q_mix_rebalance",
         "q_token_budget_sample",
         "q_export_dedup_order",
+        # round-11: the epoch-major append export's order and its
+        # stable-position takedown (3 real appends + affected-epoch
+        # rewrite + read-back per trial — prices the whole lifecycle)
+        "q_export_append_order",
+        "q_export_append_takedown",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -2043,12 +2043,18 @@ def test_cluster_label_merge_cadence(spark, tmp_path):
     flush_cluster_labels(spark, lazy)
     assert vhash(read_cluster_labels(spark, lazy).toPandas()) == vhash(want)
 
-    # backfill appends cannot defer: no epoch numbering to range over
+    # backfill appends cannot defer: no epoch numbering to range over —
+    # and the refusal must land BEFORE any non-idempotent append, or a
+    # caller's retry after fixing the knob double-applies the batch
+    # (r11 review)
+    import os
+
     with pytest.raises(ValueError, match="epoch"):
         maintain_pair_tables(
             spark, str(tmp_path / "bf"), docs.limit(10), clusters=True,
             label_merge_every=2,
         )
+    assert not os.path.exists(str(tmp_path / "bf"))
     from zebra_spark.caching import release_caches
 
     release_caches()
@@ -2120,6 +2126,58 @@ def test_sink_extends_epoch_export(spark, tmp_path):
             spark, str(tmp_path / "state2"), docs.limit(1),
             export_dir=export,
         )
+    from zebra_spark.caching import release_caches
+
+    release_caches()
+
+
+def test_compact_flushes_deferred_label_merges(spark, tmp_path):
+    """r11 review: compact_pair_state folds the per-epoch pair dirs
+    into one epoch=-1 snapshot, which the watermark-ranged label merge
+    (`epoch > wm`) excludes forever — so compaction must FLUSH the
+    deferred merges first, or every deferred-but-unmerged epoch's docs
+    silently vanish from the labels for good."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.streaming import (
+        compact_pair_state,
+        maintain_pair_tables,
+        read_cluster_labels,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    lazy = str(tmp_path / "lazy")
+    eager = str(tmp_path / "eager")
+    for part in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == part)
+        maintain_pair_tables(
+            spark, lazy, batch, epoch_id=part, clusters=True,
+            label_merge_every=10,
+        )
+        maintain_pair_tables(
+            spark, eager, batch, epoch_id=part, clusters=True,
+        )
+    # epochs 1-2 deferred: the lagging snapshot misses their docs
+    assert (
+        read_cluster_labels(spark, lazy).count()
+        < read_cluster_labels(spark, eager).count()
+    )
+    compact_pair_state(spark, lazy)
+    got = read_cluster_labels(spark, lazy).toPandas()
+    want = read_cluster_labels(spark, eager).toPandas()
+    assert len(got) == len(want) > 0
+    assert vhash(got) == vhash(want)
     from zebra_spark.caching import release_caches
 
     release_caches()

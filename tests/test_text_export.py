@@ -518,3 +518,47 @@ def test_epoch_compact_crash_recovery(spark, tmp_path):
         before.drop(columns=["epoch"])
     )
     assert len(full) == len(before) + (before.doc_id % 3 == 0).sum()
+
+
+def test_epoch_compact_clamps_target_and_empty_epochs(spark, tmp_path):
+    """r11 review: (a) compacting with a target ABOVE the highest
+    present epoch folds into the highest PRESENT one — a phantom
+    higher number would sit above later appends' `epoch < K` offsets
+    probe and silently re-issue occupied positions; (b) an empty
+    epoch publishes NO dir (a part-less dir breaks later schema
+    reads), and appends continue cleanly past it."""
+    from zebra_spark.queries.text import (
+        export_epoch_append,
+        export_epoch_compact,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+    before = _read_order(spark, out)
+
+    assert export_epoch_compact(spark, out, 99) == 3
+    assert sorted(
+        d.name for d in Path(out).iterdir() if d.is_dir()
+    ) == ["epoch=2"]
+
+    # an empty epoch 3: nothing published, no phantom dir
+    export_epoch_append(spark, out, docs.limit(0), 3)
+    assert not Path(f"{out}/epoch=3").exists()
+
+    # epoch 4 appends over the compacted + skipped epochs with
+    # positions continuing above max(pos) — no collisions
+    export_epoch_append(
+        spark, out,
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "n_chars",
+        ),
+        4,
+    )
+    full = _read_order(spark, out)
+    assert not full.duplicated(subset=["shard", "pos"]).any()
+    assert len(full) == len(before) + (before.doc_id % 3 == 1).sum()
+    old_max = before.groupby("shard")["pos"].max()
+    new_min = full[full.epoch == 4].groupby("shard")["pos"].min()
+    for s in new_min.index:
+        assert new_min[s] > old_max.get(s, 0)

@@ -25,18 +25,31 @@ def _hadoop_fs(spark, path: str):
 
 
 def write_text(spark, path: str, text: str) -> None:
-    """Write a small UTF-8 file, creating parent dirs as needed."""
+    """Write a small UTF-8 file ATOMICALLY (temp sibling + rename),
+    creating parent dirs as needed.  Several callers use the file's
+    CONTENT as a commit record — the export's _compact_commit marker,
+    the streaming clusters' merged-upto watermark — and a torn write
+    (crash mid-write leaving truncated JSON / a partial int) would
+    wedge every later reader; publish-by-rename makes the file either
+    absent or whole (r11 review).  Object stores get copy+delete for
+    the rename — same caveat every swap in this repo documents."""
+    tmp = f"{path}.__tmp"
     if _is_local(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
+        with open(tmp, "w") as f:
             f.write(text)
+        os.replace(tmp, path)
         return
     fs, hpath = _hadoop_fs(spark, path)
-    out = fs.create(hpath, True)
+    htmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    out = fs.create(htmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    fs.delete(hpath, False)
+    if not fs.rename(htmp, hpath):
+        raise IOError(f"atomic write_text rename {tmp} -> {path} failed")
 
 
 def exists(spark, path: str) -> bool:

@@ -493,6 +493,16 @@ def maintain_pair_tables(
             "appends (epoch_id=None) have no epoch key for the "
             "epoch-major export"
         )
+    # validated BEFORE any write, not inside the label merge: backfill
+    # appends are non-idempotent, so raising after them would leave a
+    # half-applied batch the caller's retry then double-appends (r11
+    # review)
+    if label_merge_every > 1 and epoch_id is None:
+        raise ValueError(
+            "label merge cadence (label_merge_every > 1) requires "
+            "exactly-once epoch mode — backfill appends (epoch_id="
+            "None) have no epoch numbering to defer merges against"
+        )
     recover_state_swaps(spark, state_dir, PAIR_STATE_TABLES)
     sig_p, tok_p, pair_p = (f"{state_dir}/{n}" for n in PAIR_STATE_TABLES)
     batch = batch_df.select(
@@ -553,10 +563,14 @@ def maintain_pair_tables(
         )
     )
     toks_out = batch.select("doc_id", "words")
-    if clusters:
-        # one materialization feeds both the pair write and the label
-        # merge (recomputing the band join per consumer would double
-        # the epoch's dominant cost)
+    if clusters and epoch_id is None:
+        # backfill only: the label merge consumes this delta directly,
+        # so one materialization feeds both it and the pair write
+        # (recomputing the band join per consumer would double the
+        # batch's dominant cost).  In epoch mode the merge re-reads
+        # the COMMITTED epoch range from pairs/ instead — a checkpoint
+        # here would materialize the delta twice for one consumer
+        # (r11 review)
         delta = delta.localCheckpoint()
     if epoch_id is None:
         delta.write.mode("append").parquet(pair_p)
@@ -939,7 +953,16 @@ def compact_pair_state(
 ) -> None:
     """compact_state over the lexical near-dup state tables.  The
     clusters/ snapshot (if maintained) needs no folding — it is always
-    exactly one snapshot, swapped whole."""
+    exactly one snapshot, swapped whole — but any label merges
+    DEFERRED by label_merge_every are flushed FIRST: compaction folds
+    the per-epoch pair dirs into one `epoch=-1` snapshot, which the
+    watermark-ranged merge (`epoch > wm`) would exclude forever, so
+    folding before flushing would silently drop the
+    deferred-but-unmerged epochs from the labels (r11 review)."""
+    from zebra_spark.fsutil import exists as fs_exists
+
+    if fs_exists(spark, f"{state_dir}/{CLUSTER_STATE_TABLE}"):
+        flush_cluster_labels(spark, state_dir, n_files=n_files)
     compact_state(spark, state_dir, PAIR_STATE_TABLES, n_files=n_files)
 
 
