@@ -562,3 +562,63 @@ def test_epoch_compact_clamps_target_and_empty_epochs(spark, tmp_path):
     new_min = full[full.epoch == 4].groupby("shard")["pos"].min()
     for s in new_min.index:
         assert new_min[s] > old_max.get(s, 0)
+
+
+def test_epoch_offsets_manifest_consistency(spark, tmp_path):
+    """r11: every published epoch dir's _offsets.json (the
+    metadata-only probe source) must equal the actual per-shard
+    max(pos) of its files — after appends, after a takedown rewrite,
+    and after compaction — and a manifest-less legacy dir must still
+    append correctly via the scan fallback."""
+    import json
+    import os
+
+    from zebra_spark.queries.text import (
+        _read_epoch_offsets,
+        export_epoch_append,
+        export_epoch_compact,
+        export_epoch_takedown,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+
+    def check_all():
+        for d in sorted(Path(out).glob("epoch=*")):
+            got = _read_epoch_offsets(spark, str(d))
+            assert got is not None, d
+            want = {
+                int(r["shard"]): int(r["mx"])
+                for r in spark.read.parquet(str(d))
+                .groupBy(F.col("shard").cast("int").alias("shard"))
+                .agg(F.max("pos").alias("mx"))
+                .collect()
+            }
+            assert got == want, d
+
+    check_all()
+    export_epoch_takedown(
+        spark, out,
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+    )
+    check_all()
+    export_epoch_compact(spark, out, 2)
+    check_all()
+
+    # legacy dir without a manifest: append falls back to the scan and
+    # still lands above every existing position
+    os.remove(f"{out}/epoch=2/_offsets.json")
+    export_epoch_append(
+        spark, out,
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "n_chars",
+        ),
+        3,
+    )
+    full = _read_order(spark, out)
+    assert not full.duplicated(subset=["shard", "pos"]).any()
+    old_max = full[full.epoch == 2].groupby("shard")["pos"].max()
+    new_min = full[full.epoch == 3].groupby("shard")["pos"].min()
+    for s in new_min.index:
+        assert new_min[s] > old_max.get(s, 0)
