@@ -42,12 +42,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Names forced to the FRONT of the gate order even if they already have
 # a driver row.  r10's thirteen pins all got green/clean rows in r10,
 # so that pin is retired.  r11 pins its ONE new oracled query (the
-# epoch-major append-friendly export order, VERDICT r10 #2), plus the
-# next slice of the rows-only freshness rotation (VERDICT r10 #4:
-# q_multimodal_features and q_snapshot_audit now hold the OLDEST clean
-# rows, r6/r7 vintage).
+# epoch-major append-friendly export order, VERDICT r10 #2, plus the
+# second-wave lifecycle gates: the stable-position takedown and the
+# per-epoch file manifest), plus the next slice of the rows-only
+# freshness rotation (VERDICT r10 #4: q_multimodal_features and
+# q_snapshot_audit now hold the OLDEST clean rows, r6/r7 vintage).
 _FORCE_FIRST = [
     "q_export_append_order", "q_export_append_takedown",
+    "q_export_append_manifest",
     "q_multimodal_features", "q_snapshot_audit",
 ]
 
