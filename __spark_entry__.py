@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_snapshot_audit now hold the OLDEST clean rows, r6/r7 vintage).
 _FORCE_FIRST = [
     "q_export_append_order", "q_export_append_takedown",
-    "q_export_append_manifest",
+    "q_export_append_manifest", "q_pack_sequences_epoch",
     "q_multimodal_features", "q_snapshot_audit",
 ]
 

@@ -622,3 +622,59 @@ def test_epoch_offsets_manifest_consistency(spark, tmp_path):
     new_min = full[full.epoch == 3].groupby("shard")["pos"].min()
     for s in new_min.index:
         assert new_min[s] > old_max.get(s, 0)
+
+
+def test_pack_sequences_epoch_is_append_stable(spark):
+    """r11: packing over the epoch-major order must be per-epoch
+    extendable — the sequence assignment of every doc in epochs < K is
+    unchanged by epoch K's arrival (its tokens pack strictly after),
+    unlike the interleaved q_pack_sequences where one new doc shifts
+    every later cum sum in its shard."""
+    from zebra_spark.io import load
+    from zebra_spark.queries.text import q_pack_sequences_epoch
+
+    full = q_pack_sequences_epoch(spark, SF_SMOKE).toPandas()
+    # recompute over only epochs 0-1 by restricting the corpus view
+    docs = load(spark, SF_SMOKE, "documents")
+    docs.filter(F.col("doc_id") % 3 < 2).createOrReplaceTempView(
+        "_pack_prefix"
+    )
+    try:
+        prefix_docs = spark.table("_pack_prefix")
+        from zebra_spark.queries.text import (
+            _EXPORT_EPOCHS, N_SHARDS, SEQ_BUDGET, shard_hash_col,
+        )
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("epoch", "hv", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prefix = (
+            prefix_docs.select(
+                "doc_id",
+                (F.col("doc_id") % _EXPORT_EPOCHS).cast("int").alias("epoch"),
+                F.size(F.split("text", " ")).alias("n_tokens"),
+                shard_hash_col().alias("hv"),
+            )
+            .withColumn("shard", (F.col("hv") % N_SHARDS).cast("int"))
+            .withColumn(
+                "cum_before",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+            )
+            .select(
+                "doc_id", "shard",
+                F.expr(f"cum_before div {SEQ_BUDGET}").cast("bigint")
+                .alias("seq_id"),
+                (F.col("cum_before") % SEQ_BUDGET).cast("bigint")
+                .alias("seq_offset"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+            .toPandas()
+        )
+    finally:
+        spark.catalog.dropTempView("_pack_prefix")
+    merged = full[full.doc_id % 3 < 2]
+    assert _vhash(merged) == _vhash(prefix)
+    assert len(prefix) > 0
