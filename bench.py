@@ -174,11 +174,15 @@ def main() -> None:
         "q_mix_rebalance",
         "q_token_budget_sample",
         "q_export_dedup_order",
-        # round-11: the epoch-major append export's order and its
+        # round-11: the epoch-major append export's order, its
         # stable-position takedown (3 real appends + affected-epoch
-        # rewrite + read-back per trial — prices the whole lifecycle)
+        # rewrite + read-back per trial — prices the whole lifecycle),
+        # the per-(epoch, shard) file manifest, and the append-stable
+        # epoch-order sequence packing
         "q_export_append_order",
         "q_export_append_takedown",
+        "q_export_append_manifest",
+        "q_pack_sequences_epoch",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -47,6 +47,7 @@ HEADLINE = [
     "q_export_shards", "q_pack_sequences", "q_mix_rebalance",
     "q_token_budget_sample", "q_export_dedup_order",
     "q_export_append_order", "q_export_append_takedown",
+    "q_export_append_manifest", "q_pack_sequences_epoch",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -237,6 +238,18 @@ NOTES = {
         "takedown itself is one broadcast semi-join to find affected "
         "epochs + one partition-pruned anti-join rewrite per hit; "
         "survivors keep their original (shard, pos)."
+    ),
+    "q_export_append_manifest": (
+        "Publish-time check through real files: builds the 3-epoch "
+        "append export, re-reads the published tree, and aggregates "
+        "per (epoch, shard) — one scan of the already-partitioned "
+        "files + a two-level aggregation."
+    ),
+    "q_pack_sequences_epoch": (
+        "q_pack_sequences' window in (epoch, hv, doc_id) order — the "
+        "append export's order — so earlier epochs' sequence "
+        "assignments are immutable under appends.  Same one-shuffle + "
+        "per-partition window shape; no UDF, no global window."
     ),
     "q_graph_pagerank": (
         "Static print repeats the persisted sym/deg frames' *lineage* at "
