@@ -301,6 +301,89 @@ def q_knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_PROP = 5  # neighbors per vote in label propagation
+
+
+@query(
+    "q_knn_label_prop",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    l AS (SELECT vec_id AS lab_id, label, emb AS le FROM e
+          WHERE vec_id % 5 = 0),
+    u AS (SELECT vec_id, emb FROM e WHERE vec_id % 5 <> 0),
+    d AS (
+      SELECT u.vec_id, l.label, l.lab_id,
+             {zf.sql_metric("l2sq", a="u.emb", b="l.le", dim=DIM)} AS dist
+      FROM u CROSS JOIN l
+    ),
+    r AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, lab_id) AS rk
+      FROM d
+    ),
+    v AS (
+      SELECT vec_id, label, count(*) AS votes
+      FROM r WHERE rk <= {K_PROP} GROUP BY vec_id, label
+    ),
+    w AS (
+      SELECT vec_id, label, votes,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY votes DESC, label) AS pick
+      FROM v
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(votes AS BIGINT) AS votes
+    FROM w WHERE pick = 1
+    """,
+)
+def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL PROPAGATION — semi-supervised labeling over the
+    embedding space, the curation move behind classifier-filtered
+    corpora (label a small seed set, propagate to everything by
+    nearest-neighbor majority vote): every unlabeled vector (fixture:
+    vec_id % 5 != 0) takes the majority label of its {K_PROP} nearest
+    labeled seeds (vec_id % 5 == 0, true `label` column) under L2^2,
+    ties broken toward the smallest label, (dist, seed id) ordering
+    exactly as q_knn_exact.  Plan shape: one corpus scan cross-joined
+    against the BROADCAST seed side (seed sets are classifier training
+    data — small by construction) + a per-vector rank window + a vote
+    aggregate; at larger seed sets the ANN families' `search_df`
+    provides the same candidates with cell/bucket pruning (two-phase,
+    as q_knn_lsh).  No reference counterpart — SURVEY §2.C pipeline
+    extension surface."""
+    e = embeddings_d(spark, sf_dir)
+    lab = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("lab_id"),
+        "label",
+        F.col("emb").alias("le"),
+    )
+    unl = e.filter(F.col("vec_id") % 5 != 0).select("vec_id", "emb")
+    rk = Window.partitionBy("vec_id").orderBy("dist", "lab_id")
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.col("votes").desc(), "label"
+    )
+    return (
+        unl.crossJoin(F.broadcast(lab))
+        .select(
+            "vec_id", "label", "lab_id",
+            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= K_PROP)
+        .groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+
+
 @query(
     "q_centroid_per_label",
     oracle=f"""
