@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FORCE_FIRST = [
     "q_export_append_order", "q_export_append_takedown",
     "q_export_append_manifest", "q_pack_sequences_epoch",
-    "q_knn_label_prop",
+    "q_knn_label_prop", "q_knn_label_prop_audit",
     "q_multimodal_features", "q_snapshot_audit",
 ]
 

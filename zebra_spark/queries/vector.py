@@ -303,18 +303,17 @@ def q_knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K_PROP = 5  # neighbors per vote in label propagation
 
-
-@query(
-    "q_knn_label_prop",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
-               FROM embeddings),
+# shared CTE prefix: seed/unlabeled split + vote (one definition feeds
+# q_knn_label_prop and its accuracy audit, so the two can't drift)
+_SQL_PROP = f"""
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+          FROM embeddings),
     l AS (SELECT vec_id AS lab_id, label, emb AS le FROM e
           WHERE vec_id % 5 = 0),
     u AS (SELECT vec_id, emb FROM e WHERE vec_id % 5 <> 0),
     d AS (
       SELECT u.vec_id, l.label, l.lab_id,
-             {zf.sql_metric("l2sq", a="u.emb", b="l.le", dim=DIM)} AS dist
+             {{dist}} AS dist
       FROM u CROSS JOIN l
     ),
     r AS (
@@ -333,6 +332,13 @@ K_PROP = 5  # neighbors per vote in label propagation
                                 ORDER BY votes DESC, label) AS pick
       FROM v
     )
+""".format(dist=zf.sql_metric("l2sq", a="u.emb", b="l.le", dim=DIM))
+
+
+@query(
+    "q_knn_label_prop",
+    oracle=f"""
+    WITH {_SQL_PROP}
     SELECT vec_id, CAST(label AS BIGINT) AS label,
            CAST(votes AS BIGINT) AS votes
     FROM w WHERE pick = 1
@@ -380,6 +386,45 @@ def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("label").cast("bigint").alias("label"),
             F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+
+
+@query(
+    "q_knn_label_prop_audit",
+    oracle=f"""
+    WITH {_SQL_PROP},
+    p AS (SELECT vec_id, label AS plabel FROM w WHERE pick = 1)
+    SELECT CAST(e.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN p.plabel = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM p JOIN e USING (vec_id)
+    GROUP BY e.label
+    """,
+)
+def q_knn_label_prop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The propagation's measure-don't-guess audit (the
+    q_sketch_calibration pattern): the fixture's unlabeled vectors
+    KEEP their true labels, so per true label we can score how many
+    the K_PROP-NN majority vote recovered — (n, n_correct),
+    all-integer so both engines agree exactly.  One extra broadcast
+    join + aggregate on top of q_knn_label_prop's plan; in production
+    this runs over a held-out labeled slice and gates the seed-set
+    size / K the same way sketch calibration gates the permutation
+    count."""
+    prop = q_knn_label_prop(spark, sf_dir).select(
+        "vec_id", F.col("label").alias("plabel")
+    )
+    truth = embeddings_d(spark, sf_dir).select("vec_id", "label")
+    return (
+        prop.join(truth, "vec_id")
+        .groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("plabel") == F.col("label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
         )
     )
 
