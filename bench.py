@@ -184,8 +184,9 @@ def main() -> None:
         "q_export_append_manifest",
         "q_pack_sequences_epoch",
         # round-11 late wave: kNN label propagation (broadcast-seed
-        # majority vote over the embedding space)
+        # majority vote over the embedding space) + its accuracy audit
         "q_knn_label_prop",
+        "q_knn_label_prop_audit",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -48,6 +48,7 @@ HEADLINE = [
     "q_token_budget_sample", "q_export_dedup_order",
     "q_export_append_order", "q_export_append_takedown",
     "q_export_append_manifest", "q_pack_sequences_epoch",
+    "q_knn_label_prop", "q_knn_label_prop_audit",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -244,6 +245,17 @@ NOTES = {
         "append export, re-reads the published tree, and aggregates "
         "per (epoch, shard) — one scan of the already-partitioned "
         "files + a two-level aggregation."
+    ),
+    "q_knn_label_prop": (
+        "Broadcast-nested-loop of the corpus against the SEED side "
+        "(classifier training data — small by construction) + a "
+        "per-vector rank window + a vote aggregate.  No corpus-x-"
+        "corpus pair ever forms; larger seed sets ride the ANN "
+        "families' search_df for candidate pruning."
+    ),
+    "q_knn_label_prop_audit": (
+        "One extra join + integer aggregate on top of the "
+        "propagation's plan — the per-label recovered-count audit."
     ),
     "q_pack_sequences_epoch": (
         "q_pack_sequences' window in (epoch, hv, doc_id) order — the "
