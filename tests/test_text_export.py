@@ -633,48 +633,18 @@ def test_pack_sequences_epoch_is_append_stable(spark):
     from zebra_spark.io import load
     from zebra_spark.queries.text import q_pack_sequences_epoch
 
-    full = q_pack_sequences_epoch(spark, SF_SMOKE).toPandas()
-    # recompute over only epochs 0-1 by restricting the corpus view
-    docs = load(spark, SF_SMOKE, "documents")
-    docs.filter(F.col("doc_id") % 3 < 2).createOrReplaceTempView(
-        "_pack_prefix"
+    from zebra_spark.queries.text import (
+        _EXPORT_EPOCHS,
+        pack_sequences_epoch_df,
     )
-    try:
-        prefix_docs = spark.table("_pack_prefix")
-        from zebra_spark.queries.text import (
-            _EXPORT_EPOCHS, N_SHARDS, SEQ_BUDGET, shard_hash_col,
-        )
-        from pyspark.sql import Window
 
-        w = (
-            Window.partitionBy("shard")
-            .orderBy("epoch", "hv", "doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        prefix = (
-            prefix_docs.select(
-                "doc_id",
-                (F.col("doc_id") % _EXPORT_EPOCHS).cast("int").alias("epoch"),
-                F.size(F.split("text", " ")).alias("n_tokens"),
-                shard_hash_col().alias("hv"),
-            )
-            .withColumn("shard", (F.col("hv") % N_SHARDS).cast("int"))
-            .withColumn(
-                "cum_before",
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
-            )
-            .select(
-                "doc_id", "shard",
-                F.expr(f"cum_before div {SEQ_BUDGET}").cast("bigint")
-                .alias("seq_id"),
-                (F.col("cum_before") % SEQ_BUDGET).cast("bigint")
-                .alias("seq_offset"),
-                F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            )
-            .toPandas()
-        )
-    finally:
-        spark.catalog.dropTempView("_pack_prefix")
-    merged = full[full.doc_id % 3 < 2]
+    full = q_pack_sequences_epoch(spark, SF_SMOKE).toPandas()
+    # recompute over only the first _EXPORT_EPOCHS-1 epochs through the
+    # SAME implementation the query uses (pack_sequences_epoch_df)
+    docs = load(spark, SF_SMOKE, "documents")
+    prefix = pack_sequences_epoch_df(
+        docs.filter(F.col("doc_id") % _EXPORT_EPOCHS < _EXPORT_EPOCHS - 1)
+    ).toPandas()
+    merged = full[full.doc_id % _EXPORT_EPOCHS < _EXPORT_EPOCHS - 1]
     assert _vhash(merged) == _vhash(prefix)
     assert len(prefix) > 0

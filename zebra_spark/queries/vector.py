@@ -349,7 +349,7 @@ def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space, the curation move behind classifier-filtered
     corpora (label a small seed set, propagate to everything by
     nearest-neighbor majority vote): every unlabeled vector (fixture:
-    vec_id % 5 != 0) takes the majority label of its {K_PROP} nearest
+    vec_id % 5 != 0) takes the majority label of its K_PROP nearest
     labeled seeds (vec_id % 5 == 0, true `label` column) under L2^2,
     ties broken toward the smallest label, (dist, seed id) ordering
     exactly as q_knn_exact.  Plan shape: one corpus scan cross-joined
