@@ -648,3 +648,73 @@ def test_pack_sequences_epoch_is_append_stable(spark):
     merged = full[full.doc_id % _EXPORT_EPOCHS < _EXPORT_EPOCHS - 1]
     assert _vhash(merged) == _vhash(prefix)
     assert len(prefix) > 0
+
+def test_read_epoch_export_repairs_crash_window(spark, tmp_path):
+    """ADVICE r11: a PURE READER landing in the crash window after the
+    _compact_commit marker but before the staging publish must see the
+    repaired tree — read_epoch_export runs _recover_epoch_compact
+    first (the recover_state_swaps-before-read pattern), so no
+    silently-missing rows; and a missing/empty export reads as an
+    empty typed frame instead of a schema-inference error."""
+    import zebra_spark.fsutil as fsutil
+    from zebra_spark.queries.text import (
+        export_epoch_compact,
+        read_epoch_export,
+    )
+
+    out = str(tmp_path / "inc")
+    _build_epoch_export(spark, out)
+    before = _read_order(spark, out)
+
+    real_rename = fsutil.rename
+
+    def dying_rename(spark_, src, dst):
+        if src.endswith("__compact_staging"):
+            raise RuntimeError("simulated crash before publish")
+        real_rename(spark_, src, dst)
+
+    fsutil.rename = dying_rename
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            export_epoch_compact(spark, out, 2)
+    finally:
+        fsutil.rename = real_rename
+
+    assert Path(f"{out}/_compact_commit").exists()
+    # the reader itself repairs and reads the COMPLETE folded tree
+    got = (
+        read_epoch_export(spark, out)
+        .select("doc_id", "shard", "pos")
+        .toPandas()
+    )
+    assert not Path(f"{out}/_compact_commit").exists()
+    assert _vhash(got) == _vhash(before.drop(columns=["epoch"]))
+
+    # missing dir: empty frame with the export schema, no exception
+    empty = read_epoch_export(spark, str(tmp_path / "never_written"))
+    assert empty.count() == 0
+    assert set(empty.columns) == {
+        "doc_id", "text", "n_chars", "shard", "pos", "epoch",
+    }
+
+
+def test_takedown_of_scrubbed_export_noops(spark, tmp_path):
+    """ADVICE r11: export_epoch_takedown on a fully-scrubbed tree (a
+    prior run removed every epoch dir) or a never-created dir returns
+    [] instead of raising — the documented idempotent-retry story."""
+    from zebra_spark.queries.text import export_epoch_takedown
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+    all_ids = docs.select("doc_id")
+
+    assert sorted(export_epoch_takedown(spark, out, all_ids)) == [0, 1, 2]
+    assert not any(p.name.startswith("epoch=") for p in Path(out).iterdir())
+    # the retry: every epoch already gone -> clean no-op
+    assert export_epoch_takedown(spark, out, all_ids) == []
+    # never-created export dir -> clean no-op too
+    assert export_epoch_takedown(
+        spark, str(tmp_path / "nowhere"), all_ids
+    ) == []
