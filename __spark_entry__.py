@@ -32,26 +32,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only a prefix of this dict
-# (~50 entries in round 1).  To get every registered query a driver-green
-# row across rounds, order the registry by (never-driver-checked first,
-# manifest priority, registry order): _driver_checked() scans the
-# CORRECTNESS_r*.json files the driver leaves in the repo root, so each
-# new round automatically rotates still-unchecked queries to the front.
-# Pure reordering — the name->callable mapping is unchanged and
+# (~50 entries per round).  To keep the hard correctness signal FRESH
+# for every registered query, order the registry by
+# (force-pins, never-driver-checked first, OLDEST-checked-round,
+#  manifest priority, registry order)  — r12, VERDICT r11 #1: the old
+# sort keyed only on has-a-row-ever, so once everything had one row
+# the stalest cohort (46 names whose latest green row dated to r1)
+# never re-certified.  _driver_latest_round() scans the
+# CORRECTNESS_r*.json files the driver leaves in the repo root, so
+# each round's prefix now re-certifies the most-stale names and every
+# query's latest row stays within ~4 rounds by construction
+# (195 names / ~50-row prefix).  Rows-only names carry driver rows
+# too (clean no_oracle), so the same ager rotates them (VERDICT r11
+# #6 is subsumed, plus explicit pins below for the oldest).  Pure
+# reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
-# Names forced to the FRONT of the gate order even if they already have
-# a driver row.  r10's thirteen pins all got green/clean rows in r10,
-# so that pin is retired.  r11 pins its ONE new oracled query (the
-# epoch-major append-friendly export order, VERDICT r10 #2, plus the
-# second-wave lifecycle gates: the stable-position takedown and the
-# per-epoch file manifest), plus the next slice of the rows-only
-# freshness rotation (VERDICT r10 #4: q_multimodal_features and
-# q_snapshot_audit now hold the OLDEST clean rows, r6/r7 vintage).
+# Names forced to the FRONT of the gate order even if they already
+# have a fresh driver row.  r11's eight pins all got green/clean rows
+# in r11, so that pin is retired.  r12 pins its new query plus the
+# stalest rows-only names the ager alone would not reach this round
+# (q_ingest_audit r9-vintage, q_ann_pq r10 — also the r11 creep
+# suspect — and q_agg_approx r10).
 _FORCE_FIRST = [
-    "q_export_append_order", "q_export_append_takedown",
-    "q_export_append_manifest", "q_pack_sequences_epoch",
-    "q_knn_label_prop", "q_knn_label_prop_audit",
-    "q_multimodal_features", "q_snapshot_audit",
+    "q_knn_label_prop_ann",
+    "q_ingest_audit", "q_ann_pq", "q_agg_approx",
 ]
 
 _PRIORITY = [
@@ -95,23 +99,30 @@ _PRIORITY = [
 ]
 
 
-def _driver_checked() -> set[str]:
-    """Names with any driver CORRECTNESS row (pass OR fail — a failing
-    row still proves the driver reached the query; reordering is about
-    coverage, and failures get fixed rather than re-queued)."""
+def _driver_latest_round() -> dict[str, int]:
+    """name -> latest round with a driver CORRECTNESS row (pass, fail
+    OR clean no_oracle — any row proves the driver reached the query;
+    failures get fixed rather than re-queued).  Names absent from
+    every file have never been driver-checked and sort first."""
     import json
+    import re
 
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         try:
-            seen.update(json.loads(p.read_text()))
+            for name in json.loads(p.read_text()):
+                latest[name] = max(latest.get(name, 0), rnd)
         except (OSError, ValueError):
             continue
-    return seen
+    return latest
 
 
 def _ordered(mapping: dict) -> dict:
-    checked = _driver_checked()
+    latest = _driver_latest_round()
     force = {n: i for i, n in enumerate(_FORCE_FIRST)}
     prio = {n: i for i, n in enumerate(_PRIORITY)}
     reg = {n: i for i, n in enumerate(mapping)}
@@ -119,7 +130,7 @@ def _ordered(mapping: dict) -> dict:
         mapping,
         key=lambda n: (
             force.get(n, len(force)),
-            n in checked,
+            latest.get(n, 0),  # never-checked (0) first, then stalest
             prio.get(n, len(prio)),
             reg[n],
         ),
