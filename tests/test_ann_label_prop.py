@@ -1,0 +1,98 @@
+"""ANN-backed label propagation (r12, VERDICT r11 #2): the
+q_knn_label_prop docstring claimed IVF `search_df` could replace the
+broadcast-seed cross join at larger seed sets — these gates EXECUTE
+that claim in both regimes:
+
+- the driver fixture's embeddings are geometrically UNIFORM (labels
+  carry no distance signal — measured: mean same-label L2^2 == mean
+  diff-label L2^2), the adversarial case for cell pruning, and the
+  default (k_cells=16, nprobe=12) still holds vote agreement >= 0.95
+  vs the exact path at sf0.01 AND sf0.1 (deterministic — everything
+  is seeded, so these are pins, not flaky statistics);
+- on CLUSTERED seeds (the realistic label-propagation regime: labels
+  = clusters), a 2-of-8 probe reproduces the exact vote bit-for-bit
+  while scanning ~1/4 of the seed set per query.
+
+The larger-seed-set head-to-head (exact broadcast vs ANN) lives in
+scripts/label_prop_ann_check.py; its numbers are recorded in
+SCALING.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import zebra_spark
+from zebra_spark.queries.vector import (
+    _seed_split,
+    label_prop_ann_df,
+    label_prop_exact_df,
+)
+
+zebra_spark.load_all_queries()
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+
+
+def _agreement(exact_pdf, ann_pdf) -> float:
+    m = exact_pdf.merge(ann_pdf, on="vec_id", suffixes=("_e", "_a"))
+    assert len(m) == len(exact_pdf) == len(ann_pdf)
+    return float((m.label_e == m.label_a).mean())
+
+
+@pytest.mark.parametrize("sf_dir", [SF001, SF01])
+def test_fixture_agreement_at_least_095(spark, sf_dir):
+    exact = zebra_spark.QUERIES["q_knn_label_prop"](spark, sf_dir).toPandas()
+    ann = zebra_spark.QUERIES["q_knn_label_prop_ann"](
+        spark, sf_dir
+    ).toPandas()
+    agree = _agreement(exact, ann)
+    assert agree >= 0.95, f"ANN/exact vote agreement {agree:.4f} at {sf_dir}"
+
+
+def _clustered(spark, n_seeds=200, n_unl=600, n_labels=8, dim=16, seed=7):
+    """Synthetic clustered fixture: label c's members ~ N(center_c,
+    0.05) with centers 2.0 apart — nearest seeds are same-cluster by
+    a wide margin, so cell pruning is lossless."""
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(0, 1, (n_labels, dim)) * 2.0
+    lab_rows, unl_rows = [], []
+    for i in range(n_seeds):
+        c = i % n_labels
+        v = centers[c] + rng.normal(0, 0.05, dim)
+        lab_rows.append((i, int(c), [float(x) for x in v]))
+    for j in range(n_unl):
+        c = j % n_labels
+        v = centers[c] + rng.normal(0, 0.05, dim)
+        unl_rows.append((n_seeds + j, [float(x) for x in v]))
+    lab = spark.createDataFrame(
+        lab_rows, "lab_id bigint, label int, le array<double>"
+    )
+    unl = spark.createDataFrame(unl_rows, "vec_id bigint, emb array<double>")
+    return lab, unl
+
+
+def test_clustered_probe2_matches_exact_bitwise(spark):
+    lab, unl = _clustered(spark)
+    exact = label_prop_exact_df(lab, unl).toPandas()
+    ann = label_prop_ann_df(
+        spark, lab, unl, k_cells=8, nprobe=2
+    ).toPandas()
+    m = exact.merge(ann, on="vec_id", suffixes=("_e", "_a"))
+    assert len(m) == len(exact) == len(ann)
+    assert (m.label_e == m.label_a).all()
+    assert (m.votes_e == m.votes_a).all()
+    # and the propagation actually recovers the planted clusters
+    expected = (exact.vec_id - 200) % 8
+    assert (exact.label.values == expected.values).all()
+
+
+def test_fixture_seed_set_is_constant_sized(spark):
+    """ADVICE r11: the fixture seed side must be CONSTANT across
+    scale factors (the broadcast-linearity story), not a fixed
+    fraction of the corpus."""
+    n001 = _seed_split(spark, SF001)[0].count()
+    n01 = _seed_split(spark, SF01)[0].count()
+    assert n001 == n01 == 100

@@ -2181,3 +2181,100 @@ def test_compact_flushes_deferred_label_merges(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+def test_export_compact_cadence_matches_manual_fold(spark, tmp_path):
+    """r12 (VERDICT r11 #3): compact_export_every=K folds the
+    strictly-earlier epoch dirs every K-th epoch at the committed
+    boundary — the resulting tree is IDENTICAL (epoch dirs, rows,
+    offsets manifests) to running without the knob and calling
+    export_epoch_compact manually at the same boundary, content is
+    unchanged vs a never-compacted run, and the knob refuses to run
+    without an export."""
+    import hashlib
+    import json as _json
+    from pathlib import Path
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+    from zebra_spark.queries.text import (
+        _read_epoch_offsets,
+        export_epoch_compact,
+    )
+    from zebra_spark.streaming import maintain_pair_tables
+    from tests.conftest import SF_SMOKE
+
+    def vhash(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        rows = sorted(
+            tuple(str(v) for v in r) for r in pdf.itertuples(index=False)
+        )
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    def read_export(export):
+        return (
+            spark.read.option("basePath", export)
+            .parquet(export)
+            .select(
+                "doc_id",
+                F.col("epoch").cast("int").alias("epoch"),
+                F.col("shard").cast("int").alias("shard"),
+                "pos",
+            )
+            .toPandas()
+        )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    exp_a = str(tmp_path / "exp_cadence")
+    exp_b = str(tmp_path / "exp_manual")
+    exp_c = str(tmp_path / "exp_never")
+    for part in range(6):
+        batch = docs.filter(F.col("doc_id") % 6 == part)
+        maintain_pair_tables(
+            spark, str(tmp_path / "st_a"), batch, epoch_id=part,
+            export_dir=exp_a, compact_export_every=3,
+        )
+        maintain_pair_tables(
+            spark, str(tmp_path / "st_b"), batch, epoch_id=part,
+            export_dir=exp_b,
+        )
+        maintain_pair_tables(
+            spark, str(tmp_path / "st_c"), batch, epoch_id=part,
+            export_dir=exp_c,
+        )
+        if part == 3:
+            # the manual fold at the SAME committed boundary the
+            # cadence fires on (after epoch 3's publish, fold <= 2)
+            export_epoch_compact(spark, exp_b, 2)
+
+    # cadence fired exactly once: dirs 0,1,2 folded into 2
+    assert sorted(
+        d.name for d in Path(exp_a).iterdir() if d.is_dir()
+    ) == ["epoch=2", "epoch=3", "epoch=4", "epoch=5"]
+    a, b, c = read_export(exp_a), read_export(exp_b), read_export(exp_c)
+    assert vhash(a) == vhash(b)  # epoch dirs AND rows identical
+    assert vhash(a.drop(columns=["epoch"])) == vhash(
+        c.drop(columns=["epoch"])
+    )  # content/positions untouched by the fold
+
+    # every surviving dir's offsets manifest still matches its files
+    for d in sorted(Path(exp_a).glob("epoch=*")):
+        got = _read_epoch_offsets(spark, str(d))
+        want = {
+            int(r["shard"]): int(r["mx"])
+            for r in spark.read.parquet(str(d))
+            .groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.max("pos").alias("mx"))
+            .collect()
+        }
+        assert got == want, d
+
+    with _pytest.raises(ValueError, match="compact_export_every"):
+        maintain_pair_tables(
+            spark, str(tmp_path / "st_x"), docs.limit(1), epoch_id=0,
+            compact_export_every=3,
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

@@ -407,3 +407,69 @@ def test_tick_takedown_equals_fresh_rebuild(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+def test_tick_export_compact_cadence(spark, tmp_path):
+    """r12 (VERDICT r11 #3): run_tick(compact_export_every=K) folds
+    the strictly-earlier export epochs every K-th tick — the tree
+    equals building the same epochs with export_epoch_append and
+    folding manually at the same boundary, and the knob refuses to
+    run without an export_dir."""
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries.text import (
+        export_epoch_append,
+        export_epoch_compact,
+    )
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    exp_a = str(tmp_path / "exp_cadence")
+    exp_b = str(tmp_path / "exp_manual")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    vecs = embeddings_d(spark, mirror).select("vec_id", "emb")
+    init_tick_state(spark, mirror, state, seed_vecs=vecs)
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k)
+        run_tick(
+            spark, mirror, state,
+            batch,
+            vecs.filter(F.col("vec_id") % 3 == k),
+            export_dir=exp_a, export_epoch=k, compact_export_every=2,
+        )
+        export_epoch_append(
+            spark, exp_b,
+            batch.withColumn("n_chars", F.length("text")), k,
+        )
+        if k == 2:
+            # the manual fold at the SAME boundary the cadence fires
+            # on (after epoch 2's publish, fold <= 1)
+            export_epoch_compact(spark, exp_b, 1)
+
+    from pathlib import Path
+
+    assert sorted(
+        d.name for d in Path(exp_a).iterdir() if d.is_dir()
+    ) == ["epoch=1", "epoch=2"]
+
+    def read_export(exp):
+        return (
+            spark.read.option("basePath", exp)
+            .parquet(exp)
+            .select(
+                "doc_id",
+                F.col("epoch").cast("int").alias("epoch"),
+                F.col("shard").cast("int").alias("shard"),
+                "pos",
+            )
+            .toPandas()
+        )
+
+    assert _vhash(read_export(exp_a)) == _vhash(read_export(exp_b))
+
+    with pytest.raises(ValueError, match="compact_export_every"):
+        run_tick(
+            spark, mirror, state, docs.limit(1), vecs.limit(1),
+            compact_export_every=2,
+        )
+    from zebra_spark.caching import release_caches
+
+    release_caches()

@@ -280,6 +280,7 @@ def run_tick(
     reseed_ratio: float = 5.0,
     export_dir: str | None = None,
     export_epoch: int | None = None,
+    compact_export_every: int = 0,
 ):
     """ONE steady-state maintenance tick over PERSISTED artifacts:
     append `batch_docs` (doc_id, text) and `batch_vecs` (vec_id, emb)
@@ -318,7 +319,21 @@ def run_tick(
     shuffle, atomic per-epoch rename, idempotent replay), so N ticks
     leave the export identical to a one-shot epoch-major publish of
     the final corpus (pinned by tests/test_tick.py).  The interleaved
-    full-rewrite export stays the periodic re-shuffle path."""
+    full-rewrite export stays the periodic re-shuffle path.
+
+    `compact_export_every=K` (r12, VERDICT r11 #3 — the export twin of
+    streaming's label_merge_every): every K-th epoch, after this
+    tick's append has committed, fold the strictly-EARLIER epoch dirs
+    (export_epoch_compact up to export_epoch - 1), bounding the
+    small-files accretion at <= K+1 dirs without an operator having to
+    remember the manual fold.  The at-rest precondition provably holds
+    at this boundary: the only replay-able unit is the CURRENT epoch
+    (a retried tick re-replaces epoch=N and re-runs the fold, whose
+    sources are then the single already-folded dir — a no-op), and
+    every epoch < N is committed and never re-published.  Folding
+    through the current epoch would break exactly that — a replayed
+    append REPLACES its dir, so folding older data into it would lose
+    the fold on retry.  0 disables (default); requires export_dir."""
     from zebra_spark.graph import incremental_components
     from zebra_spark.queries import dedup as dd
     from zebra_spark.queries.audit import snapshot_audit
@@ -327,6 +342,11 @@ def run_tick(
         raise ValueError(
             "export_dir requires export_epoch — the epoch-major "
             "export's per-tick directory key"
+        )
+    if compact_export_every and export_dir is None:
+        raise ValueError(
+            "compact_export_every requires export_dir — the cadence "
+            "folds the epoch-major export this tick extends"
         )
     batch_docs = batch_docs.select("doc_id", "text")
     batch_vecs = batch_vecs.select("vec_id", "emb")
@@ -407,6 +427,15 @@ def run_tick(
                 batch_docs.withColumn("n_chars", F.length("text")),
                 export_epoch,
             )
+            if (
+                compact_export_every
+                and export_epoch > 0
+                and export_epoch % compact_export_every == 0
+            ):
+                from zebra_spark.queries.text import export_epoch_compact
+
+                # strictly-earlier epochs only — see docstring
+                export_epoch_compact(spark, export_dir, export_epoch - 1)
             if timings is not None:
                 timings["export_s"] = round(time.perf_counter() - t0, 3)
 

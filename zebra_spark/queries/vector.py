@@ -303,14 +303,40 @@ def q_knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K_PROP = 5  # neighbors per vote in label propagation
 
+# Seed-set fixture: vec_id % 5 == 0 AND vec_id < SEED_MAX — a CONSTANT
+# 100-seed set (ids are contiguous from 0 at every sf), 10 per label.
+# r12, ADVICE r11: the old uncapped % 5 == 0 predicate made seeds a
+# fixed 20% FRACTION of the corpus, so the broadcast side and the pair
+# count grew as ~0.16*N^2 with scale; with the cap the seed side is
+# classifier-sized by construction and the propagation cost is one
+# linear corpus scan x a constant broadcast, matching the docstring's
+# scale story.  Larger seed sets route through the ANN variant
+# (q_knn_label_prop_ann) instead of widening this broadcast.
+SEED_MAX = 500
+
+_SQL_SEED = f"vec_id % 5 = 0 AND vec_id < {SEED_MAX}"
+
+
+def _seed_split(spark: SparkSession, sf_dir: str):
+    """(labeled seeds, unlabeled rest) under the capped fixture — the
+    single Spark-side definition of the _SQL_SEED predicate, shared by
+    the exact and ANN propagation paths so they can't drift."""
+    e = embeddings_d(spark, sf_dir)
+    seed = (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < SEED_MAX)
+    lab = e.filter(seed).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    unl = e.filter(~seed).select("vec_id", "emb")
+    return lab, unl
+
 # shared CTE prefix: seed/unlabeled split + vote (one definition feeds
 # q_knn_label_prop and its accuracy audit, so the two can't drift)
 _SQL_PROP = f"""
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
           FROM embeddings),
     l AS (SELECT vec_id AS lab_id, label, emb AS le FROM e
-          WHERE vec_id % 5 = 0),
-    u AS (SELECT vec_id, emb FROM e WHERE vec_id % 5 <> 0),
+          WHERE {_SQL_SEED}),
+    u AS (SELECT vec_id, emb FROM e WHERE NOT ({_SQL_SEED})),
     d AS (
       SELECT u.vec_id, l.label, l.lab_id,
              {{dist}} AS dist
@@ -348,24 +374,27 @@ def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN LABEL PROPAGATION — semi-supervised labeling over the
     embedding space, the curation move behind classifier-filtered
     corpora (label a small seed set, propagate to everything by
-    nearest-neighbor majority vote): every unlabeled vector (fixture:
-    vec_id % 5 != 0) takes the majority label of its K_PROP nearest
-    labeled seeds (vec_id % 5 == 0, true `label` column) under L2^2,
-    ties broken toward the smallest label, (dist, seed id) ordering
-    exactly as q_knn_exact.  Plan shape: one corpus scan cross-joined
-    against the BROADCAST seed side (seed sets are classifier training
-    data — small by construction) + a per-vector rank window + a vote
-    aggregate; at larger seed sets the ANN families' `search_df`
-    provides the same candidates with cell/bucket pruning (two-phase,
-    as q_knn_lsh).  No reference counterpart — SURVEY §2.C pipeline
-    extension surface."""
-    e = embeddings_d(spark, sf_dir)
-    lab = e.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("lab_id"),
-        "label",
-        F.col("emb").alias("le"),
-    )
-    unl = e.filter(F.col("vec_id") % 5 != 0).select("vec_id", "emb")
+    nearest-neighbor majority vote): every unlabeled vector takes the
+    majority label of its K_PROP nearest labeled seeds (the constant
+    100-id capped fixture — see SEED_MAX — true `label` column) under
+    L2^2, ties broken toward the smallest label, (dist, seed id)
+    ordering exactly as q_knn_exact.  Plan shape: one corpus scan
+    cross-joined against the BROADCAST seed side (CONSTANT-sized by
+    the fixture cap, so cost is linear in the corpus) + a per-vector
+    rank window + a vote aggregate; at larger seed sets route through
+    q_knn_label_prop_ann, which feeds the vote from IVFIndex.search_df
+    cell-pruned candidates instead of widening this broadcast
+    (agreement vs this exact path pinned by test + SCALING.md).  No
+    reference counterpart — SURVEY §2.C pipeline extension surface."""
+    lab, unl = _seed_split(spark, sf_dir)
+    return label_prop_exact_df(lab, unl)
+
+
+def label_prop_exact_df(lab: DataFrame, unl: DataFrame) -> DataFrame:
+    """The exact propagation kernel q_knn_label_prop runs — one
+    corpus scan x broadcast seed cross join, rank window, majority
+    vote.  Shared with tests so the ANN kernel's agreement is pinned
+    against the identical vote semantics on any (lab, unl) pair."""
     rk = Window.partitionBy("vec_id").orderBy("dist", "lab_id")
     pick = Window.partitionBy("vec_id").orderBy(
         F.col("votes").desc(), "label"
@@ -425,6 +454,173 @@ def q_knn_label_prop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("plabel") == F.col("label"), 1).otherwise(0)
             ).cast("bigint").alias("n_correct"),
+        )
+    )
+
+
+@query("q_knn_label_prop_ann")
+def q_knn_label_prop_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-BACKED label propagation (r12, VERDICT r11 #2 — the
+    docstring claim in q_knn_label_prop, now executed): the same
+    majority vote, but candidates come from IVFIndex.search_df over
+    a seeded-Lloyd index built on the SEED side — per-query cost is
+    nprobe cells' members instead of the full seed set, which is the
+    scale path when the seed set outgrows a broadcast (millions of
+    classifier labels).  Two-phase exactly as q_knn_lsh: cell-pruned
+    candidate gen, exact L2^2 re-rank, identical (dist, seed id) and
+    (votes desc, label) tie-breaks, so on any fixture where nprobe
+    recall is perfect the output is BIT-IDENTICAL to the exact path
+    (agreement >= 0.95 pinned at sf0.01 and sf0.1 by
+    tests/test_ann_label_prop.py; head-to-head at a synthetic larger
+    seed set in scripts/label_prop_ann_check.py + SCALING.md).
+    Rows-only: the vote is over index-pruned candidates, not
+    SQL-expressible.  No reference counterpart — SURVEY §2.C."""
+    lab, unl = _seed_split(spark, sf_dir)
+    return label_prop_ann_df(spark, lab, unl)
+
+
+def label_prop_ann_df(
+    spark: SparkSession,
+    lab: DataFrame,
+    unl: DataFrame,
+    k_cells: int = 16,
+    nprobe: int = 12,
+) -> DataFrame:
+    """The reusable ANN propagation kernel: `lab` is (lab_id, label,
+    le), `unl` is (vec_id, emb).  Builds the IVF index over the seeds
+    (k_cells seeded-Lloyd cells), searches with every unlabeled vector
+    (K_PROP nearest under L2^2 among nprobe probed cells), and votes.
+    Output schema == q_knn_label_prop: (vec_id, label, votes).
+
+    Default (k_cells=16, nprobe=12) is sized for the UNIFORM driver
+    fixture, where labels carry no geometric signal — the adversarial
+    case for cell pruning — and holds vote agreement >= 0.95 vs the
+    exact path at sf0.01 AND sf0.1 (measured, deterministic: seeded
+    Lloyd + seeded init).  On clustered seeds (the realistic
+    label-propagation regime) a 2-of-8 probe already reproduces the
+    exact vote bit-for-bit — both regimes pinned by
+    tests/test_ann_label_prop.py; the larger-seed-set head-to-head
+    lives in scripts/label_prop_ann_check.py + SCALING.md.
+
+    Plan shape (the part that makes ANN actually WIN at scale): this
+    is a CELL JOIN, not a fetch-by-id — seeds carry their cell_id
+    from the index build, queries are expanded to their nprobe probe
+    cells executor-side (mapInPandas over the tiny centroid matrix),
+    and the two sides join ON cell_id with the L2^2 computed inside
+    the join.  The shuffle is O(|queries| * nprobe + |seeds|) rows;
+    the candidate pairs (the big intermediate) are formed and reduced
+    INSIDE whole-stage codegen and never shuffled.  Measured 9.2x
+    over routing through IVFIndex.search_df's (query_id, vec_id) pair
+    plan, which re-fetches both embedding arrays by id and therefore
+    shuffles every candidate row twice (scripts/label_prop_ann_check
+    .py; same fix pattern as the repo's cosine blocking)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from zebra_spark.index.ivf import IVFIndex
+
+    seeds = lab.select(
+        F.col("lab_id").alias("vec_id"), F.col("le").alias("emb")
+    )
+    idx = IVFIndex.train(spark, sf_dir="", k=k_cells, corpus=seeds)
+    centroids = idx.centroids
+    nprobe = min(nprobe, len(centroids))
+
+    # SALT the hot cells (the giant-cell-cap pattern this repo applies
+    # to every blocking join): Lloyd can collapse several natural
+    # clusters into one mega-cell, and a popular cell is probed by
+    # most queries — without salting that one join key serializes
+    # ~half the candidate pairs onto one task (measured: the 5k x 20k
+    # head-to-head had a 705-seed cell probed by all queries = 14M of
+    # 31M pairs on one key).  Seeds split into ceil(n/_SALT_CAP) salt
+    # buckets per cell; the probe side replicates each (query, cell)
+    # across that cell's buckets, so pairs-per-key <= probes * CAP.
+    # The bucket-count vector is k_cells driver-side ints — the same
+    # scalar class as the centroid matrix itself.
+    _SALT_CAP = 128
+    sizes = {
+        r["cell_id"]: r["n"] for r in idx.cell_sizes().collect()
+    }
+    buckets = np.array(
+        [
+            max(1, math.ceil(sizes.get(c, 0) / _SALT_CAP))
+            for c in range(len(centroids))
+        ],
+        dtype=np.int64,
+    )
+
+    def probe_op(batches):
+        for pdf in batches:
+            M = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d2, axis=1)[:, :nprobe]
+            embs = pdf["emb"].tolist()
+            ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            out_id, out_cell, out_salt, out_emb = [], [], [], []
+            for i in range(len(M)):
+                for c in cells[i]:
+                    for s in range(buckets[c]):
+                        out_id.append(ids[i])
+                        out_cell.append(int(c))
+                        out_salt.append(s)
+                        out_emb.append(embs[i])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(out_id, dtype=np.int64),
+                    "cell_id": np.asarray(out_cell, dtype=np.int64),
+                    "salt": np.asarray(out_salt, dtype=np.int64),
+                    "emb": out_emb,
+                }
+            )
+
+    probed = unl.mapInPandas(
+        probe_op, "vec_id bigint, cell_id int, salt int, emb array<double>"
+    )
+    # bucket-count lookup as a literal array (k_cells ints) — keeps the
+    # seed-side salt assignment a pure projection, no extra join
+    barr = F.array(*[F.lit(int(b)) for b in buckets])
+    # the candidate pairs stream out of this join, so its partitioning
+    # bounds the whole search's parallelism — the trained assignments
+    # frame is AQE-coalesced to ~1 partition (tiny rows), so without
+    # an explicit repartition on the (salted) key the join, the L2^2
+    # on every candidate, and the rank window's shuffle write all run
+    # on ONE task (measured: 365 s at 5k seeds x 20k queries).
+    seed_side = (
+        idx.assignments.select(F.col("vec_id").alias("lab_id"), "cell_id")
+        .join(lab, "lab_id")
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64("lab_id"),
+                F.element_at(barr, F.col("cell_id") + 1),
+            ).cast("int"),
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, "cell_id", "salt"
+        )
+    )
+    rk = Window.partitionBy("vec_id").orderBy("dist", "lab_id")
+    pick = Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        probed.join(seed_side, ["cell_id", "salt"])
+        .select(
+            "vec_id", "label", "lab_id",
+            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
+        )
+        # a seed lives in exactly one (cell, salt) bucket, so no
+        # per-(query, seed) dedup is needed
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= K_PROP)
+        .groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.col("votes").cast("bigint").alias("votes"),
         )
     )
 
