@@ -187,6 +187,9 @@ def main() -> None:
         # majority vote over the embedding space) + its accuracy audit
         "q_knn_label_prop",
         "q_knn_label_prop_audit",
+        # round-12: the ANN-backed propagation (IVF trained on the
+        # seed side + salted cell join — the large-seed-set scale path)
+        "q_knn_label_prop_ann",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
@@ -398,18 +401,29 @@ def main() -> None:
     # tick's update_s is the per-tick maintenance cost that stays flat
     # while the corpus grows; audit_s is the nightly read side over the
     # maintained artifacts — so round-over-round reads stop conflating
-    # q_ingest_audit's cold scaffolding with steady-state cost
-    # NOT merged into `times`: their wall-clock is already inside the
-    # tick_chain_build row, so a queries-map entry would double-count
-    # them in headline_full.  Top-level fields in the compact summary.
+    # q_ingest_audit's cold scaffolding with steady-state cost.
+    # r12 (VERDICT r11 #4): MEDIAN of 3 throwaway chain builds
+    # (tick.chain_trial — fresh state dir each, never the session
+    # cache), matching the frozen-row isolated-median protocol, so the
+    # fields carry a band SCALING.md can freeze instead of the r11
+    # single-shot firsts.
+    # NOT merged into `times`: the cached chain's wall-clock is already
+    # inside the tick_chain_build row, so a queries-map entry would
+    # double-count in headline_full.  Top-level fields in the compact
+    # summary.
     tick_rows: dict[str, float] = {}
-    ticks = chain_timings(sf_dir)
-    if ticks:
-        last = ticks[-1]
-        if "update_s" in last:
-            tick_rows["tick_update_s"] = last["update_s"]
-        if "audit_s" in last:
-            tick_rows["tick_audit_s"] = last["audit_s"]
+    if only_set is None and chain_timings(sf_dir):
+        from statistics import median
+
+        from zebra_spark.queries.tick import chain_trial
+
+        trials = [chain_trial(spark, sf_dir) for _ in range(3)]
+        ups = [t["update_s"] for t in trials if "update_s" in t]
+        auds = [t["audit_s"] for t in trials if "audit_s" in t]
+        if ups:
+            tick_rows["tick_update_s"] = round(median(ups), 3)
+        if auds:
+            tick_rows["tick_audit_s"] = round(median(auds), 3)
 
     total = round(sum(times.values()), 3)
     out = {

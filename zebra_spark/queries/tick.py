@@ -641,33 +641,54 @@ def chain_state(
         with _CHAIN_LOCK:
             path = _CHAIN_STATE.get(key)
             if path is None:
-                from zebra_spark.io import embeddings_d, load
-
-                mirror = _mirror_sf_dir(sf_dir)
-                base = tempfile.mkdtemp(prefix="zebra_tick_state_")
-                atexit.register(shutil.rmtree, base, ignore_errors=True)
-                path = f"{base}/state"
-                e = embeddings_d(spark, mirror).select("vec_id", "emb")
-                init_tick_state(spark, mirror, path, seed_vecs=e)
-                docs = load(spark, mirror, "documents").select(
-                    "doc_id", "text"
-                )
-                ticks: list[dict] = []
-                for k in range(_CHAIN_TICKS):
-                    t: dict = {}
-                    run_tick(
-                        spark,
-                        mirror,
-                        path,
-                        docs.filter(F.col("doc_id") % _CHAIN_TICKS == k),
-                        e.filter(F.col("vec_id") % _CHAIN_TICKS == k),
-                        timings=t,
-                        audit=with_audit and k == _CHAIN_TICKS - 1,
-                    )
-                    ticks.append(t)
+                path, ticks = _build_chain(spark, sf_dir, with_audit)
                 _CHAIN_TIMINGS[key] = ticks
                 _CHAIN_STATE[key] = path
     return path
+
+
+def _build_chain(
+    spark: SparkSession, sf_dir: str, with_audit: bool
+) -> tuple[str, list[dict]]:
+    """One full chain build (init + _CHAIN_TICKS run_ticks) into a
+    fresh private state dir; returns (state path, per-tick timings).
+    chain_state caches one per dataset per session; chain_trial runs
+    throwaway builds for the bench's tick-cost medians."""
+    from zebra_spark.io import embeddings_d, load
+
+    mirror = _mirror_sf_dir(sf_dir)
+    base = tempfile.mkdtemp(prefix="zebra_tick_state_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = f"{base}/state"
+    e = embeddings_d(spark, mirror).select("vec_id", "emb")
+    init_tick_state(spark, mirror, path, seed_vecs=e)
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    ticks: list[dict] = []
+    for k in range(_CHAIN_TICKS):
+        t: dict = {}
+        run_tick(
+            spark,
+            mirror,
+            path,
+            docs.filter(F.col("doc_id") % _CHAIN_TICKS == k),
+            e.filter(F.col("vec_id") % _CHAIN_TICKS == k),
+            timings=t,
+            audit=with_audit and k == _CHAIN_TICKS - 1,
+        )
+        ticks.append(t)
+    return path, ticks
+
+
+def chain_trial(spark: SparkSession, sf_dir: str) -> dict:
+    """ONE throwaway chain build's LAST-tick timings (update_s +
+    audit_s), state dir removed immediately — the isolated-trial
+    primitive behind bench.py's tick_update_s / tick_audit_s medians
+    (r12, VERDICT r11 #4: the r11 numbers were single-shot firsts
+    with no band; medians of 3 of these are what SCALING.md freezes).
+    Never touches the session's cached chain."""
+    path, ticks = _build_chain(spark, sf_dir, with_audit=True)
+    shutil.rmtree(Path(path).parent, ignore_errors=True)
+    return ticks[-1]
 
 
 # the from-scratch SQL the chain must reproduce: same CTE cores as the
