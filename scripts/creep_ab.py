@@ -62,7 +62,10 @@ def main() -> None:
     t0 = time.perf_counter()
     pair_table(spark, sf_dir)
     cosine_pair_table(spark, sf_dir)
-    chain_state(spark, sf_dir, with_audit=True)
+    try:
+        chain_state(spark, sf_dir, with_audit=True)
+    except TypeError:  # pre-r11 checkouts have no with_audit kwarg
+        chain_state(spark, sf_dir)
     shared_s = round(time.perf_counter() - t0, 3)
     snapshot = derived_registry_snapshot()
 

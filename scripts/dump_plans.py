@@ -49,6 +49,7 @@ HEADLINE = [
     "q_export_append_order", "q_export_append_takedown",
     "q_export_append_manifest", "q_pack_sequences_epoch",
     "q_knn_label_prop", "q_knn_label_prop_audit",
+    "q_knn_label_prop_ann",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -248,14 +249,24 @@ NOTES = {
     ),
     "q_knn_label_prop": (
         "Broadcast-nested-loop of the corpus against the SEED side "
-        "(classifier training data — small by construction) + a "
-        "per-vector rank window + a vote aggregate.  No corpus-x-"
-        "corpus pair ever forms; larger seed sets ride the ANN "
-        "families' search_df for candidate pruning."
+        "(a CONSTANT 100-id capped fixture since r12 — cost linear "
+        "in the corpus) + a per-vector rank window + a vote "
+        "aggregate.  No corpus-x-corpus pair ever forms; larger seed "
+        "sets route through q_knn_label_prop_ann's salted cell join "
+        "(executed + measured 2.0x in SCALING.md, r12)."
     ),
     "q_knn_label_prop_audit": (
         "One extra join + integer aggregate on top of the "
         "propagation's plan — the per-label recovered-count audit."
+    ),
+    "q_knn_label_prop_ann": (
+        "The ANN propagation: probe cells computed executor-side "
+        "(mapInPandas over the trained centroid matrix), then ONE "
+        "equi-join of probe-expanded queries against cell+salt-keyed "
+        "seeds with the L2^2 inside the join — candidate pairs form "
+        "and reduce inside codegen, never shuffled; per-cell salt "
+        "buckets bound pairs-per-key.  Static plan prices the seeded "
+        "Lloyd train (bounded collects: k x dim means) + the vote."
     ),
     "q_pack_sequences_epoch": (
         "q_pack_sequences' window in (epoch, hv, doc_id) order — the "
