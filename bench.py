@@ -417,12 +417,23 @@ def main() -> None:
 
         from zebra_spark.queries.tick import chain_trial
 
-        trials = [chain_trial(spark, sf_dir) for _ in range(3)]
+        # failure-isolated like every other section: a transient
+        # executor failure in one of these three full chain builds
+        # must cost the tick fields, never the whole run's output
+        # (they execute LAST, after ~35 min of measurements)
+        trials = []
+        for _ in range(3):
+            try:
+                trials.append(chain_trial(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                errors["tick_trial"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"chain_trial failed: {exc}", file=sys.stderr)
+                break
         ups = [t["update_s"] for t in trials if "update_s" in t]
         auds = [t["audit_s"] for t in trials if "audit_s" in t]
-        if ups:
+        if len(ups) == 3:
             tick_rows["tick_update_s"] = round(median(ups), 3)
-        if auds:
+        if len(auds) == 3:
             tick_rows["tick_audit_s"] = round(median(auds), 3)
 
     total = round(sum(times.values()), 3)

@@ -62,9 +62,14 @@ def main() -> None:
     t0 = time.perf_counter()
     pair_table(spark, sf_dir)
     cosine_pair_table(spark, sf_dir)
-    try:
+    import inspect
+
+    # pre-r11 checkouts have no with_audit kwarg — probe the signature
+    # rather than catching TypeError, which would also swallow a real
+    # TypeError from inside the build and silently re-run half-warm
+    if "with_audit" in inspect.signature(chain_state).parameters:
         chain_state(spark, sf_dir, with_audit=True)
-    except TypeError:  # pre-r11 checkouts have no with_audit kwarg
+    else:
         chain_state(spark, sf_dir)
     shared_s = round(time.perf_counter() - t0, 3)
     snapshot = derived_registry_snapshot()

@@ -35,7 +35,7 @@ def synth(spark, n_seeds: int, n_unl: int, dim: int, n_labels: int = 64,
     rng = np.random.RandomState(seed)
     centers = (rng.normal(0, 1, (n_labels, dim)) * 2.0).tolist()
 
-    def gen(mids, offset, labelled):
+    def gen(mids, offset):
         def op(batches):
             C = np.asarray(centers)
             for pdf in batches:
@@ -51,10 +51,10 @@ def synth(spark, n_seeds: int, n_unl: int, dim: int, n_labels: int = 64,
             mids.mapInPandas(op, "vid bigint, label int, emb array<double>")
         )
 
-    seeds = gen(spark.range(n_seeds).repartition(32), 0, True).select(
+    seeds = gen(spark.range(n_seeds).repartition(32), 0).select(
         F.col("vid").alias("lab_id"), "label", F.col("emb").alias("le")
     )
-    unl = gen(spark.range(n_unl).repartition(32), n_seeds, False).select(
+    unl = gen(spark.range(n_unl).repartition(32), n_seeds).select(
         F.col("vid").alias("vec_id"), "emb"
     )
     return seeds, unl

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 import zebra_spark
 from zebra_spark.queries.vector import (
@@ -87,6 +88,30 @@ def test_clustered_probe2_matches_exact_bitwise(spark):
     # and the propagation actually recovers the planted clusters
     expected = (exact.vec_id - 200) % 8
     assert (exact.label.values == expected.values).all()
+
+
+def test_seedless_cells_still_cover_every_query(spark):
+    """Review r12: seeds confined to a corner of the space leave most
+    Lloyd cells EMPTY; probing must skip empty cells so that no query
+    silently vanishes from the output (the exact path emits a label
+    for every unlabeled vector, and the ANN kernel documents matching
+    coverage).  Seeds here live in 2 of 8 planted clusters while
+    queries come from all 8 — with k_cells=8 most cells hold no seed,
+    and nprobe=2 naive probing would drop most queries."""
+    lab, unl = _clustered(spark)
+    corner = lab.filter(F.col("label") < 2)
+    ann = label_prop_ann_df(
+        spark, corner, unl, k_cells=8, nprobe=2
+    ).toPandas()
+    exact = label_prop_exact_df(corner, unl).toPandas()
+    assert len(ann) == len(exact) == unl.count()
+    m = exact.merge(ann, on="vec_id", suffixes=("_e", "_a"))
+    # votes agree except for a handful of queries near-equidistant to
+    # the two seeded clusters, where probing 2 of the nearer cluster's
+    # subcells can miss the true cross-cluster nearest seed (measured:
+    # 4/600 at nprobe=2, 0/600 at nprobe=4) — the COVERAGE assertion
+    # above is the one this test exists for
+    assert (m.label_e == m.label_a).mean() >= 0.99
 
 
 def test_fixture_seed_set_is_constant_sized(spark):

@@ -489,8 +489,12 @@ def label_prop_ann_df(
     """The reusable ANN propagation kernel: `lab` is (lab_id, label,
     le), `unl` is (vec_id, emb).  Builds the IVF index over the seeds
     (k_cells seeded-Lloyd cells), searches with every unlabeled vector
-    (K_PROP nearest under L2^2 among nprobe probed cells), and votes.
-    Output schema == q_knn_label_prop: (vec_id, label, votes).
+    (K_PROP nearest under L2^2 among the nprobe nearest NON-EMPTY
+    cells), and votes.  Output schema == q_knn_label_prop:
+    (vec_id, label, votes) — and output COVERAGE matches too: because
+    probing skips empty cells, every unlabeled vector draws >= 1
+    candidate and gets a row whenever any seed exists (pinned by
+    test_seedless_cells_still_cover_every_query).
 
     Default (k_cells=16, nprobe=12) is sized for the UNIFORM driver
     fixture, where labels carry no geometric signal — the adversarial
@@ -550,28 +554,55 @@ def label_prop_ann_df(
         ],
         dtype=np.int64,
     )
+    # probe only NON-EMPTY cells: Lloyd leaves empty cells when k
+    # exceeds the natural cluster count, and a query whose nprobe
+    # nearest centroids were all empty would draw zero candidates and
+    # silently VANISH from the output (the exact path emits a label
+    # for every query).  Masking empties to +inf before the partition
+    # guarantees every query's candidates come from seed-bearing
+    # cells, so the output covers every unlabeled vector whenever any
+    # seed exists.
+    valid = np.array(
+        [sizes.get(c, 0) > 0 for c in range(len(centroids))], dtype=bool
+    )
+    nprobe = min(nprobe, int(valid.sum()))
+    penalty = np.where(valid, 0.0, np.inf)
+    cn2 = (centroids ** 2).sum(axis=1)
 
     def probe_op(batches):
         for pdf in batches:
-            M = np.array(pdf["emb"].tolist(), dtype=np.float64)
-            d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            cells = np.argsort(d2, axis=1)[:, :nprobe]
             embs = pdf["emb"].tolist()
+            if not embs or nprobe == 0:  # nprobe 0 == no seeds at all
+                continue
+            M = np.asarray(embs, dtype=np.float64)
             ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            out_id, out_cell, out_salt, out_emb = [], [], [], []
-            for i in range(len(M)):
-                for c in cells[i]:
-                    for s in range(buckets[c]):
-                        out_id.append(ids[i])
-                        out_cell.append(int(c))
-                        out_salt.append(s)
-                        out_emb.append(embs[i])
+            # cell ranking by ||c||^2 - 2 q.C^T (the ||q||^2 term is
+            # constant per query): O(batch x k) BLAS output instead of
+            # the O(batch x k x dim) broadcast-difference tensor
+            d2 = cn2[None, :] - 2.0 * (M @ centroids.T) + penalty[None, :]
+            if nprobe < d2.shape[1]:
+                cells = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            else:
+                cells = np.broadcast_to(
+                    np.arange(d2.shape[1]), d2.shape
+                ).copy()
+            # vectorized per-bucket replication: each (query, cell)
+            # row repeats once per salt bucket of that cell
+            flat_cells = cells.ravel()
+            flat_reps = buckets[flat_cells]
+            row_idx = np.repeat(
+                np.repeat(np.arange(len(M)), cells.shape[1]), flat_reps
+            )
+            ends = np.cumsum(flat_reps)
+            out_salt = np.arange(ends[-1]) - np.repeat(
+                ends - flat_reps, flat_reps
+            )
             yield pd.DataFrame(
                 {
-                    "vec_id": np.asarray(out_id, dtype=np.int64),
-                    "cell_id": np.asarray(out_cell, dtype=np.int64),
-                    "salt": np.asarray(out_salt, dtype=np.int64),
-                    "emb": out_emb,
+                    "vec_id": ids[row_idx],
+                    "cell_id": np.repeat(flat_cells, flat_reps),
+                    "salt": out_salt,
+                    "emb": [embs[i] for i in row_idx],
                 }
             )
 
