@@ -229,6 +229,10 @@ class IVFIndex:
             )
         )
 
+    # seeds-per-salt-bucket cap for the search cell join — the same
+    # giant-cell-cap pattern the dedup blocking joins use
+    _SALT_CAP = 128
+
     def search_df(
         self,
         queries: DataFrame,
@@ -240,43 +244,99 @@ class IVFIndex:
         (query_id bigint, qe array<double>).  Probe cells are computed
         executor-side (the k x dim centroid matrix rides the mapInPandas
         closure), so neither vectors nor probe keys transit the driver —
-        the mirror of LSHIndex.search_df."""
+        the mirror of LSHIndex.search_df.
+
+        Plan shape (r12 — the lesson label_prop_ann_df measured at
+        9.2x): a SALTED CELL JOIN.  The probe expansion carries the
+        query vector, the corpus side carries (cell_id, salt, emb),
+        and the distance is computed INSIDE the one equi-join — the
+        candidate pairs (the big intermediate) form and reduce inside
+        whole-stage codegen and are never shuffled.  The previous
+        (query_id, vec_id)-pair plan re-fetched both embedding arrays
+        by id and shuffled every candidate row twice.  Per-cell salt
+        buckets (ceil(n / _SALT_CAP)) bound pairs-per-key so one hot
+        cell cannot serialize the search onto one task; the candidate
+        SET, ranking, and tie-breaks are identical to the old plan
+        (pinned by test_ivf_search_df_matches_numpy_path)."""
         centroids = self.centroids
         # same clamp as IVFPQIndex.search_df (ADVICE r7): an oversized
-        # nprobe would make np.repeat disagree with the argsort slice
+        # nprobe would make the expansion disagree with the probe slice
         nprobe = min(nprobe, len(centroids))
+        import math
+
+        sizes = {r["cell_id"]: r["n"] for r in self.cell_sizes().collect()}
+        buckets = np.array(
+            [
+                max(1, math.ceil(sizes.get(c, 0) / self._SALT_CAP))
+                for c in range(len(centroids))
+            ],
+            dtype=np.int64,
+        )
+        cn2 = (centroids ** 2).sum(axis=1)
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
 
         def probe_op(batches):
             for pdf in batches:
-                M = np.array(pdf["qe"].tolist(), dtype=np.float64)
+                qes = pdf["qe"].tolist()
+                if not qes:
+                    continue
+                M = np.asarray(qes, dtype=np.float64)
                 if metric == "cosine":
                     qn = M / np.maximum(
                         np.linalg.norm(M, axis=1, keepdims=True), 1e-12
                     )
-                    cn = centroids / np.maximum(
-                        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-                    )
                     d2 = 1.0 - qn @ cn.T
                 else:
-                    d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+                    # rank-equivalent L2^2: ||c||^2 - 2 q.C^T (||q||^2
+                    # is constant per query) — O(batch x k) BLAS output
+                    d2 = cn2[None, :] - 2.0 * (M @ centroids.T)
                 cells = np.argsort(d2, axis=1)[:, :nprobe]
+                flat_cells = cells.ravel()
+                flat_reps = buckets[flat_cells]
+                row_idx = np.repeat(
+                    np.repeat(np.arange(len(M)), nprobe), flat_reps
+                )
+                ends = np.cumsum(flat_reps)
+                salts = np.arange(ends[-1]) - np.repeat(
+                    ends - flat_reps, flat_reps
+                )
+                ids = np.asarray(pdf["query_id"], dtype=np.int64)
                 yield pd.DataFrame(
                     {
-                        "query_id": np.repeat(
-                            np.asarray(pdf["query_id"], dtype=np.int64), nprobe
-                        ),
-                        "cell_id": cells.reshape(-1).astype(np.int64),
+                        "query_id": ids[row_idx],
+                        "cell_id": np.repeat(flat_cells, flat_reps),
+                        "salt": salts,
+                        "qe": [qes[i] for i in row_idx],
                     }
                 )
 
-        keys_df = queries.mapInPandas(probe_op, "query_id bigint, cell_id int")
+        probed = queries.mapInPandas(
+            probe_op, "query_id bigint, cell_id int, salt int, qe array<double>"
+        )
+        spark = self.spark
+        barr = F.array(*[F.lit(int(b)) for b in buckets])
+        # candidate pairs stream out of this join: repartition on the
+        # salted key so its parallelism never collapses to the
+        # (AQE-coalesced, ~1-partition) trained-assignments frame
+        cell_corpus = (
+            self.assignments.join(self.corpus, "vec_id")
+            .withColumn(
+                "salt",
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    F.element_at(barr, F.col("cell_id") + 1),
+                ).cast("int"),
+            )
+            .repartition(
+                spark.sparkContext.defaultParallelism, "cell_id", "salt"
+            )
+        )
         metric_fn = zf.METRICS[metric]
         w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
         return (
-            self.assignments.join(keys_df, "cell_id")
-            .select("query_id", "vec_id")
-            .join(self.corpus, "vec_id")
-            .join(queries.select("query_id", "qe"), "query_id")
+            probed.join(cell_corpus, ["cell_id", "salt"])
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
