@@ -533,25 +533,33 @@ def test_maintained_pair_table_equals_batch(spark, tmp_path):
 def test_stream_maintain_pair_tables_end_to_end(spark, tmp_path):
     """The foreachBatch wiring: documents arriving as parquet files
     drive the same maintenance; the resulting pairs match the batch
-    build over the same docs."""
+    build over the same docs.  r12: the wrapper also threads the
+    export + compaction-cadence knobs — the export must hold exactly
+    the streamed corpus and the cadence must have bounded the epoch
+    dir count below the uncompacted epoch total."""
+    from pathlib import Path
+
     from pyspark.sql import functions as F
 
     from zebra_spark.io import load
     from zebra_spark.queries import dedup as dd
+    from zebra_spark.queries.text import read_epoch_export
     from zebra_spark.streaming import stream_maintain_pair_tables
     from tests.conftest import SF_SMOKE
 
     src = tmp_path / "incoming"
     docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
-    docs.write.parquet(str(src))
+    docs.repartition(8).write.parquet(str(src))
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 2)
         .parquet(str(src))
     )
     state = str(tmp_path / "state")
+    export = str(tmp_path / "export")
     q = stream_maintain_pair_tables(
-        spark, stream, state, str(tmp_path / "ckpt")
+        spark, stream, state, str(tmp_path / "ckpt"),
+        export_dir=export, compact_export_every=2,
     )
     try:
         q.processAllAvailable()
@@ -571,6 +579,17 @@ def test_stream_maintain_pair_tables_end_to_end(spark, tmp_path):
             F.sum("n_common").alias("s"),
         ).collect()[0]
     )
+    # export: exactly the streamed corpus, no dropped/duplicated docs
+    exp = read_epoch_export(spark, export)
+    assert exp.count() == docs.count()
+    assert exp.select("doc_id").distinct().count() == docs.count()
+    # 8 files @ 2/trigger = 4 epochs; K=2 cadence folds at least once,
+    # so strictly fewer epoch dirs than epochs were published
+    n_dirs = sum(
+        1 for d in Path(export).iterdir()
+        if d.is_dir() and d.name.startswith("epoch=")
+    )
+    assert 1 <= n_dirs < 4
     from zebra_spark.caching import release_caches
 
     release_caches()

@@ -1194,6 +1194,7 @@ def stream_maintain_pair_tables(
     spark: SparkSession, docs_stream: DataFrame, state_dir: str,
     checkpoint_dir: str, clusters: bool = False,
     label_merge_every: int = 1, export_dir: str | None = None,
+    compact_export_every: int = 0,
 ):
     """Wire maintain_pair_tables as a foreachBatch sink over a document
     stream (doc_id, text).  EXACTLY-once on restart (r7): each epoch's
@@ -1209,7 +1210,10 @@ def stream_maintain_pair_tables(
     K-th epoch (flush_cluster_labels to publish between merges);
     export_dir extends the epoch-major training export per epoch
     under the stream's own epoch numbering (exactly-once by the same
-    replace-on-replay contract as the state commits)."""
+    replace-on-replay contract as the state commits);
+    compact_export_every=K folds the strictly-earlier export epochs
+    every K-th epoch (r12 — the in-stream small-files bound; see
+    maintain_pair_tables)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
@@ -1217,6 +1221,7 @@ def stream_maintain_pair_tables(
                 spark, state_dir, batch_df, epoch_id=epoch_id,
                 clusters=clusters, label_merge_every=label_merge_every,
                 export_dir=export_dir,
+                compact_export_every=compact_export_every,
             )
 
     return (
