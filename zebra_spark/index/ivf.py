@@ -32,6 +32,62 @@ from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
 
 
+def salt_buckets(
+    sizes: dict[int, int], k: int, cap: int = 128
+) -> np.ndarray:
+    """Per-cell salt-bucket counts: ceil(n / cap), min 1 — the shared
+    ingredient of every salted cell join (IVFIndex.search_df and
+    queries.vector.label_prop_ann_df)."""
+    import math
+
+    return np.array(
+        [max(1, math.ceil(sizes.get(c, 0) / cap)) for c in range(k)],
+        dtype=np.int64,
+    )
+
+
+def expand_probe_rows(
+    cells: np.ndarray, buckets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized probe-side salt replication for a (n_queries, nprobe)
+    probe-cell matrix: returns (row_idx, cell_ids, salts, reps) where
+    each (query, cell) row repeats once per salt bucket of that cell,
+    salts enumerate 0..buckets[cell]-1 within the repeat, and row_idx
+    maps every output row back to its query row.  Shared by the two
+    salted cell joins so the replication index math exists once."""
+    n, nprobe = cells.shape
+    flat_cells = cells.ravel()
+    flat_reps = buckets[flat_cells]
+    row_idx = np.repeat(np.repeat(np.arange(n), nprobe), flat_reps)
+    ends = np.cumsum(flat_reps)
+    salts = np.arange(ends[-1]) - np.repeat(ends - flat_reps, flat_reps)
+    return row_idx, np.repeat(flat_cells, flat_reps), salts, flat_reps
+
+
+def salted_cell_side(df: DataFrame, buckets: np.ndarray, id_col: str) -> DataFrame:
+    """Attach the deterministic salt column (pmod(xxhash64(id),
+    buckets[cell])) to a (…, cell_id) frame and repartition on the
+    salted key — the corpus/seed side of a salted cell join.  The
+    repartition matters: the upstream frames are typically
+    AQE-coalesced to ~1 partition (tiny rows), and the candidate pairs
+    STREAM out of this join, so its partitioning bounds the whole
+    search's parallelism."""
+    barr = F.array(*[F.lit(int(b)) for b in buckets])
+    return (
+        df.withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64(id_col),
+                F.element_at(barr, F.col("cell_id") + 1),
+            ).cast("int"),
+        )
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "cell_id", "salt",
+        )
+    )
+
+
 def _assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
     """(vec_id, cell_id): nearest centroid per vector via one broadcast
     join; ties broken by cell_id."""
@@ -66,6 +122,9 @@ class IVFIndex:
         self.corpus = corpus  # (vec_id, emb double[])
         self.centroids = centroids  # (k, dim) driver-side
         self.assignments = assignments  # (vec_id, cell_id)
+        # lazy per-instance cache of cell sizes for search_df's salt
+        # buckets (k driver-side ints); invalidated by add/remove
+        self._sizes: dict[int, int] | None = None
 
     @classmethod
     def train(
@@ -125,6 +184,7 @@ class IVFIndex:
         n = new_assign.count()
         self.assignments = self.assignments.unionByName(new_assign)
         self.corpus = self.corpus.unionByName(new)
+        self._sizes = None
         return n
 
     def remove(self, ids_df: DataFrame) -> None:
@@ -137,6 +197,7 @@ class IVFIndex:
             ids, "vec_id", "left_anti"
         ).localCheckpoint()
         self.corpus = self.corpus.join(ids, "vec_id", "left_anti").localCheckpoint()
+        self._sizes = None
 
     def save(self, path: str) -> None:
         import json
@@ -257,56 +318,53 @@ class IVFIndex:
         buckets (ceil(n / _SALT_CAP)) bound pairs-per-key so one hot
         cell cannot serialize the search onto one task; the candidate
         SET, ranking, and tie-breaks are identical to the old plan
-        (pinned by test_ivf_search_df_matches_numpy_path)."""
+        AND to search_vectors — the probe ranking keeps the exact
+        ((q - c)^2).sum tensor, bit-identical to the driver-side numpy
+        path, rather than a rank-equivalent matmul whose different FP
+        rounding could flip an argsort boundary between near-
+        equidistant centroids (pinned by
+        test_ivf_search_df_matches_numpy_path)."""
         centroids = self.centroids
         # same clamp as IVFPQIndex.search_df (ADVICE r7): an oversized
         # nprobe would make the expansion disagree with the probe slice
         nprobe = min(nprobe, len(centroids))
-        import math
-
-        sizes = {r["cell_id"]: r["n"] for r in self.cell_sizes().collect()}
-        buckets = np.array(
-            [
-                max(1, math.ceil(sizes.get(c, 0) / self._SALT_CAP))
-                for c in range(len(centroids))
-            ],
-            dtype=np.int64,
-        )
-        cn2 = (centroids ** 2).sum(axis=1)
-        cn = centroids / np.maximum(
-            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        if self._sizes is None:
+            # one k-row collect per index mutation, not per call
+            self._sizes = {
+                r["cell_id"]: r["n"] for r in self.cell_sizes().collect()
+            }
+        buckets = salt_buckets(
+            self._sizes, len(centroids), self._SALT_CAP
         )
 
         def probe_op(batches):
             for pdf in batches:
                 qes = pdf["qe"].tolist()
-                if not qes:
+                if not qes or nprobe == 0:
                     continue
                 M = np.asarray(qes, dtype=np.float64)
                 if metric == "cosine":
                     qn = M / np.maximum(
                         np.linalg.norm(M, axis=1, keepdims=True), 1e-12
                     )
+                    cn = centroids / np.maximum(
+                        np.linalg.norm(centroids, axis=1, keepdims=True),
+                        1e-12,
+                    )
                     d2 = 1.0 - qn @ cn.T
                 else:
-                    # rank-equivalent L2^2: ||c||^2 - 2 q.C^T (||q||^2
-                    # is constant per query) — O(batch x k) BLAS output
-                    d2 = cn2[None, :] - 2.0 * (M @ centroids.T)
+                    d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
                 cells = np.argsort(d2, axis=1)[:, :nprobe]
-                flat_cells = cells.ravel()
-                flat_reps = buckets[flat_cells]
-                row_idx = np.repeat(
-                    np.repeat(np.arange(len(M)), nprobe), flat_reps
-                )
-                ends = np.cumsum(flat_reps)
-                salts = np.arange(ends[-1]) - np.repeat(
-                    ends - flat_reps, flat_reps
+                row_idx, cell_ids, salts, _ = expand_probe_rows(
+                    cells, buckets
                 )
                 ids = np.asarray(pdf["query_id"], dtype=np.int64)
                 yield pd.DataFrame(
                     {
                         "query_id": ids[row_idx],
-                        "cell_id": np.repeat(flat_cells, flat_reps),
+                        "cell_id": cell_ids,
                         "salt": salts,
                         "qe": [qes[i] for i in row_idx],
                     }
@@ -315,23 +373,8 @@ class IVFIndex:
         probed = queries.mapInPandas(
             probe_op, "query_id bigint, cell_id int, salt int, qe array<double>"
         )
-        spark = self.spark
-        barr = F.array(*[F.lit(int(b)) for b in buckets])
-        # candidate pairs stream out of this join: repartition on the
-        # salted key so its parallelism never collapses to the
-        # (AQE-coalesced, ~1-partition) trained-assignments frame
-        cell_corpus = (
-            self.assignments.join(self.corpus, "vec_id")
-            .withColumn(
-                "salt",
-                F.pmod(
-                    F.xxhash64("vec_id"),
-                    F.element_at(barr, F.col("cell_id") + 1),
-                ).cast("int"),
-            )
-            .repartition(
-                spark.sparkContext.defaultParallelism, "cell_id", "salt"
-            )
+        cell_corpus = salted_cell_side(
+            self.assignments.join(self.corpus, "vec_id"), buckets, "vec_id"
         )
         metric_fn = zf.METRICS[metric]
         w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")

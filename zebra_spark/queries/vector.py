@@ -518,12 +518,15 @@ def label_prop_ann_df(
     plan, which re-fetches both embedding arrays by id and therefore
     shuffles every candidate row twice (scripts/label_prop_ann_check
     .py; same fix pattern as the repo's cosine blocking)."""
-    import math
-
     import numpy as np
     import pandas as pd
 
-    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.index.ivf import (
+        IVFIndex,
+        expand_probe_rows,
+        salt_buckets,
+        salted_cell_side,
+    )
 
     seeds = lab.select(
         F.col("lab_id").alias("vec_id"), F.col("le").alias("emb")
@@ -543,17 +546,10 @@ def label_prop_ann_df(
     # across that cell's buckets, so pairs-per-key <= probes * CAP.
     # The bucket-count vector is k_cells driver-side ints — the same
     # scalar class as the centroid matrix itself.
-    _SALT_CAP = 128
     sizes = {
         r["cell_id"]: r["n"] for r in idx.cell_sizes().collect()
     }
-    buckets = np.array(
-        [
-            max(1, math.ceil(sizes.get(c, 0) / _SALT_CAP))
-            for c in range(len(centroids))
-        ],
-        dtype=np.int64,
-    )
+    buckets = salt_buckets(sizes, len(centroids))
     # probe only NON-EMPTY cells: Lloyd leaves empty cells when k
     # exceeds the natural cluster count, and a query whose nprobe
     # nearest centroids were all empty would draw zero candidates and
@@ -586,21 +582,13 @@ def label_prop_ann_df(
                 cells = np.broadcast_to(
                     np.arange(d2.shape[1]), d2.shape
                 ).copy()
-            # vectorized per-bucket replication: each (query, cell)
-            # row repeats once per salt bucket of that cell
-            flat_cells = cells.ravel()
-            flat_reps = buckets[flat_cells]
-            row_idx = np.repeat(
-                np.repeat(np.arange(len(M)), cells.shape[1]), flat_reps
-            )
-            ends = np.cumsum(flat_reps)
-            out_salt = np.arange(ends[-1]) - np.repeat(
-                ends - flat_reps, flat_reps
+            row_idx, cell_ids, out_salt, _ = expand_probe_rows(
+                cells, buckets
             )
             yield pd.DataFrame(
                 {
                     "vec_id": ids[row_idx],
-                    "cell_id": np.repeat(flat_cells, flat_reps),
+                    "cell_id": cell_ids,
                     "salt": out_salt,
                     "emb": [embs[i] for i in row_idx],
                 }
@@ -609,28 +597,16 @@ def label_prop_ann_df(
     probed = unl.mapInPandas(
         probe_op, "vec_id bigint, cell_id int, salt int, emb array<double>"
     )
-    # bucket-count lookup as a literal array (k_cells ints) — keeps the
-    # seed-side salt assignment a pure projection, no extra join
-    barr = F.array(*[F.lit(int(b)) for b in buckets])
-    # the candidate pairs stream out of this join, so its partitioning
-    # bounds the whole search's parallelism — the trained assignments
-    # frame is AQE-coalesced to ~1 partition (tiny rows), so without
-    # an explicit repartition on the (salted) key the join, the L2^2
-    # on every candidate, and the rank window's shuffle write all run
-    # on ONE task (measured: 365 s at 5k seeds x 20k queries).
-    seed_side = (
+    # salted_cell_side's repartition matters here: the trained
+    # assignments frame is AQE-coalesced to ~1 partition (tiny rows),
+    # and without it the join, the L2^2 on every candidate, and the
+    # rank window's shuffle write all ran on ONE task (measured:
+    # 365 s at 5k seeds x 20k queries)
+    seed_side = salted_cell_side(
         idx.assignments.select(F.col("vec_id").alias("lab_id"), "cell_id")
-        .join(lab, "lab_id")
-        .withColumn(
-            "salt",
-            F.pmod(
-                F.xxhash64("lab_id"),
-                F.element_at(barr, F.col("cell_id") + 1),
-            ).cast("int"),
-        )
-        .repartition(
-            spark.sparkContext.defaultParallelism, "cell_id", "salt"
-        )
+        .join(lab, "lab_id"),
+        buckets,
+        "lab_id",
     )
     rk = Window.partitionBy("vec_id").orderBy("dist", "lab_id")
     pick = Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), "label")

@@ -1214,6 +1214,14 @@ def stream_maintain_pair_tables(
     compact_export_every=K folds the strictly-earlier export epochs
     every K-th epoch (r12 — the in-stream small-files bound; see
     maintain_pair_tables)."""
+    # fail at WIRING time: deferring this to maintain_pair_tables
+    # would surface the contract error only mid-stream, as a
+    # StreamingQueryException on the first non-empty batch
+    if compact_export_every and export_dir is None:
+        raise ValueError(
+            "compact_export_every requires export_dir — the cadence "
+            "folds the epoch-major export this sink extends"
+        )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
