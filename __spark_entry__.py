@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q_ingest_audit r9-vintage, q_ann_pq r10 — also the r11 creep
 # suspect — and q_agg_approx r10).
 _FORCE_FIRST = [
-    "q_knn_label_prop_ann",
+    "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
     "q_ingest_audit", "q_ann_pq", "q_agg_approx",
 ]
 

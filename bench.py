@@ -189,7 +189,9 @@ def main() -> None:
         "q_knn_label_prop_audit",
         # round-12: the ANN-backed propagation (IVF trained on the
         # seed side + salted cell join — the large-seed-set scale path)
+        # and the distance-weighted soft-label variant
         "q_knn_label_prop_ann",
+        "q_knn_label_prop_weighted",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

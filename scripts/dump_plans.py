@@ -49,7 +49,7 @@ HEADLINE = [
     "q_export_append_order", "q_export_append_takedown",
     "q_export_append_manifest", "q_pack_sequences_epoch",
     "q_knn_label_prop", "q_knn_label_prop_audit",
-    "q_knn_label_prop_ann",
+    "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -258,6 +258,12 @@ NOTES = {
     "q_knn_label_prop_audit": (
         "One extra join + integer aggregate on top of the "
         "propagation's plan — the per-label recovered-count audit."
+    ),
+    "q_knn_label_prop_weighted": (
+        "Soft-label variant: the same corpus x constant-broadcast-seed "
+        "scan and rank window as q_knn_label_prop, with a weighted "
+        "(1/(1+dist)) aggregate; the pick orders by the ROUNDED score "
+        "so cross-engine float accumulation cannot flip a winner."
     ),
     "q_knn_label_prop_ann": (
         "The ANN propagation: probe cells computed executor-side "

@@ -329,9 +329,10 @@ def _seed_split(spark: SparkSession, sf_dir: str):
     unl = e.filter(~seed).select("vec_id", "emb")
     return lab, unl
 
-# shared CTE prefix: seed/unlabeled split + vote (one definition feeds
-# q_knn_label_prop and its accuracy audit, so the two can't drift)
-_SQL_PROP = f"""
+# shared CTE prefix pieces: seed/unlabeled split + ranked seed
+# distances (one definition feeds q_knn_label_prop, its accuracy
+# audit AND the weighted variant, so none can drift)
+_SQL_PROP_BASE = f"""
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
           FROM embeddings),
     l AS (SELECT vec_id AS lab_id, label, emb AS le FROM e
@@ -343,11 +344,15 @@ _SQL_PROP = f"""
       FROM u CROSS JOIN l
     ),
     r AS (
-      SELECT vec_id, label,
+      SELECT vec_id, label, dist,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY dist, lab_id) AS rk
       FROM d
-    ),
+    )
+""".format(dist=zf.sql_metric("l2sq", a="u.emb", b="l.le", dim=DIM))
+
+_SQL_PROP = f"""
+    {_SQL_PROP_BASE},
     v AS (
       SELECT vec_id, label, count(*) AS votes
       FROM r WHERE rk <= {K_PROP} GROUP BY vec_id, label
@@ -358,7 +363,7 @@ _SQL_PROP = f"""
                                 ORDER BY votes DESC, label) AS pick
       FROM v
     )
-""".format(dist=zf.sql_metric("l2sq", a="u.emb", b="l.le", dim=DIM))
+"""
 
 
 @query(
@@ -454,6 +459,67 @@ def q_knn_label_prop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("plabel") == F.col("label"), 1).otherwise(0)
             ).cast("bigint").alias("n_correct"),
+        )
+    )
+
+
+@query(
+    "q_knn_label_prop_weighted",
+    oracle=f"""
+    WITH {_SQL_PROP_BASE},
+    v AS (
+      SELECT vec_id, label, sum(1.0 / (1.0 + dist)) AS score
+      FROM r WHERE rk <= {K_PROP} GROUP BY vec_id, label
+    ),
+    w AS (
+      SELECT vec_id, label, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {sql_rnd("score")} DESC, label)
+               AS pick
+      FROM v
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           {sql_rnd("score")} AS score
+    FROM w WHERE pick = 1
+    """,
+)
+def q_knn_label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTANCE-WEIGHTED (soft) label propagation — the
+    confidence-scored variant classifier-filter pipelines threshold
+    on: each unlabeled vector's K_PROP nearest seeds vote with weight
+    1/(1 + dist) instead of one vote each, so a label backed by three
+    CLOSE seeds beats one backed by three far ones, and the winning
+    score doubles as a keep/route confidence (threshold it like
+    q_quality_threshold_sweep's dial).  Same candidate set, rank
+    window and seed fixture as q_knn_label_prop (shared CTE base —
+    the two cannot drift); the pick orders by the ROUNDED score
+    (functions.rnd == oracle sql_rnd, bit-identical across engines)
+    with the label tie-break, so cross-engine float accumulation
+    order cannot flip a winner.  Plan shape: identical to
+    q_knn_label_prop — one corpus scan x constant broadcast seed
+    side + rank window + weighted aggregate.  No reference
+    counterpart — SURVEY §2.C pipeline extension surface."""
+    lab, unl = _seed_split(spark, sf_dir)
+    rk = Window.partitionBy("vec_id").orderBy("dist", "lab_id")
+    pick = Window.partitionBy("vec_id").orderBy(
+        rnd(F.col("score")).desc(), "label"
+    )
+    return (
+        unl.crossJoin(F.broadcast(lab))
+        .select(
+            "vec_id", "label", "lab_id",
+            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= K_PROP)
+        .groupBy("vec_id", "label")
+        .agg(F.sum(1.0 / (1.0 + F.col("dist"))).alias("score"))
+        .withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            rnd(F.col("score")).alias("score"),
         )
     )
 
