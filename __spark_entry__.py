@@ -48,14 +48,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already
-# have a fresh driver row.  r11's eight pins all got green/clean rows
-# in r11, so that pin is retired.  r12 pins its new query plus the
-# stalest rows-only names the ager alone would not reach this round
-# (q_ingest_audit r9-vintage, q_ann_pq r10 — also the r11 creep
-# suspect — and q_agg_approx r10).
+# have a fresh driver row.  r12's five pins all got green/clean rows
+# in r12, so that pin is retired.  r13 (VERDICT r12 #1) pins
+# q_json_get — the last r1-vintage row, rank 51 in r12's order (just
+# missed the ~50-row prefix) — plus the queries ADDED this round, so
+# their first driver rows land immediately.  The ager then fills the
+# rest of the prefix with the r2 cohort (all 17 remaining r2-vintage
+# names rank inside the r13 prefix — verified by simulation before
+# commit) and the r3 tail.
 _FORCE_FIRST = [
-    "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
-    "q_ingest_audit", "q_ann_pq", "q_agg_approx",
+    "q_json_get",
+    "q_knn_label_prop_ann_weighted",
+    "q_export_rebalance",
 ]
 
 _PRIORITY = [

@@ -422,9 +422,13 @@ def main() -> None:
         # failure-isolated like every other section: a transient
         # executor failure in one of these three full chain builds
         # must cost the tick fields, never the whole run's output
-        # (they execute LAST, after ~35 min of measurements)
+        # (they execute LAST, after ~35 min of measurements).
+        # TICK_TRIALS feeds both the loop and the completeness checks
+        # below (ADVICE r12: the literal 3 was duplicated, so changing
+        # one silently dropped the fields from the summary).
+        TICK_TRIALS = 3
         trials = []
-        for _ in range(3):
+        for _ in range(TICK_TRIALS):
             try:
                 trials.append(chain_trial(spark, sf_dir))
             except Exception as exc:  # noqa: BLE001
@@ -433,9 +437,9 @@ def main() -> None:
                 break
         ups = [t["update_s"] for t in trials if "update_s" in t]
         auds = [t["audit_s"] for t in trials if "audit_s" in t]
-        if len(ups) == 3:
+        if len(ups) == TICK_TRIALS:
             tick_rows["tick_update_s"] = round(median(ups), 3)
-        if len(auds) == 3:
+        if len(auds) == TICK_TRIALS:
             tick_rows["tick_audit_s"] = round(median(auds), 3)
 
     total = round(sum(times.values()), 3)

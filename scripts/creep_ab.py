@@ -41,12 +41,23 @@ def main() -> None:
 
     import zebra_spark
     from zebra_spark.caching import release_caches
-    from zebra_spark.queries.dedup import (
-        cosine_pair_table,
-        derived_registry_snapshot,
-        pair_table,
-        restore_derived_registry,
-    )
+    from zebra_spark.queries.dedup import cosine_pair_table, pair_table
+
+    # pre-r10 checkouts predate the derived-table registry — fall back
+    # to no-op snapshot/restore so the A/B can still run against them
+    # (ADVICE r12; same probe-don't-catch spirit as the with_audit
+    # signature check below)
+    try:
+        from zebra_spark.queries.dedup import (
+            derived_registry_snapshot,
+            restore_derived_registry,
+        )
+    except ImportError:
+        def derived_registry_snapshot():
+            return None
+
+        def restore_derived_registry(_snapshot):
+            return None
     from zebra_spark.queries.tick import chain_state
     from zebra_spark.session import get_spark
 

@@ -718,3 +718,39 @@ def test_takedown_of_scrubbed_export_noops(spark, tmp_path):
     assert export_epoch_takedown(
         spark, str(tmp_path / "nowhere"), all_ids
     ) == []
+
+
+def test_read_epoch_export_merges_mixed_nchars_widths(spark, tmp_path):
+    """ADVICE r12: within ONE export tree, epoch dirs written by
+    different producers can disagree on the n_chars parquet width
+    (tick/stream sinks write F.length(text) = int; fixture-sourced
+    exports carry the documents table's bigint).  read_epoch_export
+    must read such a tree clean — the mergeSchema option on the read
+    is what reconciles the footer schemas BEFORE the normalizing
+    casts apply."""
+    from zebra_spark.io import load
+    from zebra_spark.queries.text import export_epoch_append, read_epoch_export
+
+    out = str(tmp_path / "mixed")
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    # epoch 0: int n_chars (the tick/stream producer shape)
+    export_epoch_append(
+        spark, out,
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("n_chars", F.length("text")),
+        0,
+    )
+    # epoch 1: bigint n_chars (the fixture-sourced producer shape)
+    export_epoch_append(
+        spark, out,
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("n_chars", F.length("text").cast("bigint")),
+        1,
+    )
+    got = read_epoch_export(spark, out)
+    assert dict(got.dtypes)["n_chars"] == "bigint"
+    assert got.count() == docs.count()
+    want = docs.withColumn("n_chars", F.length("text").cast("bigint"))
+    assert _vhash(got.select("doc_id", "n_chars").toPandas()) == _vhash(
+        want.select("doc_id", "n_chars").toPandas()
+    )
