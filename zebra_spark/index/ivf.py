@@ -32,6 +32,43 @@ from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
 
 
+# Probe-ranking tensor guard (VERDICT r12 #5): the exact
+# broadcast-difference tensor ((q - c)^2).sum(axis=2) is
+# O(batch x k_cells x dim) doubles.  At the defaults (k <= 64 cells,
+# dim 64) that is a scalar-class allocation, and we KEEP it because it
+# is bit-identical to the driver-side numpy path in search_vectors —
+# the algebraically-equal BLAS form rounds differently and can flip an
+# argsort boundary between near-equidistant centroids.  Past this many
+# k_cells x dim doubles per QUERY ROW (2^20 = 8 MiB/row; a mapInPandas
+# batch of 10^4 rows would materialize ~80 GiB) the ranking switches
+# to the O(batch x k) BLAS form  ||c||^2 - 2 q.C^T  (the per-row
+# ||q||^2 constant is dropped — it cannot change a per-row ranking):
+# memory-bounded, same top-nprobe selection up to FP rounding of
+# near-ties (pinned at k=256 by tests/test_ivf_probe_guard.py).
+_PROBE_TENSOR_LIMIT = 1 << 20
+
+
+def probe_l2sq_scores(
+    M: np.ndarray,
+    centroids: np.ndarray,
+    cn2: np.ndarray | None = None,
+    limit: int = _PROBE_TENSOR_LIMIT,
+) -> np.ndarray:
+    """Per-row L2^2 ranking SCORES from each query row of ``M`` to each
+    centroid, for probe-cell selection.  Valid for per-row
+    argsort/argpartition ONLY: above the guard the scores drop the
+    per-row ||q||^2 constant, so they are not distances.  The single
+    implementation shared by IVFIndex.search_vectors, search_df and
+    queries.vector.label_prop_ann_df (ADVICE r12), so the exact-vs-BLAS
+    switch point and the small-k bit-parity guarantee exist once."""
+    k, dim = centroids.shape
+    if k * dim <= limit:
+        return ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    if cn2 is None:
+        cn2 = (centroids ** 2).sum(axis=1)
+    return cn2[None, :] - 2.0 * (M @ centroids.T)
+
+
 def salt_buckets(
     sizes: dict[int, int], k: int, cap: int = 128
 ) -> np.ndarray:
@@ -259,7 +296,7 @@ class IVFIndex:
             )
             d2 = 1.0 - qn @ cn.T
         else:
-            d2 = ((vectors[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+            d2 = probe_l2sq_scores(vectors, self.centroids)
         probe_cells = np.argsort(d2, axis=1)[:, :nprobe]
         keys = [
             (int(q), int(c))
@@ -318,12 +355,14 @@ class IVFIndex:
         buckets (ceil(n / _SALT_CAP)) bound pairs-per-key so one hot
         cell cannot serialize the search onto one task; the candidate
         SET, ranking, and tie-breaks are identical to the old plan
-        AND to search_vectors — the probe ranking keeps the exact
-        ((q - c)^2).sum tensor, bit-identical to the driver-side numpy
-        path, rather than a rank-equivalent matmul whose different FP
-        rounding could flip an argsort boundary between near-
-        equidistant centroids (pinned by
-        test_ivf_search_df_matches_numpy_path)."""
+        AND to search_vectors — the probe ranking goes through
+        probe_l2sq_scores, which keeps the exact ((q - c)^2).sum
+        tensor at small k (bit-identical to the driver-side numpy
+        path; a rank-equivalent matmul's different FP rounding could
+        flip an argsort boundary between near-equidistant centroids —
+        pinned by test_ivf_search_df_matches_numpy_path) and switches
+        to the memory-bounded BLAS form past _PROBE_TENSOR_LIMIT
+        (VERDICT r12 #5; pinned by test_ivf_probe_guard.py)."""
         centroids = self.centroids
         # same clamp as IVFPQIndex.search_df (ADVICE r7): an oversized
         # nprobe would make the expansion disagree with the probe slice
@@ -336,6 +375,12 @@ class IVFIndex:
         buckets = salt_buckets(
             self._sizes, len(centroids), self._SALT_CAP
         )
+        # read the guard DRIVER-SIDE and ship the int in the closure:
+        # the mapInPandas worker re-imports this module, so a module
+        # attribute read inside probe_op would ignore any driver-side
+        # override (tests monkeypatch _PROBE_TENSOR_LIMIT to force the
+        # BLAS path end-to-end)
+        probe_limit = _PROBE_TENSOR_LIMIT
 
         def probe_op(batches):
             for pdf in batches:
@@ -353,9 +398,7 @@ class IVFIndex:
                     )
                     d2 = 1.0 - qn @ cn.T
                 else:
-                    d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(
-                        axis=2
-                    )
+                    d2 = probe_l2sq_scores(M, centroids, limit=probe_limit)
                 cells = np.argsort(d2, axis=1)[:, :nprobe]
                 row_idx, cell_ids, salts, _ = expand_probe_rows(
                     cells, buckets

@@ -590,6 +590,7 @@ def label_prop_ann_df(
     from zebra_spark.index.ivf import (
         IVFIndex,
         expand_probe_rows,
+        probe_l2sq_scores,
         salt_buckets,
         salted_cell_side,
     )
@@ -629,7 +630,11 @@ def label_prop_ann_df(
     )
     nprobe = min(nprobe, int(valid.sum()))
     penalty = np.where(valid, 0.0, np.inf)
-    cn2 = (centroids ** 2).sum(axis=1)
+    # driver-side read shipped in the closure — same reason as
+    # IVFIndex.search_df's probe_limit (worker re-import)
+    from zebra_spark.index import ivf as _ivf_mod
+
+    probe_limit = _ivf_mod._PROBE_TENSOR_LIMIT
 
     def probe_op(batches):
         for pdf in batches:
@@ -638,10 +643,15 @@ def label_prop_ann_df(
                 continue
             M = np.asarray(embs, dtype=np.float64)
             ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            # cell ranking by ||c||^2 - 2 q.C^T (the ||q||^2 term is
-            # constant per query): O(batch x k) BLAS output instead of
-            # the O(batch x k x dim) broadcast-difference tensor
-            d2 = cn2[None, :] - 2.0 * (M @ centroids.T) + penalty[None, :]
+            # cell ranking via the SHARED probe_l2sq_scores (ADVICE
+            # r12): exact squared-difference tensor at small k — the
+            # same FP path as IVFIndex.search_df, so the two plans
+            # cannot disagree on an argsort boundary — switching to
+            # the O(batch x k) BLAS form past _PROBE_TENSOR_LIMIT
+            d2 = (
+                probe_l2sq_scores(M, centroids, limit=probe_limit)
+                + penalty[None, :]
+            )
             if nprobe < d2.shape[1]:
                 cells = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
             else:
