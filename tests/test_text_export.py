@@ -6,6 +6,8 @@ from __future__ import annotations
 import hashlib
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import zebra_spark
@@ -754,3 +756,105 @@ def test_read_epoch_export_merges_mixed_nchars_widths(spark, tmp_path):
     assert _vhash(got.select("doc_id", "n_chars").toPandas()) == _vhash(
         want.select("doc_id", "n_chars").toPandas()
     )
+
+
+def test_rebalance_export_uniform_shards_and_preserved_order(spark, tmp_path):
+    """r13 (VERDICT r12 #6): rebalance_export rewrites the tree into
+    one epoch of target_rows-row shards — every shard except the last
+    exact, positions dense within each new shard, and the total order
+    (new shard, pos) equal to the published (epoch, shard, pos) order
+    it replaced.  A later append continues collision-free above the
+    rebalanced max(pos)."""
+    from zebra_spark.queries.text import (
+        export_epoch_append,
+        read_epoch_export,
+        rebalance_export,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+    before = _read_order(spark, out)
+    n_docs = len(before)
+    target = 97  # deliberately not a divisor of anything
+
+    n_new = rebalance_export(spark, out, target)
+    import math
+    assert n_new == math.ceil(n_docs / target)
+
+    after = read_epoch_export(spark, out).toPandas()
+    assert len(after) == n_docs
+    # one epoch dir (the highest that was present), uniform shards
+    assert set(after.epoch) == {2}
+    sizes = after.groupby("shard").size()
+    assert sorted(sizes.index) == list(range(n_new))
+    assert (sizes.iloc[:-1] == math.ceil(n_docs / n_new)).all()
+    # dense positions within each new shard
+    for _, grp in after.groupby("shard"):
+        assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+    # total order preserved: old (epoch, shard, pos) == new (shard, pos)
+    old_order = before.sort_values(
+        ["epoch", "shard", "pos"]).doc_id.tolist()
+    new_order = after.sort_values(["shard", "pos"]).doc_id.tolist()
+    assert old_order == new_order
+
+    # append continues above the rebalanced offsets, no collisions
+    export_epoch_append(
+        spark, out,
+        spark.createDataFrame(
+            [(10_000_000 + i, "extra doc", 9) for i in range(50)],
+            "doc_id bigint, text string, n_chars bigint",
+        ),
+        3,
+    )
+    full = read_epoch_export(spark, out).toPandas()
+    assert len(full) == n_docs + 50
+    dupes = full.groupby(["shard", "pos"]).size()
+    assert (dupes == 1).all(), "position collision after rebalance+append"
+
+
+def test_rebalance_export_crash_recovery(spark, tmp_path):
+    """rebalance_export reuses the compact marker/staging protocol, so
+    a crash between the marker landing and the staging publish is
+    repaired by the next export entry point with no rebalance-specific
+    recovery code."""
+    import zebra_spark.fsutil as fsutil
+    from zebra_spark.queries.text import read_epoch_export, rebalance_export
+
+    out = str(tmp_path / "inc")
+    _build_epoch_export(spark, out)
+    before = _read_order(spark, out)
+
+    real_rename = fsutil.rename
+
+    def dying_rename(spark_, src, dst):
+        if src.endswith("__compact_staging"):
+            raise RuntimeError("simulated crash before publish")
+        real_rename(spark_, src, dst)
+
+    fsutil.rename = dying_rename
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            rebalance_export(spark, out, 97)
+    finally:
+        fsutil.rename = real_rename
+
+    assert Path(f"{out}/_compact_commit").exists()
+    assert Path(f"{out}__compact_staging").exists()
+
+    # the read entry point repairs and sees the completed rebalance
+    got = read_epoch_export(spark, out).toPandas()
+    assert not Path(f"{out}/_compact_commit").exists()
+    assert len(got) == len(before)
+    old_order = before.sort_values(
+        ["epoch", "shard", "pos"]).doc_id.tolist()
+    new_order = got.sort_values(["shard", "pos"]).doc_id.tolist()
+    assert old_order == new_order
+
+
+def test_rebalance_export_edge_cases(spark, tmp_path):
+    from zebra_spark.queries.text import rebalance_export
+
+    with pytest.raises(ValueError, match="positive"):
+        rebalance_export(spark, str(tmp_path / "x"), 0)
+    # empty/missing tree: 0, no exception
+    assert rebalance_export(spark, str(tmp_path / "never"), 100) == 0

@@ -473,3 +473,71 @@ def test_tick_export_compact_cadence(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_tick_label_maintenance_train_once_equals_per_call(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the tick's label-maintenance step reuses
+    the IVFIndex trained ONCE at init (persisted labelidx/) instead of
+    label_prop_ann_df's per-call Lloyd.  Because training is seeded-
+    deterministic over the frozen seed set, train-once must reproduce
+    per-call training's output EXACTLY after N chained ticks — and the
+    cadence knob must skip the step on off-cadence ticks."""
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries.vector import label_prop_ann_df
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    emb = embeddings_d(spark, mirror)
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    vecs = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "emb")
+
+    init_tick_state(
+        spark, mirror, state,
+        seed_vecs=vecs.filter(F.col("vec_id") % 3 == 0),
+        label_seeds=seeds,
+    )
+    n_ticks = 3
+    timings_by_tick = []
+    for k in range(n_ticks):
+        timings: dict = {}
+        run_tick(
+            spark, mirror, state,
+            docs.filter(F.col("doc_id") % n_ticks == k),
+            vecs.filter(F.col("vec_id") % n_ticks == k),
+            timings=timings,
+            label_prop_every=2,  # ticks 0 and 2 propagate; tick 1 skips
+            tick_no=k,
+        )
+        timings_by_tick.append(timings)
+    assert "label_prop_s" in timings_by_tick[0]
+    assert "label_prop_s" not in timings_by_tick[1]
+    assert "label_prop_s" in timings_by_tick[2]
+
+    got = spark.read.parquet(f"{state}/proplabels").toPandas()
+    # per-call training over the same frozen seeds + the accumulated
+    # corpus (all three batches landed by tick 2)
+    want = label_prop_ann_df(spark, seeds, vecs).toPandas()
+    assert _vhash(got) == _vhash(want)
+    assert len(got) == vecs.count()
+
+
+def test_tick_label_maintenance_requires_init(spark, tmp_path):
+    """label_prop_every without init_tick_state(label_seeds=...) must
+    fail loudly, not propagate from a missing index."""
+    from zebra_spark.io import embeddings_d, load
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    vecs = embeddings_d(spark, mirror).select("vec_id", "emb")
+    init_tick_state(spark, mirror, state, seed_vecs=vecs)
+    with pytest.raises(ValueError, match="label_seeds"):
+        run_tick(
+            spark, mirror, state, docs, vecs,
+            label_prop_every=1, tick_no=0,
+        )
+    with pytest.raises(ValueError, match="tick_no"):
+        run_tick(spark, mirror, state, docs, vecs, label_prop_every=1)

@@ -122,6 +122,8 @@ def init_tick_state(
     sf_dir: str,
     state_dir: str,
     seed_vecs: DataFrame,
+    label_seeds: DataFrame | None = None,
+    label_k_cells: int = 16,
 ) -> None:
     """Bootstrap a chained-tick state directory: freeze the cosine
     blocking's seed set over `seed_vecs` (vec_id, emb — the bootstrap
@@ -131,9 +133,35 @@ def init_tick_state(
     the seeds, and write every maintained table EMPTY — each through
     the same function that appends to it later, so the schemas cannot
     drift from the append path.  The first run_tick then ingests the
-    first batch through the identical code path as every later tick."""
+    first batch through the identical code path as every later tick.
+
+    `label_seeds` (r13, VERDICT r12 #4): optional (lab_id, label, le)
+    frame enabling the tick's label-maintenance step — the seeds are
+    frozen under `labelseeds/` and an IVFIndex is trained over them
+    ONCE, persisted under `labelidx/` (IVFIndex.save).  Every
+    run_tick(label_prop_every=K) then LOADS the index instead of
+    retraining — label_prop_ann_df's per-call Lloyd is right for the
+    one-shot query, wasteful on a cadence where the seed set is
+    frozen (train-once ≡ per-call pinned by tests/test_tick.py,
+    because training is seeded-deterministic over the same seeds)."""
     from zebra_spark.io import load
     from zebra_spark.queries import dedup as dd
+
+    if label_seeds is not None:
+        from zebra_spark.index.ivf import IVFIndex
+
+        label_seeds.select("lab_id", "label", "le").write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/labelseeds")
+        frozen = spark.read.parquet(f"{state_dir}/labelseeds")
+        IVFIndex.train(
+            spark,
+            sf_dir="",
+            k=label_k_cells,
+            corpus=frozen.select(
+                F.col("lab_id").alias("vec_id"), F.col("le").alias("emb")
+            ),
+        ).save(f"{state_dir}/labelidx")
 
     seeds = dd._cosine_seeds(seed_vecs.select("vec_id", "emb"))
     seeds.write.mode("overwrite").parquet(f"{state_dir}/cosseeds")
@@ -281,6 +309,9 @@ def run_tick(
     export_dir: str | None = None,
     export_epoch: int | None = None,
     compact_export_every: int = 0,
+    label_prop_every: int = 0,
+    tick_no: int | None = None,
+    label_prop_weighted: bool = False,
 ):
     """ONE steady-state maintenance tick over PERSISTED artifacts:
     append `batch_docs` (doc_id, text) and `batch_vecs` (vec_id, emb)
@@ -333,7 +364,22 @@ def run_tick(
     every epoch < N is committed and never re-published.  Folding
     through the current epoch would break exactly that — a replayed
     append REPLACES its dir, so folding older data into it would lose
-    the fold on retry.  0 disables (default); requires export_dir."""
+    the fold on retry.  0 disables (default); requires export_dir.
+
+    `label_prop_every=K` + `tick_no` (r13, VERDICT r12 #4): every
+    K-th tick (tick_no % K == 0; tick_no defaults to export_epoch
+    when an export is wired) re-propagates labels from the FROZEN
+    seed set to every accumulated vector — `labelseeds/` +
+    `labelidx/` must exist (init_tick_state's label_seeds), the
+    persisted IVFIndex is LOADED (train-once; never retrained on the
+    cadence), label_prop_ann_df votes over the post-append vecs/
+    table with index pruning, and the result rewrites `proplabels/`
+    (|V| rows, the clusters/ discipline — propagation is a global
+    vote, so unlike the pair tables there is no delta form; the
+    cadence knob is the cost control).  `label_prop_weighted` picks
+    the confidence-scored 1/(1+dist) vote (schema (vec_id, label,
+    score)) over the majority vote (vec_id, label, votes).
+    0 disables (default).  timings gains 'label_prop_s'."""
     from zebra_spark.graph import incremental_components
     from zebra_spark.queries import dedup as dd
     from zebra_spark.queries.audit import snapshot_audit
@@ -348,6 +394,22 @@ def run_tick(
             "compact_export_every requires export_dir — the cadence "
             "folds the epoch-major export this tick extends"
         )
+    if label_prop_every:
+        if tick_no is None:
+            tick_no = export_epoch
+        if tick_no is None:
+            raise ValueError(
+                "label_prop_every requires tick_no (or export_epoch) — "
+                "the cadence needs the tick's sequence number"
+            )
+        from zebra_spark.fsutil import exists as _fs_exists
+
+        if not _fs_exists(spark, f"{state_dir}/labelidx/metadata.json"):
+            raise ValueError(
+                "label_prop_every requires a label-maintenance state — "
+                "pass label_seeds to init_tick_state so labelseeds/ and "
+                "the trained labelidx/ exist"
+            )
     batch_docs = batch_docs.select("doc_id", "text")
     batch_vecs = batch_vecs.select("vec_id", "emb")
     prevs = _register_all(sf_dir, state_dir)
@@ -416,6 +478,28 @@ def run_tick(
         _swap_write(spark, state_dir, "clusters", merged)
         if timings is not None:
             timings["update_s"] = round(time.perf_counter() - t0, 3)
+
+        if label_prop_every and tick_no % label_prop_every == 0:
+            from zebra_spark.index.ivf import IVFIndex
+            from zebra_spark.queries.vector import label_prop_ann_df
+
+            t0 = time.perf_counter()
+            lab = spark.read.parquet(f"{state_dir}/labelseeds")
+            idx = IVFIndex.load(spark, f"{state_dir}/labelidx")
+            props = label_prop_ann_df(
+                spark,
+                lab,
+                spark.read.parquet(f"{state_dir}/vecs").select(
+                    "vec_id", "emb"
+                ),
+                weighted=label_prop_weighted,
+                index=idx,
+            )
+            _swap_write(spark, state_dir, "proplabels", props)
+            if timings is not None:
+                timings["label_prop_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
 
         if export_dir is not None:
             from zebra_spark.queries.text import export_epoch_append

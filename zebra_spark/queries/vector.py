@@ -500,6 +500,15 @@ def q_knn_label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     side + rank window + weighted aggregate.  No reference
     counterpart — SURVEY §2.C pipeline extension surface."""
     lab, unl = _seed_split(spark, sf_dir)
+    return label_prop_weighted_exact_df(lab, unl)
+
+
+def label_prop_weighted_exact_df(lab: DataFrame, unl: DataFrame) -> DataFrame:
+    """The exact weighted-propagation kernel q_knn_label_prop_weighted
+    runs — the soft-vote twin of label_prop_exact_df, shared with
+    tests so the ANN kernel's weighted variant (label_prop_ann_df
+    weighted=True, r13) pins its agreement against the identical vote
+    semantics on any (lab, unl) pair."""
     rk = Window.partitionBy("vec_id").orderBy("dist", "lab_id")
     pick = Window.partitionBy("vec_id").orderBy(
         rnd(F.col("score")).desc(), "label"
@@ -545,22 +554,69 @@ def q_knn_label_prop_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop_ann_df(spark, lab, unl)
 
 
+@query("q_knn_label_prop_ann_weighted")
+def q_knn_label_prop_ann_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN-backed DISTANCE-WEIGHTED label propagation (r13, VERDICT
+    r12 #2): the confidence-scored vote of q_knn_label_prop_weighted
+    on q_knn_label_prop_ann's scale path — same salted cell join,
+    empty-cell masking and K_PROP rank window; only the aggregate
+    differs (sum 1/(1 + dist) with the rounded-score tie-break instead
+    of count).  This closes the r12 gap where the weighted variant
+    existed only on the exact constant-broadcast plan: at a
+    million-seed classifier-label set the broadcast stops being
+    constant-sized and this cell-pruned plan is the one that survives.
+    Output schema == q_knn_label_prop_weighted: (vec_id, label,
+    score); label agreement >= 0.95 vs the exact weighted path pinned
+    at sf0.01 AND sf0.1, bit-identity on clustered seeds, by
+    tests/test_ann_label_prop.py.  Rows-only: the vote is over
+    index-pruned candidates, not SQL-expressible.  No reference
+    counterpart — SURVEY §2.C."""
+    lab, unl = _seed_split(spark, sf_dir)
+    return label_prop_ann_df(spark, lab, unl, weighted=True)
+
+
 def label_prop_ann_df(
     spark: SparkSession,
     lab: DataFrame,
     unl: DataFrame,
     k_cells: int = 16,
     nprobe: int = 12,
+    weighted: bool = False,
+    index=None,
 ) -> DataFrame:
     """The reusable ANN propagation kernel: `lab` is (lab_id, label,
     le), `unl` is (vec_id, emb).  Builds the IVF index over the seeds
     (k_cells seeded-Lloyd cells), searches with every unlabeled vector
     (K_PROP nearest under L2^2 among the nprobe nearest NON-EMPTY
-    cells), and votes.  Output schema == q_knn_label_prop:
+    cells), and votes.
+
+    `index` (r13, VERDICT r12 #4): a prebuilt `IVFIndex` trained over
+    the SEED side (corpus keyed by lab_id — what IVFIndex.train
+    produces from lab renamed to (vec_id, emb), or IVFIndex.load of a
+    persisted one).  When given, the per-call Lloyd training is
+    skipped and `k_cells` is ignored — the maintained-index path the
+    tick cadence uses (train once at init, propagate every tick;
+    run_tick's label_prop_every).  The caller owns the contract that
+    index.assignments covers exactly the ids in `lab`: propagation
+    votes over the inner join of the two, so a seed missing from the
+    index silently cannot vote (incremental seed batches go through
+    IVFIndex.add, which assigns them to the frozen centroids).  Output schema == q_knn_label_prop:
     (vec_id, label, votes) — and output COVERAGE matches too: because
     probing skips empty cells, every unlabeled vector draws >= 1
     candidate and gets a row whenever any seed exists (pinned by
     test_seedless_cells_still_cover_every_query).
+
+    `weighted=True` (r13, VERDICT r12 #2) swaps ONLY the vote
+    aggregate: candidates, rank window and coverage are shared with
+    the majority path, but each of the K_PROP nearest seeds votes
+    with weight 1/(1 + dist) and the pick orders by the ROUNDED score
+    (rnd — the cross-engine determinism rule q_knn_label_prop_weighted
+    established) with the label tie-break.  Output schema then ==
+    q_knn_label_prop_weighted: (vec_id, label, score) — the
+    confidence-scored variant on the SAME scale path, agreement vs
+    label_prop_weighted_exact_df pinned by tests/test_ann_label_prop.py.
 
     Default (k_cells=16, nprobe=12) is sized for the UNIFORM driver
     fixture, where labels carry no geometric signal — the adversarial
@@ -598,7 +654,11 @@ def label_prop_ann_df(
     seeds = lab.select(
         F.col("lab_id").alias("vec_id"), F.col("le").alias("emb")
     )
-    idx = IVFIndex.train(spark, sf_dir="", k=k_cells, corpus=seeds)
+    idx = (
+        index
+        if index is not None
+        else IVFIndex.train(spark, sf_dir="", k=k_cells, corpus=seeds)
+    )
     centroids = idx.centroids
     nprobe = min(nprobe, len(centroids))
 
@@ -685,8 +745,7 @@ def label_prop_ann_df(
         "lab_id",
     )
     rk = Window.partitionBy("vec_id").orderBy("dist", "lab_id")
-    pick = Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), "label")
-    return (
+    ranked = (
         probed.join(seed_side, ["cell_id", "salt"])
         .select(
             "vec_id", "label", "lab_id",
@@ -696,7 +755,25 @@ def label_prop_ann_df(
         # per-(query, seed) dedup is needed
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= K_PROP)
-        .groupBy("vec_id", "label")
+    )
+    if weighted:
+        pick = Window.partitionBy("vec_id").orderBy(
+            rnd(F.col("score")).desc(), "label"
+        )
+        return (
+            ranked.groupBy("vec_id", "label")
+            .agg(F.sum(1.0 / (1.0 + F.col("dist"))).alias("score"))
+            .withColumn("pick", F.row_number().over(pick))
+            .filter(F.col("pick") == 1)
+            .select(
+                "vec_id",
+                F.col("label").cast("bigint").alias("label"),
+                rnd(F.col("score")).alias("score"),
+            )
+        )
+    pick = Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        ranked.groupBy("vec_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
         .withColumn("pick", F.row_number().over(pick))
         .filter(F.col("pick") == 1)
