@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
 from zebra_spark.io import embeddings_d
-from zebra_spark.index.ivf import IVFIndex
+from zebra_spark.index.ivf import IVFIndex, probe_l2sq_scores
+from zebra_spark.index import ivf as _ivf_mod
 from zebra_spark.index.pq import (
     _kmeans_np,
     _pq_decode_np,
@@ -171,11 +172,14 @@ class IVFPQIndex:
         centroids + codebooks: one distributed pass, both matrices in
         the task closure, no shuffle."""
         cents, cb = self.centroids.copy(), self.codebooks.copy()
+        probe_limit = _ivf_mod._PROBE_TENSOR_LIMIT  # driver-side read
 
         def op(batches):
             for pdf in batches:
                 X = np.array(pdf["emb"].tolist(), dtype=np.float64)
-                d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                # cell RANKING via the shared guarded helper (r13 —
+                # the ivf.py probe-tensor guard, applied family-wide)
+                d2 = probe_l2sq_scores(X, cents, limit=probe_limit)
                 cells = d2.argmin(axis=1)
                 R = X - cents[cells]
                 yield pd.DataFrame(
@@ -260,11 +264,12 @@ class IVFPQIndex:
         quantizer has gone stale.  Distributed partial sums; only
         (n, sse) reaches the driver."""
         cents, cb = self.centroids.copy(), self.codebooks.copy()
+        probe_limit = _ivf_mod._PROBE_TENSOR_LIMIT  # driver-side read
 
         def op(batches):
             for pdf in batches:
                 X = np.array(pdf["emb"].tolist(), dtype=np.float64)
-                d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                d2 = probe_l2sq_scores(X, cents, limit=probe_limit)
                 R = X - cents[d2.argmin(axis=1)]
                 Rh = _pq_decode_np(_pq_encode_np(R, cb), cb)
                 yield pd.DataFrame(
@@ -368,9 +373,10 @@ class IVFPQIndex:
         nprobe = min(nprobe, len(cents))  # same clamp as search_df
 
         # nprobe nearest cells per query (numpy over the small centroid
-        # matrix), then per-(query, probed-cell) residual LUTs — size
-        # nq x nprobe x m x kk doubles, bounded by the query batch
-        d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # matrix, guarded ranking), then per-(query, probed-cell)
+        # residual LUTs — size nq x nprobe x m x kk doubles, bounded by
+        # the query batch
+        d2 = probe_l2sq_scores(Q, cents)
         probe = np.argsort(d2, axis=1)[:, :nprobe]  # (nq, nprobe)
         luts: dict[int, list[tuple[int, np.ndarray]]] = {}
         for qi in range(nq):
@@ -494,11 +500,12 @@ class IVFPQIndex:
         # oversized nprobe (recall tuning on a small index) would emit
         # mismatched column lengths (ADVICE r7)
         nprobe_ = min(nprobe, len(cents))
+        probe_limit = _ivf_mod._PROBE_TENSOR_LIMIT  # driver-side read
 
         def probe_op(batches):
             for pdf in batches:
                 Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
-                d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                d2 = probe_l2sq_scores(Q, cents, limit=probe_limit)
                 probe = np.argsort(d2, axis=1)[:, :nprobe_]  # (nq, nprobe)
                 nq = len(Q)
                 yield pd.DataFrame(
