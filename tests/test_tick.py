@@ -512,16 +512,43 @@ def test_tick_label_maintenance_train_once_equals_per_call(spark, tmp_path):
             tick_no=k,
         )
         timings_by_tick.append(timings)
+        if k == 0:
+            # DELTA discipline: the first trigger labeled only the
+            # first batch, not a placeholder for the corpus
+            n0 = spark.read.parquet(f"{state}/proplabels").count()
+            assert n0 == vecs.filter(F.col("vec_id") % n_ticks == 0).count()
     assert "label_prop_s" in timings_by_tick[0]
     assert "label_prop_s" not in timings_by_tick[1]
     assert "label_prop_s" in timings_by_tick[2]
 
     got = spark.read.parquet(f"{state}/proplabels").toPandas()
     # per-call training over the same frozen seeds + the accumulated
-    # corpus (all three batches landed by tick 2)
+    # corpus (all three batches landed by tick 2) — the delta appends
+    # (backlog of ticks 1+2 at the second trigger) must reproduce the
+    # one-shot propagation exactly
     want = label_prop_ann_df(spark, seeds, vecs).toPandas()
     assert _vhash(got) == _vhash(want)
     assert len(got) == vecs.count()
+
+    # takedown strips propagated labels with everything else, and a
+    # label-seed hit is refused like a cosine-seed hit
+    from zebra_spark.queries.tick import tick_takedown
+
+    # vec_id % 3 == 1 rows were never cosine-seed candidates (the
+    # cosine seeds froze over the % 3 == 0 bootstrap), so the
+    # cosine-seed guard cannot fire on them
+    victim = vecs.filter(F.col("vec_id") % 3 == 1).limit(20).select("vec_id")
+    tick_takedown(spark, mirror, state, victim)
+    left = spark.read.parquet(f"{state}/proplabels")
+    assert left.join(
+        victim.withColumnRenamed("vec_id", "v"),
+        left.vec_id == F.col("v"), "left_semi",
+    ).count() == 0
+    with pytest.raises(ValueError, match="label seeds"):
+        tick_takedown(
+            spark, mirror, state,
+            seeds.limit(1).select(F.col("lab_id").alias("vec_id")),
+        )
 
 
 def test_tick_label_maintenance_requires_init(spark, tmp_path):

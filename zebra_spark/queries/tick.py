@@ -372,13 +372,14 @@ def run_tick(
     seed set to every accumulated vector — `labelseeds/` +
     `labelidx/` must exist (init_tick_state's label_seeds), the
     persisted IVFIndex is LOADED (train-once; never retrained on the
-    cadence), label_prop_ann_df votes over the post-append vecs/
-    table with index pruning, and the result rewrites `proplabels/`
-    (|V| rows, the clusters/ discipline — propagation is a global
-    vote, so unlike the pair tables there is no delta form; the
-    cadence knob is the cost control).  `label_prop_weighted` picks
-    the confidence-scored 1/(1+dist) vote (schema (vec_id, label,
-    score)) over the majority vote (vec_id, label, votes).
+    cadence), and label_prop_ann_df votes over the BACKLOG — the
+    accumulated vectors without a proplabels/ row yet — APPENDING the
+    new labels (delta cost: under frozen seeds each vector's vote is
+    independent, so backlog-append == full re-propagation, pinned by
+    tests).  `label_prop_weighted` picks the confidence-scored
+    1/(1+dist) vote (schema (vec_id, label, score)) over the majority
+    vote (vec_id, label, votes); it must stay CONSTANT over a state
+    dir's life — the two votes append different schemas.
     0 disables (default).  timings gains 'label_prop_s'."""
     from zebra_spark.graph import incremental_components
     from zebra_spark.queries import dedup as dd
@@ -486,16 +487,33 @@ def run_tick(
             t0 = time.perf_counter()
             lab = spark.read.parquet(f"{state_dir}/labelseeds")
             idx = IVFIndex.load(spark, f"{state_dir}/labelidx")
-            props = label_prop_ann_df(
-                spark,
-                lab,
-                spark.read.parquet(f"{state_dir}/vecs").select(
-                    "vec_id", "emb"
-                ),
-                weighted=label_prop_weighted,
-                index=idx,
+            vecs_all = spark.read.parquet(f"{state_dir}/vecs").select(
+                "vec_id", "emb"
             )
-            _swap_write(spark, state_dir, "proplabels", props)
+            # DELTA append, not a |V| rewrite: under FROZEN seeds a
+            # vector's vote depends only on (vector, seeds), so
+            # labeling just the BACKLOG (accumulated vectors without a
+            # proplabels row — this batch, plus anything skipped on
+            # off-cadence ticks) and appending is EXACTLY equal to
+            # re-propagating the corpus (pinned by test_tick.py).
+            # Per-trigger cost is backlog-proportional — the same
+            # delta discipline as every other maintained table; a
+            # seed-set change invalidates all labels at once, and that
+            # event is a reseed-class rebuild, not a tick.
+            if _fs_exists(spark, f"{state_dir}/proplabels"):
+                backlog = vecs_all.join(
+                    spark.read.parquet(
+                        f"{state_dir}/proplabels"
+                    ).select("vec_id"),
+                    "vec_id",
+                    "left_anti",
+                )
+            else:
+                backlog = vecs_all
+            label_prop_ann_df(
+                spark, lab, backlog,
+                weighted=label_prop_weighted, index=idx,
+            ).write.mode("append").parquet(f"{state_dir}/proplabels")
             if timings is not None:
                 timings["label_prop_s"] = round(
                     time.perf_counter() - t0, 3
@@ -545,7 +563,8 @@ def tick_takedown(
 ) -> None:
     """RIGHT-TO-BE-FORGOTTEN across the whole persisted tick state —
     one call removes a doc/vector id set from every maintained table
-    (sigs, toksets, minhash, vecs, cosassign, cosine), relabels the
+    (sigs, toksets, minhash, vecs, cosassign, cosine, and proplabels
+    when label maintenance is active), relabels the
     cluster snapshot affected-components-only
     (graph.remove_and_relabel), and, with `export_dir`, scrubs the
     epoch-major training export via text.export_epoch_takedown
@@ -633,14 +652,42 @@ def tick_takedown(
             )
         return df
 
-    for kind, cols in (
+    from zebra_spark.fsutil import exists as _fs_exists
+
+    # the propagated-label table rides the takedown too (r13): a
+    # removed vector must lose its label row, and a removed LABEL SEED
+    # is refused exactly like a cosine seed — frozen labelidx/ means
+    # every propagated vote could have counted it
+    if _fs_exists(spark, f"{state_dir}/labelseeds"):
+        lab_hits = (
+            spark.read.parquet(f"{state_dir}/labelseeds")
+            .join(
+                F.broadcast(ids.withColumnRenamed("doc_id", "lab_id")),
+                "lab_id",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if lab_hits:
+            raise ValueError(
+                "takedown ids include frozen label seeds (labelseeds/ "
+                "feeds the persisted labelidx, so every propagated "
+                "label could have counted them) — rebuild the label "
+                "state over the surviving seed set instead"
+            )
+
+    kinds = [
         ("sigs", ("doc_id",)),
         ("toksets", ("doc_id",)),
         ("minhash", ("doc_a", "doc_b")),
         ("vecs", ("vec_id",)),
         ("cosassign", ("vec_id",)),
         ("cosine", ("id_a", "id_b")),
-    ):
+    ]
+    if _fs_exists(spark, f"{state_dir}/proplabels"):
+        kinds.append(("proplabels", ("vec_id",)))
+    for kind, cols in kinds:
         _swap_write(
             spark, state_dir, kind,
             anti(spark.read.parquet(f"{state_dir}/{kind}"), *cols),
