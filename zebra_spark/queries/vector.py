@@ -590,7 +590,11 @@ def label_prop_ann_df(
     le), `unl` is (vec_id, emb).  Builds the IVF index over the seeds
     (k_cells seeded-Lloyd cells), searches with every unlabeled vector
     (K_PROP nearest under L2^2 among the nprobe nearest NON-EMPTY
-    cells), and votes.
+    cells), and votes.  Output schema == q_knn_label_prop:
+    (vec_id, label, votes) — and output COVERAGE matches too: because
+    probing skips empty cells, every unlabeled vector draws >= 1
+    candidate and gets a row whenever any seed exists (pinned by
+    test_seedless_cells_still_cover_every_query).
 
     `index` (r13, VERDICT r12 #4): a prebuilt `IVFIndex` trained over
     the SEED side (corpus keyed by lab_id — what IVFIndex.train
@@ -602,11 +606,7 @@ def label_prop_ann_df(
     index.assignments covers exactly the ids in `lab`: propagation
     votes over the inner join of the two, so a seed missing from the
     index silently cannot vote (incremental seed batches go through
-    IVFIndex.add, which assigns them to the frozen centroids).  Output schema == q_knn_label_prop:
-    (vec_id, label, votes) — and output COVERAGE matches too: because
-    probing skips empty cells, every unlabeled vector draws >= 1
-    candidate and gets a row whenever any seed exists (pinned by
-    test_seedless_cells_still_cover_every_query).
+    IVFIndex.add, which assigns them to the frozen centroids).
 
     `weighted=True` (r13, VERDICT r12 #2) swaps ONLY the vote
     aggregate: candidates, rank window and coverage are shared with
