@@ -192,6 +192,12 @@ def main() -> None:
         # and the distance-weighted soft-label variant
         "q_knn_label_prop_ann",
         "q_knn_label_prop_weighted",
+        # round-13: the weighted vote on the ANN scale path, and the
+        # balanced reshard of the epoch-major export (3 real appends +
+        # full rebalance + read-back per trial — prices the lifecycle
+        # like the takedown row)
+        "q_knn_label_prop_ann_weighted",
+        "q_export_rebalance",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

@@ -50,6 +50,7 @@ HEADLINE = [
     "q_export_append_manifest", "q_pack_sequences_epoch",
     "q_knn_label_prop", "q_knn_label_prop_audit",
     "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
+    "q_knn_label_prop_ann_weighted", "q_export_rebalance",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -273,6 +274,20 @@ NOTES = {
         "and reduce inside codegen, never shuffled; per-cell salt "
         "buckets bound pairs-per-key.  Static plan prices the seeded "
         "Lloyd train (bounded collects: k x dim means) + the vote."
+    ),
+    "q_knn_label_prop_ann_weighted": (
+        "Identical plan to q_knn_label_prop_ann — the weighted flag "
+        "swaps only the final aggregate (sum 1/(1+dist) + "
+        "rounded-score pick instead of count + votes pick); "
+        "candidates, rank window and salt discipline unchanged."
+    ),
+    "q_export_rebalance": (
+        "File-driving gate: builds the 3-epoch export, then the "
+        "rebalance — NO global window (per-(epoch, shard) counts "
+        "collect as dirs x N_SHARDS ints, rank = broadcast offset + "
+        "per-partition row_number), one shuffle into the new shard "
+        "key, integer DIV for the cut.  The printed plan is the "
+        "re-read of the published tree."
     ),
     "q_pack_sequences_epoch": (
         "q_pack_sequences' window in (epoch, hv, doc_id) order — the "
