@@ -568,3 +568,70 @@ def test_tick_label_maintenance_requires_init(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="tick_no"):
         run_tick(spark, mirror, state, docs, vecs, label_prop_every=1)
+
+
+def test_add_label_seeds_invalidates_and_repropagates(spark, tmp_path):
+    """r13: growing the frozen label seed set (add_label_seeds) must
+    assign the new seeds to the FROZEN centroids (no retrain),
+    invalidate proplabels/ (any existing label may be stale once a
+    nearer seed exists), and let the next trigger re-propagate the
+    whole corpus — after which the state equals the kernel run with
+    the same updated index over the same (old ∪ new) seeds."""
+    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries.tick import add_label_seeds
+    from zebra_spark.queries.vector import label_prop_ann_df
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    emb = embeddings_d(spark, mirror)
+    seeds_a = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    seeds_b = emb.filter(F.col("vec_id") % 10 == 5).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    vecs = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "emb")
+
+    init_tick_state(
+        spark, mirror, state,
+        seed_vecs=vecs.filter(F.col("vec_id") % 3 == 0),
+        label_seeds=seeds_a,
+    )
+    centroids_before = IVFIndex.load(spark, f"{state}/labelidx").centroids
+
+    run_tick(
+        spark, mirror, state,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        vecs.filter(F.col("vec_id") % 2 == 0),
+        label_prop_every=1, tick_no=0,
+    )
+    n_half = vecs.filter(F.col("vec_id") % 2 == 0).count()
+    assert spark.read.parquet(f"{state}/proplabels").count() == n_half
+
+    n_added = add_label_seeds(spark, state, seeds_b)
+    assert n_added == seeds_b.count()
+    # invalidated: the next trigger's backlog is EVERYTHING
+    from pathlib import Path as _P
+    assert not _P(f"{state}/proplabels").exists()
+    idx_after = IVFIndex.load(spark, f"{state}/labelidx")
+    # frozen centroids, grown assignments
+    import numpy as np
+    assert np.array_equal(centroids_before, idx_after.centroids)
+    assert idx_after.assignments.count() == (
+        seeds_a.count() + seeds_b.count()
+    )
+
+    run_tick(
+        spark, mirror, state,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        vecs.filter(F.col("vec_id") % 2 == 1),
+        label_prop_every=1, tick_no=1,
+    )
+    got = spark.read.parquet(f"{state}/proplabels").toPandas()
+    want = label_prop_ann_df(
+        spark, seeds_a.unionByName(seeds_b), vecs, index=idx_after
+    ).toPandas()
+    assert _vhash(got) == _vhash(want)
+    assert len(got) == vecs.count()

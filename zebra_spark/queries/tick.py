@@ -203,6 +203,40 @@ def init_tick_state(
         _restore_all(sf_dir, prevs)
 
 
+def add_label_seeds(
+    spark: SparkSession, state_dir: str, new_seeds: DataFrame
+) -> int:
+    """Grow the frozen label seed set incrementally (r13, closing the
+    label lifecycle): append `new_seeds` (lab_id, label, le — ids
+    disjoint from every earlier batch, the same contract as tick
+    batches) to `labelseeds/`, assign them to the FROZEN labelidx
+    centroids (IVFIndex.add — one broadcast join, no retraining),
+    persist the updated index, and INVALIDATE `proplabels/`: a new
+    seed can be nearer to any already-labeled vector than every old
+    seed, so every propagated label is potentially stale — the next
+    label_prop trigger re-propagates the full corpus (backlog ==
+    everything), after which the delta discipline resumes.  Returns
+    seeds added.
+
+    Centroids stay frozen, so seed-cell balance drifts as batches
+    accumulate (exactly the IVFIndex.add contract) — cell_sizes() is
+    the audit; restoring balance = a fresh label bootstrap
+    (init_tick_state's label_seeds over the full seed set), which is
+    reseed-class maintenance, not a tick."""
+    from zebra_spark.fsutil import rmtree
+    from zebra_spark.index.ivf import IVFIndex
+
+    new = new_seeds.select("lab_id", "label", "le").localCheckpoint()
+    idx = IVFIndex.load(spark, f"{state_dir}/labelidx")
+    n = idx.add(
+        new.select(F.col("lab_id").alias("vec_id"), F.col("le").alias("emb"))
+    )
+    idx.save(f"{state_dir}/labelidx")
+    new.write.mode("append").parquet(f"{state_dir}/labelseeds")
+    rmtree(spark, f"{state_dir}/proplabels")
+    return n
+
+
 def _reseed_tick_state(
     spark: SparkSession, sf_dir: str, state_dir: str
 ) -> None:
