@@ -2297,3 +2297,100 @@ def test_export_compact_cadence_matches_manual_fold(spark, tmp_path):
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_stream_label_maintenance_idempotent_and_matches_kernel(
+    spark, tmp_path
+):
+    """r13: the streaming label-maintenance trigger
+    (maintain_label_table) labels the committed semantic state's
+    backlog and appends — idempotent under replay by the anti-join
+    (a re-trigger appends zero rows), final labels equal the kernel
+    run with the SAME persisted index over the same corpus, takedown
+    strips label rows, and a label-seed takedown is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.queries.tick import init_label_state
+    from zebra_spark.queries.vector import label_prop_ann_df
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        maintain_label_table,
+        read_cosine_state,
+        read_label_table,
+        remove_from_cosine_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = embeddings_d(spark, SF_ORACLE)
+    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    e = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "emb")
+    state = str(tmp_path / "cstate")
+
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, SF_ORACLE))
+    init_label_state(spark, state, seeds)
+
+    # epoch 0 ingests half; trigger labels exactly that half
+    maintain_cosine_tables(
+        spark, state, e.filter(F.col("vec_id") % 2 == 0), epoch_id=0
+    )
+    maintain_label_table(spark, state)
+    n_half = e.filter(F.col("vec_id") % 2 == 0).count()
+    assert read_label_table(spark, state).count() == n_half
+
+    # replay the trigger (restarted stream): zero-row append
+    maintain_label_table(spark, state)
+    assert read_label_table(spark, state).count() == n_half
+
+    # epoch 1 ingests the rest; the next trigger labels the backlog
+    maintain_cosine_tables(
+        spark, state, e.filter(F.col("vec_id") % 2 == 1), epoch_id=1
+    )
+    maintain_label_table(spark, state)
+    got = read_label_table(spark, state).toPandas()
+    idx = IVFIndex.load(spark, f"{state}/labelidx")
+    want = label_prop_ann_df(spark, seeds, e, index=idx).toPandas()
+    assert len(got) == len(want) == e.count()
+    assert _cosine_vhash(got) == _cosine_vhash(want)
+
+    # takedown strips label rows; label-seed takedown refused.
+    # victims must dodge the frozen COSINE seeds (cell_id = source
+    # vec_id) or the cosine-seed guard fires first
+    cos_seed_ids = spark.read.parquet(f"{state}/seeds").select(
+        F.col("cell_id").alias("vec_id")
+    )
+    victim = (
+        e.filter(F.col("vec_id") % 7 == 3)
+        .join(cos_seed_ids, "vec_id", "left_anti")
+        .limit(10)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    n_victim = victim.count()
+    remove_from_cosine_state(spark, state, victim)
+    left = read_label_table(spark, state)
+    assert left.count() == e.count() - n_victim
+    assert left.join(
+        victim.withColumnRenamed("vec_id", "v"),
+        left.vec_id == F.col("v"), "left_semi",
+    ).count() == 0
+    # a label seed that is NOT also a cosine seed, so the LABEL guard
+    # (not the cosine one) is what fires
+    lab_victim = (
+        seeds.select(F.col("lab_id").alias("vec_id"))
+        .join(cos_seed_ids, "vec_id", "left_anti")
+        .limit(1)
+        .localCheckpoint()
+    )
+    assert lab_victim.count() == 1
+    with pytest.raises(ValueError, match="label seeds"):
+        remove_from_cosine_state(spark, state, lab_victim)
+    from zebra_spark.caching import release_caches
+
+    release_caches()

@@ -148,20 +148,7 @@ def init_tick_state(
     from zebra_spark.queries import dedup as dd
 
     if label_seeds is not None:
-        from zebra_spark.index.ivf import IVFIndex
-
-        label_seeds.select("lab_id", "label", "le").write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/labelseeds")
-        frozen = spark.read.parquet(f"{state_dir}/labelseeds")
-        IVFIndex.train(
-            spark,
-            sf_dir="",
-            k=label_k_cells,
-            corpus=frozen.select(
-                F.col("lab_id").alias("vec_id"), F.col("le").alias("emb")
-            ),
-        ).save(f"{state_dir}/labelidx")
+        init_label_state(spark, state_dir, label_seeds, label_k_cells)
 
     seeds = dd._cosine_seeds(seed_vecs.select("vec_id", "emb"))
     seeds.write.mode("overwrite").parquet(f"{state_dir}/cosseeds")
@@ -201,6 +188,73 @@ def init_tick_state(
         ).parquet(f"{state_dir}/clusters")
     finally:
         _restore_all(sf_dir, prevs)
+
+
+def init_label_state(
+    spark: SparkSession,
+    state_dir: str,
+    label_seeds: DataFrame,
+    k_cells: int = 16,
+) -> None:
+    """Bootstrap the label-maintenance state under any maintained
+    state dir (shared by init_tick_state and the streaming cosine
+    state): freeze `label_seeds` (lab_id, label, le) under
+    `labelseeds/` and train+persist the IVFIndex over them ONCE under
+    `labelidx/` — every later trigger LOADS it (train-once;
+    seeded-deterministic, so train-once == per-call by construction)."""
+    from zebra_spark.index.ivf import IVFIndex
+
+    label_seeds.select("lab_id", "label", "le").write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/labelseeds")
+    frozen = spark.read.parquet(f"{state_dir}/labelseeds")
+    IVFIndex.train(
+        spark,
+        sf_dir="",
+        k=k_cells,
+        corpus=frozen.select(
+            F.col("lab_id").alias("vec_id"), F.col("le").alias("emb")
+        ),
+    ).save(f"{state_dir}/labelidx")
+
+
+def propagate_label_backlog(
+    spark: SparkSession,
+    state_dir: str,
+    vecs_all: DataFrame,
+    weighted: bool = False,
+) -> None:
+    """ONE label-maintenance trigger over a maintained state (shared
+    by run_tick's cadence and streaming.maintain_label_table):
+    propagate labels from the frozen `labelseeds/` via the persisted
+    `labelidx/` to the BACKLOG of `vecs_all` — rows without a
+    `proplabels/` entry yet — and APPEND.  Under frozen seeds each
+    vector's vote is independent, so backlog-append == full
+    re-propagation (delta cost, pinned by tests/test_tick.py).
+
+    IDEMPOTENT by construction: the backlog anti-join makes a
+    re-trigger over the same vectors a no-op append (zero rows), so a
+    crash-replayed streaming epoch cannot double-label — a crashed
+    append itself publishes nothing (parquet jobs commit via the
+    output committer's temporary dir)."""
+    from zebra_spark.fsutil import exists as _fs_exists
+    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.queries.vector import label_prop_ann_df
+
+    lab = spark.read.parquet(f"{state_dir}/labelseeds")
+    idx = IVFIndex.load(spark, f"{state_dir}/labelidx")
+    vecs_all = vecs_all.select("vec_id", "emb")
+    if _fs_exists(spark, f"{state_dir}/proplabels"):
+        backlog = vecs_all.join(
+            spark.read.parquet(f"{state_dir}/proplabels").select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+    else:
+        backlog = vecs_all
+    label_prop_ann_df(
+        spark, lab, backlog, weighted=weighted, index=idx
+    ).write.mode("append").parquet(f"{state_dir}/proplabels")
 
 
 def add_label_seeds(
@@ -515,39 +569,21 @@ def run_tick(
             timings["update_s"] = round(time.perf_counter() - t0, 3)
 
         if label_prop_every and tick_no % label_prop_every == 0:
-            from zebra_spark.index.ivf import IVFIndex
-            from zebra_spark.queries.vector import label_prop_ann_df
-
+            # DELTA append via the shared trigger (see
+            # propagate_label_backlog): under FROZEN seeds a vector's
+            # vote depends only on (vector, seeds), so labeling just
+            # the BACKLOG — this batch, plus anything skipped on
+            # off-cadence ticks — and appending is EXACTLY equal to
+            # re-propagating the corpus (pinned by test_tick.py); a
+            # seed-set change invalidates all labels at once
+            # (add_label_seeds), which is reseed-class, not a tick.
             t0 = time.perf_counter()
-            lab = spark.read.parquet(f"{state_dir}/labelseeds")
-            idx = IVFIndex.load(spark, f"{state_dir}/labelidx")
-            vecs_all = spark.read.parquet(f"{state_dir}/vecs").select(
-                "vec_id", "emb"
+            propagate_label_backlog(
+                spark,
+                state_dir,
+                spark.read.parquet(f"{state_dir}/vecs"),
+                weighted=label_prop_weighted,
             )
-            # DELTA append, not a |V| rewrite: under FROZEN seeds a
-            # vector's vote depends only on (vector, seeds), so
-            # labeling just the BACKLOG (accumulated vectors without a
-            # proplabels row — this batch, plus anything skipped on
-            # off-cadence ticks) and appending is EXACTLY equal to
-            # re-propagating the corpus (pinned by test_tick.py).
-            # Per-trigger cost is backlog-proportional — the same
-            # delta discipline as every other maintained table; a
-            # seed-set change invalidates all labels at once, and that
-            # event is a reseed-class rebuild, not a tick.
-            if _fs_exists(spark, f"{state_dir}/proplabels"):
-                backlog = vecs_all.join(
-                    spark.read.parquet(
-                        f"{state_dir}/proplabels"
-                    ).select("vec_id"),
-                    "vec_id",
-                    "left_anti",
-                )
-            else:
-                backlog = vecs_all
-            label_prop_ann_df(
-                spark, lab, backlog,
-                weighted=label_prop_weighted, index=idx,
-            ).write.mode("append").parquet(f"{state_dir}/proplabels")
             if timings is not None:
                 timings["label_prop_s"] = round(
                     time.perf_counter() - t0, 3

@@ -968,10 +968,44 @@ def remove_from_cosine_state(
                 "fresh state_dir (build over the surviving corpus) "
                 "instead"
             )
+    # the propagated-label family rides the takedown too (r13, the
+    # tick_takedown posture): a removed vector loses its label row; a
+    # removed LABEL SEED is refused — the frozen labelidx means every
+    # propagated vote could have counted it
+    if fs_exists(spark, f"{state_dir}/labelseeds"):
+        idcol = ids_df.columns[0]
+        lab_hit = (
+            spark.read.parquet(f"{state_dir}/labelseeds")
+            .join(
+                ids_df.select(F.col(idcol).alias("lab_id")),
+                "lab_id",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if lab_hit:
+            raise ValueError(
+                "takedown ids include frozen label seeds (labelseeds/ "
+                "feeds the persisted labelidx, so every propagated "
+                "label could have counted them) — rebuild the label "
+                "state over the surviving seed set instead"
+            )
     _remove_from_state(
         spark, state_dir, COSINE_STATE_TABLES, _COSINE_STATE_ID_COLS,
         ids_df, n_files,
     )
+    if fs_exists(spark, f"{state_dir}/proplabels"):
+        idcol = ids_df.columns[0]
+        kept = spark.read.parquet(f"{state_dir}/proplabels").join(
+            ids_df.select(F.col(idcol).alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        _snapshot_and_swap(
+            spark, f"{state_dir}/proplabels", kept, n_files,
+            epoch_layout=False,
+        )
 
 
 PAIR_STATE_TABLES = ("sigs", "toks", "pairs")
@@ -1431,6 +1465,37 @@ def compact_cosine_state(
     """compact_state over the semantic near-dup state tables (seeds/
     is a single tiny file frozen at init — nothing to fold)."""
     compact_state(spark, state_dir, COSINE_STATE_TABLES, n_files=n_files)
+
+
+def maintain_label_table(
+    spark: SparkSession, state_dir: str, weighted: bool = False
+) -> None:
+    """Streaming twin of run_tick's label-maintenance step (r13): one
+    trigger propagates labels from the frozen `labelseeds/` via the
+    persisted `labelidx/` (tick.init_label_state must have bootstrapped
+    both — the label state is layout-agnostic, so the SAME init serves
+    the batch tick and this stream) to the BACKLOG of the maintained
+    semantic state's COMMITTED vectors, appending to `proplabels/`.
+
+    Call it from a foreachBatch sink after maintain_cosine_tables (any
+    cadence — every epoch, every K-th, or from a separate nightly
+    job): the backlog anti-join makes the trigger IDEMPOTENT, so a
+    crash-replayed epoch re-triggers harmlessly (zero-row append) —
+    the same argument that exempts the cluster-label merge from epoch
+    bookkeeping, and unlike that merge this is not even a rewrite.
+    In epoch mode the vecs view already excludes the in-flight epoch
+    (read_cosine_state's committed frames), so a label can never
+    reference a vector whose epoch later rolls back."""
+    from zebra_spark.queries.tick import propagate_label_backlog
+
+    vecs, _assign, _pairs = read_cosine_state(spark, state_dir)
+    propagate_label_backlog(spark, state_dir, vecs, weighted=weighted)
+
+
+def read_label_table(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The propagated-label snapshot (vec_id, label, votes|score) of a
+    maintained state dir — tick- and stream-maintained alike."""
+    return spark.read.parquet(f"{state_dir}/proplabels")
 
 
 def stream_maintain_cosine_tables(
