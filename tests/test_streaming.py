@@ -971,13 +971,32 @@ def test_stream_maintain_cosine_tables(spark, tmp_path):
 
     state = str(tmp_path / "cstate")
     init_cosine_state(spark, state, dd.cosine_seed_table(spark, SF_ORACLE))
+
+    # label cadence wiring (r13): validated at wiring time...
+    import pytest as _pytest
+    from zebra_spark.queries.tick import init_label_state
+    from zebra_spark.streaming import read_label_table
+
     stream = (
         spark.readStream.schema("vec_id bigint, emb array<double>")
         .option("maxFilesPerTrigger", 1)
         .parquet(chunks)
     )
+    with _pytest.raises(ValueError, match="init_label_state"):
+        stream_maintain_cosine_tables(
+            spark, stream, state, str(tmp_path / "ckpt_bad"),
+            label_prop_every=1,
+        )
+    # ...and run per-epoch once the label state exists
+    seeds = embeddings_d(spark, SF_ORACLE).filter(
+        F.col("vec_id") % 50 == 0
+    ).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    init_label_state(spark, state, seeds)
     q = stream_maintain_cosine_tables(
-        spark, stream, state, str(tmp_path / "ckpt")
+        spark, stream, state, str(tmp_path / "ckpt"),
+        label_prop_every=1,
     )
     try:
         q.processAllAvailable()
@@ -985,11 +1004,15 @@ def test_stream_maintain_cosine_tables(spark, tmp_path):
         q.stop()
     got = read_cosine_state(spark, state)[2].toPandas()
     want = dd.cosine_pair_table(spark, SF_ORACLE).toPandas()
+    # every committed vector carries a propagated label by stream end
+    n_labeled = read_label_table(spark, state).count()
+    n_vecs = read_cosine_state(spark, state)[0].count()
     from zebra_spark.caching import release_caches
 
     release_caches()
     assert len(got) == len(want) > 0
     assert _cosine_vhash(got) == _cosine_vhash(want)
+    assert n_labeled == n_vecs > 0
 
 
 def test_maintain_cosine_tables_empty_batch(spark, tmp_path):

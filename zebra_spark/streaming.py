@@ -1501,6 +1501,8 @@ def read_label_table(spark: SparkSession, state_dir: str) -> DataFrame:
 def stream_maintain_cosine_tables(
     spark: SparkSession, vec_stream: DataFrame, state_dir: str,
     checkpoint_dir: str,
+    label_prop_every: int = 0,
+    label_prop_weighted: bool = False,
 ):
     """Wire maintain_cosine_tables as a foreachBatch sink over a vector
     stream (vec_id, emb).  Exactly-once on restart for the same reason
@@ -1508,13 +1510,34 @@ def stream_maintain_cosine_tables(
     crash recomputes against the same `epoch < N` state and overwrites
     its own `epoch=N` output.  init_cosine_state must have frozen the
     seeds first; read via read_cosine_state; compact with
-    compact_cosine_state once the stream is stopped."""
+    compact_cosine_state once the stream is stopped.
+
+    label_prop_every=K (r13 — the streaming twin of run_tick's knob):
+    every K-th epoch, after the epoch's state commit, run
+    maintain_label_table over the now-committed vectors
+    (tick.init_label_state must have bootstrapped labelseeds/ +
+    labelidx/ first — validated at wiring time, not mid-stream).  The
+    trigger needs no replay bookkeeping: the backlog anti-join makes a
+    replayed epoch's re-trigger a zero-row append.  0 disables."""
+    if label_prop_every:
+        from zebra_spark.fsutil import exists as fs_exists
+
+        if not fs_exists(spark, f"{state_dir}/labelidx/metadata.json"):
+            raise ValueError(
+                "label_prop_every requires a label-maintenance state — "
+                "run tick.init_label_state(state_dir, label_seeds) so "
+                "labelseeds/ and the trained labelidx/ exist"
+            )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
             maintain_cosine_tables(
                 spark, state_dir, batch_df, epoch_id=epoch_id
             )
+            if label_prop_every and epoch_id % label_prop_every == 0:
+                maintain_label_table(
+                    spark, state_dir, weighted=label_prop_weighted
+                )
 
     return (
         vec_stream.writeStream.foreachBatch(sink)
