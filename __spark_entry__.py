@@ -60,6 +60,7 @@ _FORCE_FIRST = [
     "q_json_get",
     "q_knn_label_prop_ann_weighted",
     "q_export_rebalance",
+    "q_label_prop_calibration",
 ]
 
 _PRIORITY = [

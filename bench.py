@@ -198,6 +198,7 @@ def main() -> None:
         # like the takedown row)
         "q_knn_label_prop_ann_weighted",
         "q_export_rebalance",
+        "q_label_prop_calibration",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]

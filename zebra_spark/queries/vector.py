@@ -533,6 +533,64 @@ def label_prop_weighted_exact_df(lab: DataFrame, unl: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "q_label_prop_calibration",
+    oracle=f"""
+    WITH {_SQL_PROP_BASE},
+    v AS (
+      SELECT vec_id, label, sum(1.0 / (1.0 + dist)) AS score
+      FROM r WHERE rk <= {K_PROP} GROUP BY vec_id, label
+    ),
+    w AS (
+      SELECT vec_id, label, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {sql_rnd("score")} DESC, label)
+               AS pick
+      FROM v
+    ),
+    p AS (
+      SELECT vec_id, label AS plabel, {sql_rnd("score")} AS score
+      FROM w WHERE pick = 1
+    )
+    SELECT CAST(floor(p.score * 20.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN p.plabel = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM p JOIN e USING (vec_id)
+    GROUP BY bin
+    """,
+)
+def q_label_prop_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFIDENCE CALIBRATION of the weighted propagation (r13 — the
+    q_sketch_calibration pattern applied to the labeling dial):
+    bucket every vector's winning 1/(1+dist) score into 0.05-wide
+    bins (floor(score * 20) over the ROUNDED score, so both engines
+    bin identical doubles) and count per bin how many propagated
+    labels match the fixture's kept true labels — (bin, n,
+    n_correct), all-integer.  THE measured basis for choosing the
+    keep/route threshold a classifier-filter pipeline applies to
+    q_knn_label_prop_weighted's score: a calibrated curve (accuracy
+    rising with the bin) justifies thresholding; a flat one says the
+    seed set or K is wrong — measure, don't guess.  One broadcast
+    join + one aggregate on top of the weighted vote's plan."""
+    w = q_knn_label_prop_weighted(spark, sf_dir)
+    truth = embeddings_d(spark, sf_dir).select(
+        "vec_id", F.col("label").alias("tlabel")
+    )
+    return (
+        w.join(truth, "vec_id")
+        .groupBy(
+            F.floor(F.col("score") * 20.0).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("label") == F.col("tlabel"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+    )
+
+
 @query("q_knn_label_prop_ann")
 def q_knn_label_prop_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-BACKED label propagation (r12, VERDICT r11 #2 — the
