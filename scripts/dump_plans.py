@@ -51,6 +51,7 @@ HEADLINE = [
     "q_knn_label_prop", "q_knn_label_prop_audit",
     "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
     "q_knn_label_prop_ann_weighted", "q_export_rebalance",
+    "q_label_prop_calibration",
 ]
 
 # Per-query audit notes appended under the summary line.
@@ -288,6 +289,12 @@ NOTES = {
         "per-partition row_number), one shuffle into the new shard "
         "key, integer DIV for the cut.  The printed plan is the "
         "re-read of the published tree."
+    ),
+    "q_label_prop_calibration": (
+        "q_knn_label_prop_weighted's plan + one broadcast truth join "
+        "+ one partial-then-final aggregate over the 0.05 score bins "
+        "— the calibration read costs one extra narrow join, never a "
+        "second corpus pass."
     ),
     "q_pack_sequences_epoch": (
         "q_pack_sequences' window in (epoch, hv, doc_id) order — the "
