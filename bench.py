@@ -534,6 +534,11 @@ def main() -> None:
     full_name = f"bench_full_r{max(rounds) + 1:02d}.json" if rounds else (
         "bench_full.json"
     )
+    # a SUBSET run (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
+    # round's full artifact with a partial queries map (r13: two
+    # subset smoke-runs silently overwrote the 62-row record)
+    if only_set is not None:
+        full_name = full_name.replace(".json", "_partial.json")
     full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL") or str(
         here / full_name
     )
