@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json files the driver leaves in the repo root, so
 # each round's prefix now re-certifies the most-stale names and every
 # query's latest row stays within ~4 rounds by construction
-# (195 names / ~50-row prefix).  Rows-only names carry driver rows
+# (200 names / ~50-row prefix).  Rows-only names carry driver rows
 # too (clean no_oracle), so the same ager rotates them (VERDICT r11
 # #6 is subsumed, plus explicit pins below for the oldest).  Pure
 # reordering — the name->callable mapping is unchanged and
