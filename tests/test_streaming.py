@@ -2417,3 +2417,95 @@ def test_stream_label_maintenance_idempotent_and_matches_kernel(
     from zebra_spark.caching import release_caches
 
     release_caches()
+
+
+def test_proplabels_swap_recovery(spark, tmp_path):
+    """ADVICE r13: proplabels is swapped by the takedown path but is
+    NOT in COSINE_STATE_TABLES, so its crashed swaps were never
+    repaired — a crash mid-swap left the live dir absent with
+    __compact residue forever: read_label_table then failed and the
+    next maintain_label_table silently paid a full-corpus
+    re-propagation.  All three entry points (read_label_table,
+    maintain_label_table, remove_from_cosine_state) now front the
+    proplabels swap recovery."""
+    import shutil
+    from pathlib import Path as _P
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d
+    from zebra_spark.queries import dedup as dd
+    from zebra_spark.queries.tick import init_label_state
+    from zebra_spark.streaming import (
+        init_cosine_state,
+        maintain_cosine_tables,
+        maintain_label_table,
+        read_label_table,
+        remove_from_cosine_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = embeddings_d(spark, SF_SMOKE)
+    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    e = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "emb")
+    state = str(tmp_path / "cstate")
+    init_cosine_state(spark, state, dd.cosine_seed_table(spark, SF_SMOKE))
+    init_label_state(spark, state, seeds)
+    maintain_cosine_tables(spark, state, e, epoch_id=0)
+    maintain_label_table(spark, state)
+    n = e.count()
+    assert read_label_table(spark, state).count() == n
+
+    p = _P(f"{state}/proplabels")
+
+    def crash_mid_swap():
+        # the _snapshot_and_swap window between rename(p, old) and
+        # rename(tmp, p): staged snapshot complete, live dir absent
+        shutil.copytree(p, f"{p}__compact")
+        p.rename(f"{p}__old")
+
+    # 1. reader lands in the window: repaired, not a missing-path error
+    crash_mid_swap()
+    assert read_label_table(spark, state).count() == n
+    assert p.exists()
+    assert not _P(f"{p}__compact").exists() and not _P(f"{p}__old").exists()
+
+    # 2. maintainer lands in the window: repaired FIRST, so the backlog
+    # anti-join sees the live table and appends zero rows instead of
+    # re-propagating the whole corpus
+    crash_mid_swap()
+    maintain_label_table(spark, state)
+    assert read_label_table(spark, state).count() == n
+    assert not _P(f"{p}__compact").exists() and not _P(f"{p}__old").exists()
+
+    # 3. the takedown path lands in the window: repaired, then swapped
+    cos_seed_ids = spark.read.parquet(f"{state}/seeds").select(
+        F.col("cell_id").alias("vec_id")
+    )
+    victim = (
+        e.join(cos_seed_ids, "vec_id", "left_anti")
+        .join(
+            seeds.select(F.col("lab_id").alias("vec_id")),
+            "vec_id", "left_anti",
+        )
+        .limit(5)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    n_victim = victim.count()
+    crash_mid_swap()
+    remove_from_cosine_state(spark, state, victim)
+    assert read_label_table(spark, state).count() == n - n_victim
+    assert not _P(f"{p}__compact").exists() and not _P(f"{p}__old").exists()
+
+    # 4. post-commit residue (live dir present, stale __compact/__old
+    # leftovers): discarded, rows unchanged
+    shutil.copytree(p, f"{p}__compact")
+    shutil.copytree(p, f"{p}__old")
+    assert read_label_table(spark, state).count() == n - n_victim
+    assert not _P(f"{p}__compact").exists() and not _P(f"{p}__old").exists()
+    from zebra_spark.caching import release_caches
+
+    release_caches()

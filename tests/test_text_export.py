@@ -727,9 +727,11 @@ def test_read_epoch_export_merges_mixed_nchars_widths(spark, tmp_path):
     different producers can disagree on the n_chars parquet width
     (tick/stream sinks write F.length(text) = int; fixture-sourced
     exports carry the documents table's bigint).  read_epoch_export
-    must read such a tree clean — the mergeSchema option on the read
-    is what reconciles the footer schemas BEFORE the normalizing
-    casts apply."""
+    must read such a tree clean — the EXPLICIT read schema is what
+    reconciles the widths (each file's INT32 upcasts into the declared
+    BIGINT with no merge step at all); mergeSchema can NOT do it
+    (Spark 4 refuses INT vs BIGINT merges with CANNOT_MERGE_SCHEMAS —
+    measured, see read_epoch_export's docstring)."""
     from zebra_spark.io import load
     from zebra_spark.queries.text import export_epoch_append, read_epoch_export
 

@@ -635,3 +635,87 @@ def test_add_label_seeds_invalidates_and_repropagates(spark, tmp_path):
     ).toPandas()
     assert _vhash(got) == _vhash(want)
     assert len(got) == vecs.count()
+
+
+def test_add_label_seeds_invalidates_before_committing(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13: add_label_seeds must rmtree proplabels/ BEFORE the
+    index save and the labelseeds append.  A crash between the
+    invalidation and the commit then degrades to a correct full
+    re-propagation over the OLD seed set — never to the old order's
+    permanently-stale labels (new seeds active, proplabels voted
+    without them, and the backlog anti-join never re-votes).  The
+    crash is injected by making IVFIndex.save raise; a retry of the
+    same call must then complete the add normally."""
+    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.io import embeddings_d, load
+    from zebra_spark.queries.tick import (
+        add_label_seeds,
+        propagate_label_backlog,
+    )
+    from zebra_spark.queries.vector import label_prop_ann_df
+    from pathlib import Path as _P
+
+    mirror = _mirror_sf_dir(SF_SMOKE)
+    state = str(tmp_path / "state")
+    docs = load(spark, mirror, "documents").select("doc_id", "text")
+    emb = embeddings_d(spark, mirror)
+    seeds_a = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    seeds_b = emb.filter(F.col("vec_id") % 10 == 5).select(
+        F.col("vec_id").alias("lab_id"), "label", F.col("emb").alias("le")
+    )
+    vecs = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "emb")
+
+    init_tick_state(
+        spark, mirror, state,
+        seed_vecs=vecs.filter(F.col("vec_id") % 3 == 0),
+        label_seeds=seeds_a,
+    )
+    run_tick(
+        spark, mirror, state, docs, vecs,
+        label_prop_every=1, tick_no=0,
+    )
+    assert spark.read.parquet(f"{state}/proplabels").count() == vecs.count()
+    n_a = seeds_a.count()
+
+    # crash INSIDE add_label_seeds, after the invalidation, before the
+    # index/seed commit
+    real_save = IVFIndex.save
+    monkeypatch.setattr(
+        IVFIndex, "save",
+        lambda self, path: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        add_label_seeds(spark, state, seeds_b)
+    monkeypatch.setattr(IVFIndex, "save", real_save)
+
+    # the invalidation landed FIRST; the commit never did
+    assert not _P(f"{state}/proplabels").exists()
+    assert spark.read.parquet(f"{state}/labelseeds").count() == n_a
+    idx_disk = IVFIndex.load(spark, f"{state}/labelidx")
+    assert idx_disk.assignments.count() == n_a
+
+    # worst case before the retry: the next trigger is a correct full
+    # re-propagation over the OLD seed set (wasted work, no wrong rows)
+    propagate_label_backlog(spark, state, vecs)
+    got = spark.read.parquet(f"{state}/proplabels").toPandas()
+    want = label_prop_ann_df(spark, seeds_a, vecs, index=idx_disk).toPandas()
+    assert _vhash(got) == _vhash(want)
+
+    # the retry completes the add: invalidated again, both seeds live
+    n_added = add_label_seeds(spark, state, seeds_b)
+    assert n_added == seeds_b.count()
+    assert not _P(f"{state}/proplabels").exists()
+    assert spark.read.parquet(f"{state}/labelseeds").count() == (
+        n_a + seeds_b.count()
+    )
+    propagate_label_backlog(spark, state, vecs)
+    idx_after = IVFIndex.load(spark, f"{state}/labelidx")
+    got2 = spark.read.parquet(f"{state}/proplabels").toPandas()
+    want2 = label_prop_ann_df(
+        spark, seeds_a.unionByName(seeds_b), vecs, index=idx_after
+    ).toPandas()
+    assert _vhash(got2) == _vhash(want2)

@@ -272,6 +272,25 @@ def add_label_seeds(
     everything), after which the delta discipline resumes.  Returns
     seeds added.
 
+    ORDER MATTERS (ADVICE r13): the invalidation runs FIRST.  Were it
+    last, a crash between the index/seed update and the rmtree would
+    leave the new seeds active while stale labels — voted without them
+    — survived permanently (the backlog anti-join never re-votes an
+    already-labeled vector).  Invalidate-first degrades every crash
+    window to a correct outcome instead: after the rmtree alone, the
+    next trigger re-propagates the full corpus over the OLD seed set
+    (wasted work, no wrong rows); after idx.save but before the seed
+    append, the index carries assignments for seeds labelseeds/ does
+    not know yet, which the propagation's inner join to the seed table
+    simply drops — again the old-seed-set propagation (a probe into a
+    cell holding only not-yet-appended seeds can transiently draw
+    fewer candidates, but no WRONG label is ever written, and the
+    retry heals the window).  Re-running the call after any
+    crash completes the add (the batch's ids are disjoint by contract,
+    like tick batches, so only a crash INSIDE the retried idx.add/save
+    pair itself could double-assign — the same at-most-once retry
+    contract every tick append carries).
+
     Centroids stay frozen, so seed-cell balance drifts as batches
     accumulate (exactly the IVFIndex.add contract) — cell_sizes() is
     the audit; restoring balance = a fresh label bootstrap
@@ -281,13 +300,13 @@ def add_label_seeds(
     from zebra_spark.index.ivf import IVFIndex
 
     new = new_seeds.select("lab_id", "label", "le").localCheckpoint()
+    rmtree(spark, f"{state_dir}/proplabels")
     idx = IVFIndex.load(spark, f"{state_dir}/labelidx")
     n = idx.add(
         new.select(F.col("lab_id").alias("vec_id"), F.col("le").alias("emb"))
     )
     idx.save(f"{state_dir}/labelidx")
     new.write.mode("append").parquet(f"{state_dir}/labelseeds")
-    rmtree(spark, f"{state_dir}/proplabels")
     return n
 
 

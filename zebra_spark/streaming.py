@@ -995,6 +995,12 @@ def remove_from_cosine_state(
         spark, state_dir, COSINE_STATE_TABLES, _COSINE_STATE_ID_COLS,
         ids_df, n_files,
     )
+    # proplabels is NOT in COSINE_STATE_TABLES (it is label-state,
+    # present only when tick.init_label_state bootstrapped it), so the
+    # recover call above never covers it — run its own recovery before
+    # touching it (ADVICE r13: a crash mid-swap here left the live dir
+    # absent with __compact residue nothing ever repaired)
+    recover_state_swaps(spark, state_dir, ("proplabels",))
     if fs_exists(spark, f"{state_dir}/proplabels"):
         idcol = ids_df.columns[0]
         kept = spark.read.parquet(f"{state_dir}/proplabels").join(
@@ -1488,13 +1494,24 @@ def maintain_label_table(
     reference a vector whose epoch later rolls back."""
     from zebra_spark.queries.tick import propagate_label_backlog
 
+    # proplabels is swapped by the takedown path but is NOT in
+    # COSINE_STATE_TABLES, so no other entry point repairs a crashed
+    # swap — without this, the backlog anti-join would see no live dir
+    # and silently pay a full-corpus re-propagation while the
+    # __compact residue lingered forever (ADVICE r13)
+    recover_state_swaps(spark, state_dir, ("proplabels",))
     vecs, _assign, _pairs = read_cosine_state(spark, state_dir)
     propagate_label_backlog(spark, state_dir, vecs, weighted=weighted)
 
 
 def read_label_table(spark: SparkSession, state_dir: str) -> DataFrame:
     """The propagated-label snapshot (vec_id, label, votes|score) of a
-    maintained state dir — tick- and stream-maintained alike."""
+    maintained state dir — tick- and stream-maintained alike.  Runs
+    proplabels' swap recovery first (ADVICE r13), mirroring how every
+    other state read fronts recover_state_swaps, so a reader landing
+    in the takedown's crash window sees the repaired table instead of
+    a missing-path error."""
+    recover_state_swaps(spark, state_dir, ("proplabels",))
     return spark.read.parquet(f"{state_dir}/proplabels")
 
 
