@@ -114,3 +114,40 @@ def test_index_flag_records_family(spark, tmp_path, capsys):
     assert "red fox jumps" in out
     with open(f"{path}/zebra.json") as f:
         assert json.load(f)["index_kind"] == "ivf"
+
+
+def test_text_label_prop_lifecycle(spark, db_path, capsys):
+    """r14 (VERDICT r13 #1): the label-prop verb drives the full
+    semi-supervised lifecycle — bootstrap with label=text seeds,
+    propagate-only after new inserts (backlog delta), --add seed
+    growth (invalidate + re-vote) — printing the per-label histogram."""
+    fruit = ["apple banana cherry", "mango papaya banana", "plum apple basket"]
+    beast = ["wolf bear lynx", "otter badger bear", "moose wolf tundra"]
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "insert", *fruit, *beast]) == 0
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "label-prop", "--weighted",
+                 "fruit=apple banana mango", "beast=wolf bear otter"]) == 0
+    out = capsys.readouterr().out
+    assert "label 'fruit'" in out and "label 'beast'" in out
+    assert f"labeled {len(fruit) + len(beast)} documents" in out
+
+    # propagate-only after an insert: the backlog (1 doc) gets labeled
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "insert", "papaya lemon bowl"]) == 0
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "label-prop", "--weighted"]) == 0
+    out = capsys.readouterr().out
+    assert f"labeled {len(fruit) + len(beast) + 1} documents" in out
+
+    # --add grows the seed set (invalidate + full re-vote)
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "label-prop", "--weighted", "--add",
+                 "bird=heron finch crow"]) == 0
+    out = capsys.readouterr().out
+    assert f"labeled {len(fruit) + len(beast) + 1} documents" in out
+
+    # malformed seed item fails loudly
+    with pytest.raises(SystemExit):
+        _run(["--database-path", db_path, "--cpus", "8",
+              "text", "label-prop", "no-separator-here"])

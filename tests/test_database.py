@@ -548,3 +548,132 @@ def test_facade_pq_requires_l2sq(spark, tmp_path):
         ZebraDatabase.create_default_image(
             spark, str(tmp_path / "imgdb"), index_kind="pq"
         )
+
+
+# -- semi-supervised labels through the facade (r14, VERDICT r13 #1) --------
+
+FRUIT = ["apple banana cherry orchard", "banana mango papaya grove",
+         "cherry apple plum harvest", "mango orange lemon basket"]
+BEAST = ["wolf bear lynx forest", "bear otter badger river",
+         "lynx wolf moose tundra", "otter seal walrus coast"]
+
+
+def test_propagate_labels_lifecycle(spark, db):
+    """propagate_labels bootstraps (frozen seeds + persisted labelidx)
+    then labels the whole store; repeat calls are backlog-only (zero
+    new rows when nothing was inserted, delta rows after an insert);
+    the vote shape is fixed at first propagation; a second bootstrap
+    is refused."""
+    db.insert_texts(FRUIT + BEAST)
+    # 3 seeds per class: K_PROP=5, so each vector's vote draws 5 of
+    # the 6 seeds and the majority discriminates (2 seeds would tie
+    # 1-1 on every vector and collapse to the label-asc tie-break)
+    labels = db.propagate_labels(
+        seeds=[("fruit", "apple banana cherry"),
+               ("fruit", "mango papaya orange"),
+               ("fruit", "plum lemon harvest basket"),
+               ("beast", "wolf bear lynx"),
+               ("beast", "otter badger moose"),
+               ("beast", "seal walrus tundra forest")]
+    )
+    got = labels.toPandas()
+    assert len(got) == db.count()
+    assert set(got["label_name"]) == {"fruit", "beast"}
+    assert "votes" in got.columns
+
+    # repeat: nothing new -> same rows (backlog append of zero)
+    assert len(db.propagate_labels().toPandas()) == len(got)
+
+    # delta: new inserts get labeled, old rows stay bit-identical
+    ins = db.insert_texts(["papaya lemon apple bowl"])
+    new_id = ins.select("vec_id").first()[0]
+    got2 = db.propagate_labels().toPandas()
+    assert len(got2) == len(got) + 1
+    assert set(got2[got2.vec_id == new_id]["label_name"]) == {"fruit"}
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got.sort_values("vec_id").reset_index(drop=True),
+        got2[got2.vec_id != new_id].sort_values("vec_id")
+        .reset_index(drop=True),
+    )
+
+    with pytest.raises(ValueError, match="weighted=False"):
+        db.propagate_labels(weighted=True)
+    with pytest.raises(ValueError, match="already bootstrapped"):
+        db.propagate_labels(seeds=[("fruit", "apple")])
+
+
+def test_propagate_labels_requires_bootstrap(spark, db):
+    db.insert_texts(FRUIT)
+    with pytest.raises(ValueError, match="no label state"):
+        db.propagate_labels()
+    with pytest.raises(ValueError, match="no label state"):
+        db.add_label_seeds([("fruit", "apple")])
+    # labels() on a label-less store: empty, stable schema
+    assert db.labels().count() == 0
+
+
+def test_add_label_seeds_invalidates_through_facade(spark, db):
+    """Facade seed growth == tick.add_label_seeds semantics: the grown
+    set invalidates every propagated label and the next
+    propagate_labels re-votes the corpus with both seed batches."""
+    import os
+
+    db.insert_texts(FRUIT + BEAST)
+    # weighted vote: with one seed per class the majority vote would
+    # tie 1-1 everywhere, but 1/(1+dist) discriminates by proximity
+    db.propagate_labels(
+        seeds=[("fruit", "apple banana mango")], weighted=True
+    )
+    assert db.add_label_seeds([("beast", "wolf bear lynx")]) == 1
+    assert not os.path.exists(f"{db.path}/proplabels")
+    got = db.propagate_labels(weighted=True).toPandas()
+    assert len(got) == db.count()
+    assert set(got["label_name"]) == {"fruit", "beast"}
+    # successive list-built batches got disjoint negative lab_ids
+    seeds = spark.read.parquet(f"{db.path}/labelseeds").toPandas()
+    assert len(seeds) == 2
+    assert seeds["lab_id"].nunique() == 2
+    assert (seeds["lab_id"] < 0).all()
+
+
+def test_remove_strips_labels_and_refuses_seed_removal(spark, db):
+    """remove_df rides the propagated-label table through the same
+    two-phase swap (a removed vector loses its label row atomically)
+    and refuses a delete that hits a frozen label seed — the
+    tick_takedown posture on the facade."""
+    from pyspark.sql import functions as F
+
+    db.insert_texts(FRUIT + BEAST)
+    # corpus-member seeds (a DataFrame spec), so the refusal is testable
+    emb = db.embeddings()
+    seed_ids = [r.vec_id for r in emb.orderBy("vec_id").limit(2).collect()]
+    sdf = (
+        emb.filter(F.col("vec_id").isin(seed_ids))
+        .select(
+            F.col("vec_id").alias("lab_id"),
+            (F.col("vec_id") % 2).cast("bigint").alias("label"),
+            F.col("embedding").alias("le"),
+        )
+    )
+    got = db.propagate_labels(seeds=sdf, weighted=True).toPandas()
+    assert "score" in got.columns  # weighted shape
+    assert len(got) == db.count()
+
+    victim = int(
+        emb.filter(~F.col("vec_id").isin(seed_ids)).first()[0]
+    )
+    db.remove([victim])
+    left = db.labels().toPandas()
+    assert victim not in set(left["vec_id"])
+    assert len(left) == len(got) - 1
+
+    with pytest.raises(ValueError, match="label seeds"):
+        db.remove([seed_ids[0]])
+
+    # clear() drops the label state with the corpus
+    db.clear()
+    import os
+    assert not os.path.exists(f"{db.path}/labelseeds")
+    assert not os.path.exists(f"{db.path}/proplabels")
+    assert db.labels().count() == 0

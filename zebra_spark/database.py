@@ -67,7 +67,7 @@ class ZebraDatabase:
                     shutil.rmtree(f"{p}_old", ignore_errors=True)
             os.remove(marker)
         else:
-            for table in ("embeddings", "documents"):
+            for table in ("embeddings", "documents", "proplabels"):
                 shutil.rmtree(
                     f"{self.path}/{table}_tmp", ignore_errors=True
                 )
@@ -185,9 +185,17 @@ class ZebraDatabase:
             json.dump(self.meta, f, indent=2)
 
     def clear(self) -> None:
-        """≙ clear_database (core.rs:194-198)."""
-        for sub in ("documents", "embeddings", "index", "_batches"):
+        """≙ clear_database (core.rs:194-198).  The label-propagation
+        state (labelseeds/labelidx/proplabels, r14) clears with the
+        corpus it labels."""
+        for sub in ("documents", "embeddings", "index", "_batches",
+                    "labelseeds", "labelidx", "proplabels"):
             shutil.rmtree(f"{self.path}/{sub}", ignore_errors=True)
+        for f in ("label_names.json",):
+            try:
+                os.remove(f"{self.path}/{f}")
+            except OSError:
+                pass
         self.meta["n_batches"] = 0
         self._index = None
         self._write_meta()
@@ -545,13 +553,50 @@ class ZebraDatabase:
         rows to {table}_tmp; the _swap_commit marker is the commit
         point; phase 2 swaps each _tmp in.  _recover_swaps() rolls an
         interrupted run forward past the marker, or discards pre-commit
-        _tmp dirs."""
+        _tmp dirs.
+
+        When the label-propagation state is active (r14, the facade's
+        propagate_labels lifecycle) the propagated-label table rides
+        the same two-phase swap — a removed vector loses its label row
+        atomically with its embedding — and a delete that hits a
+        frozen LABEL SEED is refused exactly like tick_takedown /
+        remove_from_cosine_state refuse it: the persisted labelidx
+        means every propagated vote could have counted that seed, so
+        removing it is a label-state rebuild (fresh propagate_labels
+        bootstrap over the surviving seed set), not a delete."""
+        if os.path.exists(f"{self.path}/labelseeds"):
+            hit = (
+                self.spark.read.parquet(f"{self.path}/labelseeds")
+                .join(
+                    F.broadcast(
+                        ids_df.select(F.col("vec_id").alias("lab_id"))
+                    ),
+                    "lab_id",
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise ValueError(
+                    "remove ids include frozen label seeds (labelseeds/ "
+                    "feeds the persisted labelidx, so every propagated "
+                    "label could have counted them) — rebuild the label "
+                    "state over the surviving seed set instead"
+                )
         tables = [
             t for t in ("embeddings", "documents")
             if self._read(t) is not None
         ]
+        if os.path.exists(f"{self.path}/proplabels"):
+            tables.append("proplabels")
         for table in tables:
-            kept = self._read(table).join(
+            src = (
+                self.spark.read.parquet(f"{self.path}/proplabels")
+                if table == "proplabels"
+                else self._read(table)
+            )
+            kept = src.join(
                 ids_df.select("vec_id"), "vec_id", "left_anti"
             )
             w = kept.write.mode("overwrite")
@@ -808,3 +853,213 @@ class ZebraDatabase:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist"))
         )
+
+    # -- semi-supervised labels (r14, VERDICT r13 #1) ----------------------
+    #
+    # The label-propagation lifecycle (queries/tick.py's
+    # init_label_state / propagate_label_backlog / add_label_seeds —
+    # first-class and driver-gated since r13) exposed through the same
+    # facade that fronts the four ANN index families, so a user of the
+    # CRUD surface can label a corpus without touching the tick/stream
+    # maintainers.  State lives beside the tables it labels:
+    # {path}/labelseeds, {path}/labelidx, {path}/proplabels — the SAME
+    # layout the batch tick and the streaming maintainers use, so a
+    # facade-labeled store can be adopted by either.  No new kernel
+    # code: every method below is a thin adapter over those helpers.
+
+    def _label_names(self) -> dict[str, int]:
+        p = f"{self.path}/label_names.json"
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _map_label_names(self, raw_labels: list) -> list[int]:
+        """Map seed labels to the bigint ids the propagation kernel
+        votes over.  Integer labels pass through; string labels get
+        dense ids recorded in {path}/label_names.json (tmp + atomic
+        rename, like the batch manifests) so labels() can surface the
+        names back.  Mixing the two styles in one database is refused —
+        a string that collided with a passthrough int would silently
+        merge two classes."""
+        strs = [l for l in raw_labels if isinstance(l, str)]
+        if not strs:
+            return [int(l) for l in raw_labels]
+        if len(strs) != len(raw_labels):
+            raise ValueError(
+                "seed labels mix strings and ints — use one style per "
+                "database (string labels are mapped to dense ids in "
+                "label_names.json; int labels pass through unmapped)"
+            )
+        names = self._label_names()
+        nxt = max(names.values(), default=-1) + 1
+        for l in strs:
+            if l not in names:
+                names[l] = nxt
+                nxt += 1
+        tmp = f"{self.path}/.label_names.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(names, f, indent=2)
+        os.replace(tmp, f"{self.path}/label_names.json")
+        return [names[l] for l in raw_labels]
+
+    def _seed_frame(self, seeds) -> DataFrame:
+        """Normalize a seed spec to the kernel's (lab_id, label, le).
+
+        Accepts a DataFrame already shaped (lab_id, label, le) — e.g.
+        labeled corpus members — or a list of (label, example) pairs:
+        `example` is a TEXT (embedded with the database's configured
+        model, the query_texts path) or a ready embedding vector (the
+        CLI's binary modalities decode blobs to vectors first).
+        List-built seeds get NEGATIVE lab_ids, descending below any
+        earlier batch's, so they can never collide with corpus vec_ids
+        (always >= 0) and successive add_label_seeds batches stay
+        id-disjoint, as its contract requires."""
+        if isinstance(seeds, DataFrame):
+            return seeds.select(
+                F.col("lab_id").cast("bigint").alias("lab_id"),
+                F.col("label").cast("bigint").alias("label"),
+                F.col("le").cast("array<double>").alias("le"),
+            )
+        labels = self._map_label_names([l for l, _ in seeds])
+        start = -1
+        if os.path.exists(f"{self.path}/labelseeds"):
+            m = (
+                self.spark.read.parquet(f"{self.path}/labelseeds")
+                .agg(F.min("lab_id"))
+                .first()[0]
+            )
+            if m is not None and m < 0:
+                start = m - 1
+        texts = [
+            (i, ex) for i, (_, ex) in enumerate(seeds) if isinstance(ex, str)
+        ]
+        vecs: dict[int, list[float]] = {
+            i: [float(x) for x in ex]
+            for i, (_, ex) in enumerate(seeds)
+            if not isinstance(ex, str)
+        }
+        if texts:
+            qdf = self.spark.createDataFrame(texts, "sid bigint, doc string")
+            emb = self._embed_frame(
+                qdf.withColumnRenamed("sid", "_tmp_id"), "doc"
+            ).withColumnRenamed("_tmp_id", "sid")
+            for r in emb.select("sid", "embedding").collect():
+                vecs[r.sid] = [float(x) for x in r.embedding]
+        rows = [
+            (start - i, int(labels[i]), vecs[i]) for i in range(len(seeds))
+        ]
+        return self.spark.createDataFrame(
+            rows, "lab_id bigint, label bigint, le array<double>"
+        )
+
+    def _check_label_vote_shape(self, weighted: bool) -> None:
+        """The two votes append DIFFERENT schemas ((vec_id, label,
+        votes) vs (vec_id, label, score)), so the weighted flag must
+        stay constant over a label state's life — detected from the
+        persisted table rather than trusted from the caller."""
+        if not os.path.exists(f"{self.path}/proplabels"):
+            return
+        cols = self.spark.read.parquet(f"{self.path}/proplabels").columns
+        was = "score" in cols
+        if was != weighted:
+            raise ValueError(
+                f"label state was propagated with weighted={was}; the "
+                "vote shape is fixed at first propagation (the two "
+                "votes append different schemas) — pass the same flag, "
+                "or clear the label state and re-bootstrap"
+            )
+
+    def propagate_labels(self, seeds=None, weighted: bool = False) -> DataFrame:
+        """Semi-supervised labeling of the whole store in one call:
+        bootstrap the frozen seed set + its persisted ANN index on the
+        FIRST call (pass `seeds` — see _seed_frame for the accepted
+        shapes), then propagate labels to every embedding that has no
+        label row yet (tick.propagate_label_backlog: ANN kNN vote via
+        the persisted labelidx, BACKLOG-only, so repeat calls after new
+        inserts are delta-cost and a repeat call with nothing new
+        appends zero rows).  Returns labels().
+
+        weighted=False -> majority vote (vec_id, label, votes);
+        weighted=True -> confidence-scored 1/(1+dist) vote (vec_id,
+        label, score).  The flag is fixed at first propagation.
+
+        Growing the seed set later is add_label_seeds (which
+        invalidates every propagated label — the next call here then
+        re-propagates the corpus); a fresh bootstrap over a CHANGED
+        seed set is clear-label-state + propagate_labels(seeds=...)."""
+        from zebra_spark.queries.tick import (
+            init_label_state,
+            propagate_label_backlog,
+        )
+        from zebra_spark.streaming import recover_state_swaps
+
+        recover_state_swaps(self.spark, self.path, ("proplabels",))
+        have = os.path.exists(f"{self.path}/labelidx/metadata.json")
+        if seeds is None and not have:
+            raise ValueError(
+                "no label state yet — bootstrap with "
+                "propagate_labels(seeds=...)"
+            )
+        if seeds is not None and have:
+            raise ValueError(
+                "label state already bootstrapped — grow the seed set "
+                "with add_label_seeds(...) or clear it first"
+            )
+        self._check_label_vote_shape(weighted)
+        if seeds is not None:
+            sdf = self._seed_frame(seeds)
+            dim = self.meta["dim"]
+            n_bad = sdf.filter(F.size("le") != dim).count()
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} seed(s) have embedding dimension != {dim}"
+                )
+            init_label_state(self.spark, self.path, sdf)
+        propagate_label_backlog(
+            self.spark,
+            self.path,
+            self.embeddings().select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("emb"),
+            ),
+            weighted=weighted,
+        )
+        return self.labels()
+
+    def add_label_seeds(self, seeds) -> int:
+        """Grow the frozen label seed set (tick.add_label_seeds: assign
+        to the FROZEN centroids, persist, invalidate proplabels/ so the
+        next propagate_labels re-votes the corpus).  Same seed shapes
+        as propagate_labels; returns seeds added."""
+        from zebra_spark.queries.tick import add_label_seeds as _add
+
+        if not os.path.exists(f"{self.path}/labelidx/metadata.json"):
+            raise ValueError(
+                "no label state yet — bootstrap with "
+                "propagate_labels(seeds=...)"
+            )
+        return _add(self.spark, self.path, self._seed_frame(seeds))
+
+    def labels(self) -> DataFrame:
+        """The propagated-label table (vec_id, label, votes|score),
+        with `label_name` joined back when the seeds carried string
+        labels.  Reads through streaming.read_label_table, so a
+        crashed remove_df swap is repaired first."""
+        from zebra_spark.streaming import read_label_table
+
+        if not os.path.exists(f"{self.path}/proplabels"):
+            return self.spark.createDataFrame(
+                [], "vec_id bigint, label bigint"
+            )
+        df = read_label_table(self.spark, self.path)
+        names = self._label_names()
+        if names:
+            ndf = F.broadcast(
+                self.spark.createDataFrame(
+                    [(int(v), k) for k, v in names.items()],
+                    "label bigint, label_name string",
+                )
+            )
+            df = df.join(ndf, "label", "left")
+        return df
