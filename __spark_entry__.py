@@ -48,19 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already
-# have a fresh driver row.  r12's five pins all got green/clean rows
-# in r12, so that pin is retired.  r13 (VERDICT r12 #1) pins
-# q_json_get — the last r1-vintage row, rank 51 in r12's order (just
-# missed the ~50-row prefix) — plus the queries ADDED this round, so
-# their first driver rows land immediately.  The ager then fills the
-# rest of the prefix with the r2 cohort (all 17 remaining r2-vintage
-# names rank inside the r13 prefix — verified by simulation before
-# commit) and the r3 tail.
+# have a fresh driver row.  r13's four pins all got green/clean rows
+# in r13, so that pin is retired.  r14 pins only the query ADDED this
+# round, so its first driver row lands immediately; the ager fills
+# the rest of the prefix with the stalest cohort (r5/r6-vintage —
+# VERDICT r13 #5 expects no row older than r6 after r14; verified by
+# simulation before commit).
 _FORCE_FIRST = [
-    "q_json_get",
-    "q_knn_label_prop_ann_weighted",
-    "q_export_rebalance",
-    "q_label_prop_calibration",
+    "q_shard_balance",
 ]
 
 _PRIORITY = [

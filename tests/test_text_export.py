@@ -860,3 +860,59 @@ def test_rebalance_export_edge_cases(spark, tmp_path):
         rebalance_export(spark, str(tmp_path / "x"), 0)
     # empty/missing tree: 0, no exception
     assert rebalance_export(spark, str(tmp_path / "never"), 100) == 0
+
+
+def test_shard_balance_and_needs_rebalance_gate(spark, tmp_path):
+    """r14 (VERDICT r13 #2): needs_rebalance is the measured trigger
+    for rebalance_export — False on a freshly-published (uniform)
+    tree, True once a takedown has skewed one shard far from the mean,
+    True when a shard was scrubbed to a hole, False again after the
+    rebalance it recommends."""
+    from zebra_spark.queries.text import (
+        export_epoch_takedown,
+        needs_rebalance,
+        rebalance_export,
+        shard_balance_df,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _build_epoch_export(spark, out)
+
+    bal = shard_balance_df(spark, out).toPandas()
+    assert len(bal) == 16
+    assert bal["n_rows"].sum() == docs.count()
+    # fresh hash-sharded tree: every imbalance ratio hugs 1
+    assert bal["row_imbalance"].max() < 1.1
+    assert not needs_rebalance(spark, out)
+
+    # skew: take down ~90% of ONE shard's docs (keep a residue so the
+    # shard stays present — the hole branch is tested separately)
+    exp = __import__("zebra_spark.queries.text", fromlist=["read_epoch_export"])
+    s0 = (
+        exp.read_epoch_export(spark, out)
+        .filter(F.col("shard") == 0)
+        .select("doc_id")
+    )
+    # materialize BEFORE the takedown: the lazy frame reads the very
+    # files the takedown replaces
+    victims = s0.filter(F.col("doc_id") % 10 != 0).localCheckpoint()
+    export_epoch_takedown(spark, out, victims)
+    assert needs_rebalance(spark, out)
+    # the full rewrite it recommends restores balance
+    rebalance_export(spark, out, target_rows=30)
+    assert not needs_rebalance(spark, out)
+
+    # hole: scrub one low shard entirely
+    exp2 = exp.read_epoch_export(spark, out)
+    export_epoch_takedown(
+        spark, out,
+        exp2.filter(F.col("shard") == 1).select("doc_id").localCheckpoint(),
+    )
+    assert needs_rebalance(spark, out)
+
+    # empty / missing trees are trivially balanced; bad threshold loud
+    import pytest as _pytest
+
+    assert not needs_rebalance(spark, str(tmp_path / "nowhere"))
+    with _pytest.raises(ValueError, match="ratio"):
+        needs_rebalance(spark, out, threshold=1.0)

@@ -44,6 +44,13 @@ AUDIT_SECTIONS: dict[str, str] = {
     # directly, and ingest_then_audit updates them at DELTA cost via
     # graph.incremental_components instead of re-traversing the graph
     "dup_clusters": "q_dedup_clusters",
+    # r14 (VERDICT r13 #2): export-side health — the per-shard row/byte
+    # balance of the published training export, the measured trigger
+    # behind needs_rebalance (the reseed/retrain gates' export twin).
+    # Reads a session-cached published tree; the one-time build is
+    # export scaffolding, after which the section is a groupBy(shard)
+    # over N_SHARDS output rows like the other blocking-health sections
+    "shard_balance": "q_shard_balance",
 }
 
 
@@ -80,8 +87,8 @@ def q_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     under its own registered name; this row pins the COMPOSITE wiring.
 
     Scale shape: after the one-time derived-table builds, the audit is
-    nine bounded aggregations over shared parquet artifacts — the
-    summaries union driver-side as nine 1-row frames."""
+    ten bounded aggregations over shared parquet artifacts — the
+    summaries union driver-side as ten 1-row frames."""
     return _summarize(snapshot_audit(spark, sf_dir))
 
 
@@ -269,7 +276,7 @@ def q_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and byte-equal to it (maintained base ∪ delta == the session
     tables when the deltas are exact), so the one bench row prices the
     whole nightly tick: three delta joins + three maintained-table
-    writes + nine audit sections over the maintained files.  rows-only
+    writes + ten audit sections over the maintained files.  rows-only
     by design: each section is individually oracle-checked under its
     own name; equality to q_snapshot_audit is pinned by test."""
     import atexit
