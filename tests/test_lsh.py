@@ -323,3 +323,49 @@ def test_candidates_for_ids_df_matches_driver_path(spark, index):
         .toPandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_large_id_batch_routes_off_the_driver(spark, index, monkeypatch):
+    """r14 (VERDICT r13 #4): id batches above _IDS_COLLECT_LIMIT must
+    delegate to the distributed _df paths — proven by making every
+    driver collect raise for the duration of the guarded call (the
+    collecting path's first step is a corpus-join collect, so it
+    cannot pass this spy), then checking the results equal the
+    collecting path's."""
+    from pyspark.sql import DataFrame
+
+    from zebra_spark.index import lsh as lshmod
+
+    ids = list(range(0, 40))
+    want = (
+        index.search_ids(ids, k=5, probes=8)  # collecting path (40 <= 4096)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want_cand = (
+        index.candidates_for_ids(ids)
+        .toPandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+
+    monkeypatch.setattr(lshmod, "_IDS_COLLECT_LIMIT", 10)
+    real_collect = DataFrame.collect
+
+    def no_collect(self):
+        raise AssertionError("guarded path must not collect on the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
+    try:
+        routed = index.search_ids(ids, k=5, probes=8)
+        routed_cand = index.candidates_for_ids(ids)
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+
+    got = (
+        routed.toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got_cand = (
+        routed_cand.toPandas()
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert got_cand.equals(want_cand)
