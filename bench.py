@@ -381,12 +381,22 @@ def main() -> None:
     # the median of 3 trials with the derived registry restored to the
     # post-shared-builds snapshot first — a hotspot can no longer read
     # a label/baseline artifact an earlier query materialized.
+    # FROZEN_HOTSPOTS (r14, VERDICT r13 #3) are ALWAYS measured, even
+    # when their in-suite single shot dips under the 5 s trigger (r13
+    # lost q_export_append_takedown's row that way), so every round
+    # carries a median for each ceiling SCALING.md freezes — the
+    # hotspot twin of the tick band's one-sided regression protocol.
+    FROZEN_HOTSPOTS = frozenset({
+        "q_dedup_clusters", "q_graph_pagerank", "q_ingest_audit",
+        "q_cluster_takedown", "q_export_append_takedown",
+    })
     hotspots: dict[str, float] = {}
     if only_set is None:
-        for name in [
+        dyn = {
             n for n, t in times.items()
             if t >= 5.0 and n in zebra_spark.QUERIES
-        ]:
+        }
+        for name in sorted(dyn | (FROZEN_HOTSPOTS & set(times))):
             med = isolated_median(name)
             if med is not None:
                 hotspots[name] = med
