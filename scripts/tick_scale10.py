@@ -23,7 +23,7 @@ Split reported per scale:
   because there is no pre-existing maintained state; production
   appends the delta to maintained parquet, so this component is
   scaffolding and grows with the corpus by construction.
-- audit_s: the nine audit sections over the maintained files —
+- audit_s: the ten audit sections over the maintained files —
   bounded aggregations, expected sublinear in corpus size.
 
 Not part of the test suite (runtime); results recorded in SCALING.md.
