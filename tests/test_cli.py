@@ -151,3 +151,21 @@ def test_text_label_prop_lifecycle(spark, db_path, capsys):
     with pytest.raises(SystemExit):
         _run(["--database-path", db_path, "--cpus", "8",
               "text", "label-prop", "no-separator-here"])
+
+
+def test_binary_label_prop(spark, db_path, tmp_path, capsys):
+    """The label-prop verb's binary path: seed examples are file paths
+    decoded+embedded through the multimodal path (the query_blobs
+    shape), then the same facade lifecycle as text."""
+    files = []
+    for i in range(4):
+        f = tmp_path / f"img{i}.bin"
+        f.write_bytes(bytes([i]) * 2048)
+        files.append(str(f))
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "image", "insert-from-files", *files]) == 0
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "image", "label-prop", "--weighted",
+                 f"dark={files[0]}", f"light={files[3]}"]) == 0
+    out = capsys.readouterr().out
+    assert "labeled 4 documents" in out

@@ -338,7 +338,7 @@ def test_cluster_delta_iterates_star_union(spark):
 
 
 def test_ingest_audit_summary_shape(spark):
-    """The nightly tick's surface is nine 1-row section summaries
+    """The nightly tick's surface is ten 1-row section summaries
     unioned — bounded aggregation over the maintained artifacts, no
     cartesian; the delta paths inside the tick are audited under their
     own dossier entries (q_pair_table_delta, q_cosine_table_delta,
@@ -349,7 +349,7 @@ def test_ingest_audit_summary_shape(spark):
     assert "CartesianProduct" not in p
     assert "Union" in p
     n = len(AUDIT_SECTIONS)
-    assert n == 9
+    assert n == 10  # r14: + shard_balance (VERDICT r13 #2)
     # one (count, bit_xor) aggregate pair per section survives in the
     # final plan
     assert p.count("partial_count") >= n, p[:2000]
