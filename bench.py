@@ -199,6 +199,12 @@ def main() -> None:
         "q_knn_label_prop_ann_weighted",
         "q_export_rebalance",
         "q_label_prop_calibration",
+        # round-14: the shard-balance audit read.  Its 3-epoch tree is
+        # session-cached; the FIRST caller pays the one-time build —
+        # q_snapshot_audit, which runs earlier in this list — so this
+        # row prices the steady-state nightly read (one pruned scan +
+        # groupBy(shard)), matching its role as the tenth audit section.
+        "q_shard_balance",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
