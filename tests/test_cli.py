@@ -169,3 +169,31 @@ def test_binary_label_prop(spark, db_path, tmp_path, capsys):
                  f"dark={files[0]}", f"light={files[3]}"]) == 0
     out = capsys.readouterr().out
     assert "labeled 4 documents" in out
+
+
+def test_binary_label_prop_undecodable_seed(spark, db_path, tmp_path,
+                                            monkeypatch):
+    """ADVICE r14: a seed blob the decoder drops must raise a usable
+    SystemExit naming the file(s), not a bare KeyError on got[i]."""
+    files = []
+    for i in range(3):
+        f = tmp_path / f"img{i}.bin"
+        f.write_bytes(bytes([i]) * 2048)
+        files.append(str(f))
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "image", "insert-from-files", *files]) == 0
+
+    import zebra_spark.multimodal as mm
+
+    real = mm.decode_and_embed
+
+    def dropping(df, dim=mm.EMBED_DIM, decoder=None):
+        # simulate a decoder that silently drops one blob (the real-PIL
+        # failure shape): everything but id 1 comes back
+        return real(df, dim=dim, decoder=decoder).filter("id != 1")
+
+    monkeypatch.setattr(mm, "decode_and_embed", dropping)
+    with pytest.raises(SystemExit, match="img1.bin"):
+        _run(["--database-path", db_path, "--cpus", "8",
+              "image", "label-prop", "--weighted",
+              f"dark={files[0]}", f"mid={files[1]}", f"light={files[2]}"])

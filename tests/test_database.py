@@ -677,3 +677,76 @@ def test_remove_strips_labels_and_refuses_seed_removal(spark, db):
     assert not os.path.exists(f"{db.path}/labelseeds")
     assert not os.path.exists(f"{db.path}/proplabels")
     assert db.labels().count() == 0
+
+
+def test_label_style_persists_across_batches(spark, db, tmp_path):
+    """ADVICE r14: the string-vs-int label-style refusal must hold
+    ACROSS calls, not only within one batch.  Int bootstrap (no
+    label_names.json) + later string batch would assign dense ids from
+    0 that collide with the passthrough ints, silently merging two
+    classes; string bootstrap + later int batch would join wrong
+    label_names onto the ints."""
+    from zebra_spark.database import ZebraDatabase
+
+    # int bootstrap -> string growth refused
+    db.insert_texts(FRUIT + BEAST)
+    db.propagate_labels(
+        seeds=[(0, "apple banana mango"), (7, "wolf bear lynx")],
+        weighted=True,
+    )
+    with pytest.raises(ValueError, match="int labels"):
+        db.add_label_seeds([("beast", "otter badger")])
+    # same style still fine
+    assert db.add_label_seeds([(7, "otter badger")]) == 1
+
+    # string bootstrap -> int growth refused
+    db2 = ZebraDatabase.create(spark, str(tmp_path / "db2"), dim=32)
+    db2.insert_texts(FRUIT + BEAST)
+    db2.propagate_labels(
+        seeds=[("fruit", "apple banana mango"), ("beast", "wolf bear lynx")],
+        weighted=True,
+    )
+    with pytest.raises(ValueError, match="string labels"):
+        db2.add_label_seeds([(3, "otter badger")])
+    assert db2.add_label_seeds([("beast", "otter badger")]) == 1
+
+
+def test_labels_empty_full_schema(spark, db):
+    """ADVICE r14: labels() on a never-propagated store returns the
+    FULL stable schema (vec_id, label, votes) — callers selecting the
+    vote column must not break only in the empty case."""
+    empty = db.labels()
+    assert empty.columns == ["vec_id", "label", "votes"]
+    assert empty.count() == 0
+
+
+def test_remove_df_repairs_crashed_proplabels_swap(spark, db):
+    """ADVICE r14: remove_df decided whether to rewrite proplabels via
+    a raw os.path.exists.  A takedown crash that left proplabels as
+    __compact residue (live dir absent) made remove_df delete
+    embeddings/documents but SKIP proplabels; a later read's recovery
+    then resurrected label rows for the removed vectors, which the
+    backlog anti-join never re-votes.  remove_df now repairs the swap
+    first, so the label row dies with its vector."""
+    import shutil
+    from pathlib import Path as _P
+
+    db.insert_texts(FRUIT + BEAST)
+    db.propagate_labels(
+        seeds=[("fruit", "apple banana mango"), ("beast", "wolf bear lynx")],
+        weighted=True,
+    )
+    n = db.count()
+    assert db.labels().count() == n
+
+    # crash window: staged snapshot complete, live dir renamed away
+    p = _P(f"{db.path}/proplabels")
+    shutil.copytree(p, f"{p}__compact")
+    p.rename(f"{p}__old")
+
+    victim = int(db.embeddings().select("vec_id").first()[0])
+    db.remove([victim])
+    left = db.labels().toPandas()
+    assert len(left) == n - 1
+    assert victim not in set(left["vec_id"])
+    assert not _P(f"{p}__compact").exists() and not _P(f"{p}__old").exists()

@@ -167,10 +167,11 @@ def label_prop(
         # (label, vector) pairs to the facade
         from zebra_spark.multimodal import decode_and_embed, to_multimodal
 
-        raw = db.spark.createDataFrame(
-            [(i, open(str(p), "rb").read()) for i, (_, p) in enumerate(pairs)],
-            "id bigint, content binary",
-        )
+        blobs = []
+        for i, (_, p) in enumerate(pairs):
+            with open(str(p), "rb") as f:
+                blobs.append((i, f.read()))
+        raw = db.spark.createDataFrame(blobs, "id bigint, content binary")
         feats = decode_and_embed(
             to_multimodal(raw, "id", "content", modality), dim=db.meta["dim"]
         )
@@ -178,6 +179,15 @@ def label_prop(
             r.id: [float(x) for x in r.embedding]
             for r in feats.select("id", "embedding").collect()
         }
+        missing = [i for i in range(len(pairs)) if i not in got]
+        if missing:
+            # decode_and_embed drops rows it can't decode — name the
+            # offending file(s) instead of KeyError-ing on got[i]
+            bad = ", ".join(str(pairs[i][1]) for i in missing)
+            raise SystemExit(
+                f"could not decode {len(missing)} {modality} seed "
+                f"file(s): {bad}"
+            )
         pairs = [(label, got[i]) for i, (label, _) in enumerate(pairs)]
     if add:
         if not pairs:

@@ -564,6 +564,15 @@ class ZebraDatabase:
         means every propagated vote could have counted that seed, so
         removing it is a label-state rebuild (fresh propagate_labels
         bootstrap over the surviving seed set), not a delete."""
+        from zebra_spark.streaming import recover_state_swaps
+
+        # repair a crashed proplabels swap BEFORE the existence checks
+        # (ADVICE r14): a stream/tick takedown crash can leave
+        # proplabels as __compact residue with the live dir absent —
+        # a raw os.path.exists would then skip the table here, and a
+        # later recovery would resurrect label rows for vectors this
+        # delete removed (the backlog anti-join never re-votes them)
+        recover_state_swaps(self.spark, self.path, ("proplabels",))
         if os.path.exists(f"{self.path}/labelseeds"):
             hit = (
                 self.spark.read.parquet(f"{self.path}/labelseeds")
@@ -881,15 +890,36 @@ class ZebraDatabase:
         rename, like the batch manifests) so labels() can surface the
         names back.  Mixing the two styles in one database is refused —
         a string that collided with a passthrough int would silently
-        merge two classes."""
+        merge two classes.  The style is persisted ACROSS calls too
+        (ADVICE r14): an int bootstrap (labelseeds without
+        label_names.json) refuses later string batches, whose dense
+        ids from 0 would collide with the passthrough ints; a string
+        bootstrap (label_names.json present) refuses later int
+        batches, which labels() would join wrong label_names onto."""
         strs = [l for l in raw_labels if isinstance(l, str)]
+        names_exist = os.path.exists(f"{self.path}/label_names.json")
         if not strs:
+            if raw_labels and names_exist:
+                raise ValueError(
+                    "this database's label seeds use string labels "
+                    "(label_names.json exists) — int labels in a later "
+                    "batch would join wrong label_names; use the same "
+                    "string labels, or clear the label state"
+                )
             return [int(l) for l in raw_labels]
         if len(strs) != len(raw_labels):
             raise ValueError(
                 "seed labels mix strings and ints — use one style per "
                 "database (string labels are mapped to dense ids in "
                 "label_names.json; int labels pass through unmapped)"
+            )
+        if not names_exist and os.path.exists(f"{self.path}/labelseeds"):
+            raise ValueError(
+                "this database's label seeds use int labels (no "
+                "label_names.json) — string labels in a later batch "
+                "would get dense ids from 0 that collide with the "
+                "passthrough ints, silently merging two classes; use "
+                "int labels, or clear the label state"
             )
         names = self._label_names()
         nxt = max(names.values(), default=-1) + 1
@@ -1046,14 +1076,29 @@ class ZebraDatabase:
         with `label_name` joined back when the seeds carried string
         labels.  Reads through streaming.read_label_table, so a
         crashed remove_df swap is repaired first."""
-        from zebra_spark.streaming import read_label_table
+        from zebra_spark.streaming import read_label_table, recover_state_swaps
 
-        if not os.path.exists(f"{self.path}/proplabels"):
-            return self.spark.createDataFrame(
-                [], "vec_id bigint, label bigint"
-            )
-        df = read_label_table(self.spark, self.path)
+        # repair a crashed swap before the existence check, like every
+        # other proplabels entry point — __compact residue with the
+        # live dir absent must not read as "never propagated"
+        recover_state_swaps(self.spark, self.path, ("proplabels",))
         names = self._label_names()
+        if not os.path.exists(f"{self.path}/proplabels"):
+            # never propagated: return the FULL stable schema (ADVICE
+            # r14 — callers selecting the vote column must not break
+            # only in the empty case).  The vote column is `votes`
+            # (the unweighted shape) because the weighted/score shape
+            # is only fixed at first propagation, which also creates
+            # proplabels — so an empty frame always predates it.
+            empty = self.spark.createDataFrame(
+                [], "vec_id bigint, label bigint, votes bigint"
+            )
+            if names:
+                empty = empty.withColumn(
+                    "label_name", F.lit(None).cast("string")
+                )
+            return empty
+        df = read_label_table(self.spark, self.path)
         if names:
             ndf = F.broadcast(
                 self.spark.createDataFrame(
