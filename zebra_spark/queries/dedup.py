@@ -133,6 +133,12 @@ _SQL_SIGS = f"""
     )
 """
 
+# sz/inter are AS MATERIALIZED (DuckDB): downstream oracles reference
+# them 2-3x (the jaccard filter joins sz twice; the closure/pagerank/
+# triangles class fans out over edges), and DuckDB 1.0 re-executes a
+# plain CTE per reference — at sf0.1 that re-execution was the >80 GB
+# spill that kept these oracles out of the full sweep (r15).
+# MATERIALIZED only pins the execution strategy; results are identical.
 _SQL_MINHASH_CORE = f"""
     {_SQL_SIGS.strip()},
     cand AS (
@@ -140,8 +146,8 @@ _SQL_MINHASH_CORE = f"""
       FROM sigs a JOIN sigs b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ),
-    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-    inter AS (
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
       JOIN tok ta ON ta.doc_id = c.doc_a
@@ -1996,7 +2002,7 @@ def register_maintained_table(
 _SQL_MINHASH_PAIRS = (
     _SQL_MINHASH_CORE
     + f""",
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT i.doc_a, i.doc_b FROM inter i
       JOIN sz sa ON sa.doc_id = i.doc_a
       JOIN sz sb ON sb.doc_id = i.doc_b
@@ -2007,22 +2013,84 @@ _SQL_MINHASH_PAIRS = (
 )
 
 
-_SQL_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
-    {_SQL_MINHASH_PAIRS},
-    sym AS (
+_CLOSURE_K = 8  # doubling stages; sf0.1 converges by stage 5, sf0.01 by 2
+
+
+def _closure_sql(id_alias: str = "doc_id", k: int = _CLOSURE_K) -> str:
+    """Log-depth UNROLLED connected-components closure (VERDICT r14
+    #1): the non-recursive replacement for the `WITH RECURSIVE reach`
+    transitive closure, which DuckDB could not finish at sf0.1 (the
+    all-pairs reach set is quadratic in component size — near-dup
+    components are quasi-cliques, so the fixpoint materializes ~n²
+    rows per family).  Mirrors the Spark side's pointer-doubled
+    engine (zebra_spark.graph.connected_components): K hook+jump
+    stages, each label <- least(own, min neighbor label, label of
+    label), converging in O(log diameter) rounds.
+
+    Expects a symmetric `sym(a, b)` CTE in scope and emits CTEs up to
+    `labels({id_alias}, cluster)` — splice where reach/labels stood.
+    Two cost levers make the stages ~free:
+    - contraction: after the first min-neighbor round (cc0), stages
+      run on the label-level graph `csym` (distinct cross-label
+      edges — 1.9k rows where sym has 12.9M at sf0.1), then map back
+      through cc0;
+    - AS MATERIALIZED per stage, or DuckDB 1.0 re-executes the chain
+      per reference (each stage reads its predecessor 3x -> 3^K).
+    A converged hook step means every edge joins equal labels, so
+    each component is label-constant; the min node m of a component
+    always keeps lab(m)=m (labels only decrease, never below the
+    component min), hence converged == exact component minimum —
+    the `conv` CTE ASSERTS convergence (stage K == stage K-1) via
+    DuckDB error(), so an under-provisioned K can never silently
+    ship a wrong fixpoint."""
+    parts = [
+        """cc0 AS MATERIALIZED (
+      SELECT a AS id, least(a, min(b)) AS lab FROM sym GROUP BY a
+    )""",
+        """csym AS MATERIALIZED (
+      SELECT DISTINCT x.lab AS a, y.lab AS b
+      FROM sym s JOIN cc0 x ON x.id = s.a JOIN cc0 y ON y.id = s.b
+      WHERE x.lab <> y.lab
+    )""",
+        """k0 AS MATERIALIZED (
+      SELECT a AS id, least(a, min(b)) AS lab FROM csym GROUP BY a
+    )""",
+    ]
+    for i in range(1, k + 1):
+        p = f"k{i - 1}"
+        parts.append(f"""k{i} AS MATERIALIZED (
+      SELECT p.id, least(p.lab, nb.mlab, pj.lab) AS lab
+      FROM {p} p
+      JOIN (SELECT s.a AS id, min(q.lab) AS mlab
+            FROM csym s JOIN {p} q ON q.id = s.b
+            GROUP BY s.a) nb ON nb.id = p.id
+      JOIN {p} pj ON pj.id = p.lab
+    )""")
+    parts.append(f"""conv AS MATERIALIZED (
+      SELECT count(*) AS n_diff FROM k{k} x JOIN k{k - 1} y
+      ON x.id = y.id AND x.lab <> y.lab
+    )""")
+    parts.append(f"""labels AS (
+      SELECT c.id AS {id_alias}, coalesce(kk.lab, c.lab) AS cluster
+      FROM cc0 c LEFT JOIN k{k} kk ON kk.id = c.lab
+      WHERE (SELECT CASE WHEN n_diff = 0 THEN 0
+             ELSE error('closure not converged in {k} doubling stages'
+                        ' - raise _CLOSURE_K') END FROM conv) = 0
+    )""")
+    return ",\n    ".join(parts)
+
+
+_SQL_SYM = """sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM edges
-      UNION SELECT doc_b, doc_a FROM edges
-    ),
-    reach AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
-      SELECT a AS doc_id, least(a, min(b)) AS cluster
-      FROM reach GROUP BY a
-    )
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    )"""
+
+
+_SQL_CLUSTERS_ORACLE = f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    {_SQL_SYM},
+    {_closure_sql("doc_id")}
     SELECT d.doc_id,
            coalesce(l.cluster, d.doc_id) AS cluster,
            CAST(CASE WHEN coalesce(l.cluster, d.doc_id) = d.doc_id
@@ -2130,21 +2198,10 @@ def base_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_cluster_size_hist",
     oracle=f"""
-    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
     {_SQL_MINHASH_PAIRS},
-    sym AS (
-      SELECT doc_a AS a, doc_b AS b FROM edges
-      UNION SELECT doc_b, doc_a FROM edges
-    ),
-    reach AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
-      SELECT a AS doc_id, least(a, min(b)) AS cluster
-      FROM reach GROUP BY a
-    ),
+    {_SQL_SYM},
+    {_closure_sql("doc_id")},
     full_labels AS (
       SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
       FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
@@ -2179,21 +2236,10 @@ def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_export_dedup_order",
     oracle=f"""
-    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
     {_SQL_MINHASH_PAIRS},
-    sym AS (
-      SELECT doc_a AS a, doc_b AS b FROM edges
-      UNION SELECT doc_b, doc_a FROM edges
-    ),
-    reach AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
-      SELECT a AS doc_id, least(a, min(b)) AS cluster
-      FROM reach GROUP BY a
-    ),
+    {_SQL_SYM},
+    {_closure_sql("doc_id")},
     reps AS (
       SELECT d.doc_id FROM documents d
       LEFT JOIN labels l ON l.doc_id = d.doc_id
@@ -2242,25 +2288,17 @@ EVAL_MOD = 50  # fixture eval-set membership: doc_id % 50 == 0 (~2%)
 @query(
     "q_cluster_takedown",
     oracle=f"""
-    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
     {_SQL_MINHASH_PAIRS},
     kept_edges AS (
       SELECT doc_a, doc_b FROM edges
       WHERE doc_a % {EVAL_MOD} <> 0 AND doc_b % {EVAL_MOD} <> 0
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM kept_edges
-      UNION SELECT doc_b, doc_a FROM kept_edges
+      UNION ALL SELECT doc_b, doc_a FROM kept_edges
     ),
-    reach AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
-      SELECT a AS doc_id, least(a, min(b)) AS cluster
-      FROM reach GROUP BY a
-    )
+    {_closure_sql("doc_id")}
     SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
     FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
     WHERE d.doc_id % {EVAL_MOD} <> 0
@@ -2437,14 +2475,19 @@ PR_DAMP = 0.85
 
 
 def _sql_pr_iter(prev: str, out: str) -> str:
-    """One unrolled PageRank step over sym/deg/nn (DuckDB dialect)."""
+    """One unrolled PageRank step over sym/deg/nn (DuckDB dialect).
+    Each stage AS MATERIALIZED: DuckDB 1.0 re-executes a plain CTE per
+    reference, so an un-materialized 3-step chain over the minhash
+    edge derivation re-ran the whole upstream per step (>80 GB spill
+    at sf0.1 — the reason this oracle sat on the sweep's exclusion
+    list until r15)."""
     return f"""
-    {out} AS (
+    {out} AS MATERIALIZED (
       SELECT s.b AS id, (SELECT {1 - PR_DAMP} / n FROM nn)
                + {PR_DAMP} * sum({prev}.r / {prev}.d) AS r
       FROM sym s JOIN {prev} ON {prev}.id = s.a GROUP BY s.b
     ),
-    {out}d AS (
+    {out}d AS MATERIALIZED (
       SELECT {out}.id, {out}.r, deg.d FROM {out}
       JOIN deg ON deg.id = {out}.id
     )"""
@@ -2455,11 +2498,8 @@ def _sql_pr_iter(prev: str, out: str) -> str:
     oracle=f"""
     WITH {_SQL_TOK.format(nh=N_HASHES)},
     {_SQL_MINHASH_PAIRS},
-    sym AS (
-      SELECT doc_a AS a, doc_b AS b FROM edges
-      UNION ALL SELECT doc_b, doc_a FROM edges
-    ),
-    deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY a),
+    {_SQL_SYM},
+    deg AS MATERIALIZED (SELECT a AS id, count(*) AS d FROM sym GROUP BY a),
     nn AS (SELECT count(*) AS n FROM deg),
     r0d AS (SELECT id, (SELECT 1.0 / n FROM nn) AS r, d FROM deg),
     {','.join(_sql_pr_iter(f'r{i}d', f'r{i + 1}') for i in range(PR_ITERS))}
@@ -2639,8 +2679,9 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMC_TH = 0.65  # cosine-distance edge threshold for semantic clustering
 
 _SQL_SEMC_ORACLE = f"""
-    WITH RECURSIVE
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH
+    e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     seeds AS (SELECT vec_id AS cell_id, emb AS ce FROM e
               WHERE vec_id < greatest({NDUP_CELLS},
                 CAST(floor((SELECT count(*) FROM e) / {NDUP_PER_CELL}.0)
@@ -2659,7 +2700,7 @@ _SQL_SEMC_ORACLE = f"""
       FROM assign a JOIN assign b
         ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT c.id_a, c.id_b
       FROM cand c
       JOIN e ea ON ea.vec_id = c.id_a
@@ -2667,19 +2708,11 @@ _SQL_SEMC_ORACLE = f"""
       WHERE {zf.sql_metric("cosine", a="ea.emb", b="eb.emb", dim=64)}
             <= {SEMC_TH}
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM edges
-      UNION SELECT id_b, id_a FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
     ),
-    reach AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
-      SELECT a AS vec_id, least(a, min(b)) AS cluster
-      FROM reach GROUP BY a
-    )
+    {_closure_sql("vec_id")}
     SELECT v.vec_id,
            coalesce(l.cluster, v.vec_id) AS cluster,
            CAST(CASE WHEN coalesce(l.cluster, v.vec_id) = v.vec_id
@@ -3164,21 +3197,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_split_leakage_safe",
     oracle=f"""
-    WITH RECURSIVE {_SQL_TOK.format(nh=N_HASHES)},
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
     {_SQL_MINHASH_PAIRS},
-    sym AS (
-      SELECT doc_a AS a, doc_b AS b FROM edges
-      UNION SELECT doc_b, doc_a FROM edges
-    ),
-    reach AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ),
-    labels AS (
-      SELECT a AS doc_id, least(a, min(b)) AS cluster
-      FROM reach GROUP BY a
-    ),
+    {_SQL_SYM},
+    {_closure_sql("doc_id")},
     assigned AS (
       SELECT d.doc_id,
              coalesce(l.cluster, d.doc_id) AS cluster,
@@ -3227,17 +3249,32 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_TOK.format(nh=N_HASHES)},
     {_SQL_MINHASH_PAIRS},
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, count(*) AS d FROM (
         SELECT doc_a AS node FROM edges
         UNION ALL SELECT doc_b FROM edges
       ) GROUP BY node
     ),
-    tri AS (
-      SELECT count(*) AS n_tri
-      FROM edges e1
-      JOIN edges e2 ON e2.doc_a = e1.doc_b
-      JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    tsym AS MATERIALIZED (
+      SELECT doc_a AS node, doc_b AS nb FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    words AS MATERIALIZED (
+      SELECT node, nb // 64 AS w,
+             bit_or((1::UBIGINT) << CAST(nb % 64 AS INTEGER)) AS bits
+      FROM tsym GROUP BY node, nb // 64
+    ),
+    -- LEFT JOINs on purpose: inner joins are freely reorderable and
+    -- DuckDB's estimator picks words-x-words on w first (a ~2e9-row
+    -- blowup; measured 709 s vs 167 s at sf0.1).  LEFT JOIN pins the
+    -- streaming order edges -> wa -> wb; an edge endpoint always has
+    -- words, so the result is identical to the inner join.
+    tri AS MATERIALIZED (
+      SELECT CAST(coalesce(sum(bit_count(wa.bits & wb.bits)), 0) / 3
+                  AS BIGINT) AS n_tri
+      FROM edges e
+      LEFT JOIN words wa ON wa.node = e.doc_a
+      LEFT JOIN words wb ON wb.node = e.doc_b AND wb.w = wa.w
     )
     SELECT (SELECT count(*) FROM deg) AS n_nodes,
            (SELECT count(*) FROM edges) AS n_edges,
@@ -3255,11 +3292,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     what justifies cluster-level dedup (keep one rep per component)
     over pairwise removal.
 
-    Scale shape: edges come FROM THE SHARED PAIR TABLE (one scan, a<b
-    unique rows); triangle enumeration is the standard two-join on
-    oriented edges — join fan-out is exactly the wedge count, the same
-    work any distributed triangle count pays, shuffled on the shared
-    vertex, with AQE skew-splitting the hub vertices.  Output is five
+    Scale shape (r15): edges come FROM THE SHARED PAIR TABLE (one
+    scan, a<b unique rows); the triangle count is PACKED-BITSET
+    intersection, not wedge enumeration — per-node neighbor bitsets
+    as (node, word, bits64) rows, then per edge the common-neighbor
+    count is popcount(bits_a & bits_b) summed over shared words, and
+    every triangle is counted once per edge, so /3.  The near-dup
+    graph is quasi-clique (52% dense at sf0.1: 6.4M edges over 5k
+    nodes, 22.0e9 wedges), so the classic oriented two-join — fan-out
+    = the wedge count — is 40x more element-ops AND materializes the
+    wedge stream (DuckDB spilled >60 GB on it; measured r15).  The
+    bitset form streams |edges| x words/node rows (~0.5e9 at sf0.1)
+    through two BROADCAST word-table joins — map-side only, bounded
+    memory, and the word table is |nodes| x degree/64 rows, far under
+    the broadcast ceiling even at 100x nodes.  Output is five
     numbers; nothing corpus-sized leaves the executors."""
     edges = _minhash_pairs(spark, sf_dir, N_HASHES, N_BANDS).select(
         "doc_a", "doc_b"
@@ -3278,18 +3324,46 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_wedges"),
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    # oriented (a<b<c) enumeration: each triangle counted exactly once
-    bc = edges.select(
-        F.col("doc_a").alias("b2"), F.col("doc_b").alias("c2")
+    # packed-bitset count: (node, word, bits) neighbor bitsets, AND +
+    # popcount per edge over shared words, each triangle hit 3x (once
+    # per edge), all expressions JVM-native (bit_or/shiftleft/bit_count
+    # inside whole-stage codegen — no UDF, no wedge materialization)
+    sym = edges.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nb")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nb"))
     )
-    ac = edges.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    words = sym.groupBy(
+        "node", (F.col("nb") / 64).cast("bigint").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, CAST(nb % 64 AS INT))")
+        ).alias("bits")
+    )
+    wa = words.select(
+        F.col("node").alias("na"), F.col("w").alias("wwa"),
+        F.col("bits").alias("ba"),
+    )
+    wb = words.select(
+        F.col("node").alias("nbn"), F.col("w").alias("wwb"),
+        F.col("bits").alias("bb"),
+    )
     tri = (
-        edges.join(bc, F.col("doc_b") == F.col("b2"))
+        edges.join(F.broadcast(wa), F.col("doc_a") == F.col("na"))
         .join(
-            ac,
-            (F.col("doc_a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+            F.broadcast(wb),
+            (F.col("doc_b") == F.col("nbn")) & (F.col("wwa") == F.col("wwb")),
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb")))),
+                    F.lit(0),
+                ) / 3
+            )
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
     return (
         stats.crossJoin(F.broadcast(n_edges))
