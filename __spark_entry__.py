@@ -48,14 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already
-# have a fresh driver row.  r13's four pins all got green/clean rows
-# in r13, so that pin is retired.  r14 pins only the query ADDED this
-# round, so its first driver row lands immediately; the ager fills
-# the rest of the prefix with the stalest cohort (r5/r6-vintage —
-# VERDICT r13 #5 expects no row older than r6 after r14; verified by
-# simulation before commit).
+# have a fresh driver row.  r14's q_shard_balance pin got its green
+# row in r14, so it is retired.  r15 pins the single r10-vintage name
+# (VERDICT r14 #4 — the ager already ranks it first, the pin makes
+# the intent durable against same-round additions) so CORRECTNESS_r15
+# leaves no driver row older than r11; the ager fills the rest of the
+# prefix with the stalest cohort (verified by simulation before
+# commit).
 _FORCE_FIRST = [
-    "q_shard_balance",
+    "q_tick_chain_clusters",
 ]
 
 _PRIORITY = [

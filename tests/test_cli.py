@@ -197,3 +197,34 @@ def test_binary_label_prop_undecodable_seed(spark, db_path, tmp_path,
         _run(["--database-path", db_path, "--cpus", "8",
               "image", "label-prop", "--weighted",
               f"dark={files[0]}", f"mid={files[1]}", f"light={files[2]}"])
+
+
+def test_audit_verb(spark, db_path, tmp_path, capsys):
+    """r15 (VERDICT r14 #2): the audit verb prints every maintenance
+    gate — n/a for state this database doesn't carry, live booleans
+    for state it does."""
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "insert", "red fox jumps", "blue whale sings"]) == 0
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "audit"]) == 0
+    out = capsys.readouterr().out
+    assert "gate blocking_needs_reseed: n/a" in out
+    assert "gate export_needs_rebalance: n/a" in out
+    assert "gate index_needs_retrain: n/a" in out
+
+    # a missing export tree is trivially balanced -> a live False
+    assert _run(["--database-path", db_path, "--cpus", "8",
+                 "text", "audit", "--export-dir",
+                 str(tmp_path / "nowhere")]) == 0
+    out = capsys.readouterr().out
+    assert "gate export_needs_rebalance: False" in out
+
+    # a PQ database surfaces the retrain gate
+    pq_path = str(tmp_path / "pqcli")
+    assert _run(["--database-path", pq_path, "--cpus", "8",
+                 "--index", "pq", "text", "insert",
+                 "alpha beta gamma", "delta epsilon zeta"]) == 0
+    assert _run(["--database-path", pq_path, "--cpus", "8",
+                 "text", "audit"]) == 0
+    out = capsys.readouterr().out
+    assert "gate index_needs_retrain: False" in out

@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
             "--add", action="store_true",
             help="grow the existing seed set instead of bootstrapping",
         )
+        # audit (r15, VERDICT r14 #2): the maintenance-gate family —
+        # prints each needs_* gate bound to the database's own state
+        # (n/a when the state doesn't exist), plus the ten-section
+        # corpus snapshot audit when --sf-dir points at a fixture-
+        # layout corpus and the export shard-balance gate when
+        # --export-dir points at a published training-export tree.
+        ad = msub.add_parser("audit")
+        ad.add_argument("--sf-dir", default=None)
+        ad.add_argument("--export-dir", default=None)
         msub.add_parser("clear")
     return p
 
@@ -97,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
         n = label_prop(db, args.modality, args.items,
                        weighted=args.weighted, add=args.add)
         print(f"labeled {n} documents")
+    elif args.command == "audit":
+        res = db.audit(sf_dir=args.sf_dir, export_dir=args.export_dir)
+        for gate in sorted(res["gates"]):
+            val = res["gates"][gate]
+            print(f"gate {gate}: {'n/a' if val is None else val}")
+        if res["sections"] is not None:
+            for r in res["sections"].collect():
+                print(f"section {r.section}: rows={r.n_rows} "
+                      f"checksum={r.checksum}")
     else:
         print(f"unsupported: {args.modality} {args.command}", file=sys.stderr)
         return 2

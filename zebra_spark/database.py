@@ -1108,3 +1108,173 @@ class ZebraDatabase:
             )
             df = df.join(ndf, "label", "left")
         return df
+
+    # -- maintenance gates (r15, VERDICT r14 #2) ---------------------------
+
+    def audit(
+        self,
+        sf_dir: str | None = None,
+        export_dir: str | None = None,
+        batch: DataFrame | None = None,
+        reseed_threshold: float = 5.0,
+        rebalance_threshold: float = 1.5,
+        retrain_frac: float = 0.5,
+    ) -> dict:
+        """The maintenance-gate family through the facade (the
+        label-prop pattern one tier down): every needs_* trigger the
+        engine ships, bound to whatever state THIS database carries,
+        plus the ten-section corpus snapshot_audit when a
+        fixture-layout `sf_dir` is passed.  Thin adapters only — no
+        new kernel code.
+
+        Returns {"gates": {...}, "sections": DataFrame | None}.
+        Each gate is True/False when its target state exists, None
+        when not applicable to this database:
+
+        - index_needs_retrain: PQ/IVFPQ codebook staleness
+          (index.needs_retrain(retrain_frac)) — None for LSH/IVF
+          databases (no trained codebooks) and for empty stores.
+        - blocking_needs_reseed: when the path carries an adopted
+          cosine blocking state ({path}/seeds — the tick/stream
+          maintainers' layout), queries.dedup.needs_reseed over
+          `batch` (default: the state's committed vectors) against
+          the persisted drift baseline, or a baseline computed over
+          the committed vectors when none was persisted.
+        - export_needs_rebalance: text.needs_rebalance over
+          `export_dir` when given (the published training-export
+          tree is external to the database path).
+
+        `sections` is q_snapshot_audit's (section, n_rows, checksum)
+        summary over `sf_dir` — None unless a corpus dir is passed
+        (the audit sections read the TPC-H-ish fixture layout, not
+        the database's own tables).  Read-only: nothing is persisted
+        or mutated, so a nightly audit can run beside a live tick."""
+        gates: dict[str, bool | None] = {}
+
+        kind = self.meta.get("index_kind", "lsh")
+        if kind in ("pq", "ivfpq") and not self.is_empty():
+            gates["index_needs_retrain"] = bool(
+                self.index().needs_retrain(retrain_frac)
+            )
+        else:
+            gates["index_needs_retrain"] = None
+
+        if os.path.exists(f"{self.path}/seeds"):
+            from zebra_spark.queries.dedup import (
+                cell_drift_audit,
+                needs_reseed,
+            )
+            from zebra_spark.streaming import (
+                read_cosine_state,
+                read_drift_baseline,
+            )
+
+            seeds = self.spark.read.parquet(f"{self.path}/seeds")
+            vecs = read_cosine_state(self.spark, self.path)[0]
+            baseline = read_drift_baseline(self.spark, self.path)
+            if baseline is None:
+                # never persisted: score the committed corpus under the
+                # frozen seeds (persist_drift_baseline's formula,
+                # WITHOUT the side effect — audit stays read-only)
+                row = cell_drift_audit(
+                    self.spark, self.path, vecs, "corpus", seeds
+                ).collect()[0]
+                baseline = None if row.mse is None else float(row.mse)
+            if baseline is None:
+                gates["blocking_needs_reseed"] = None  # empty state
+            else:
+                gates["blocking_needs_reseed"] = bool(
+                    needs_reseed(
+                        self.spark,
+                        self.path,
+                        batch if batch is not None else vecs,
+                        ratio_threshold=reseed_threshold,
+                        seeds=seeds,
+                        baseline_mse=baseline,
+                    )
+                )
+        else:
+            gates["blocking_needs_reseed"] = None
+
+        if export_dir is not None:
+            from zebra_spark.queries.text import needs_rebalance
+
+            gates["export_needs_rebalance"] = bool(
+                needs_rebalance(
+                    self.spark, export_dir, threshold=rebalance_threshold
+                )
+            )
+        else:
+            gates["export_needs_rebalance"] = None
+
+        sections = None
+        if sf_dir is not None:
+            from zebra_spark.queries.audit import _summarize, snapshot_audit
+
+            sections = _summarize(snapshot_audit(self.spark, sf_dir))
+        return {"gates": gates, "sections": sections}
+
+    # -- streaming facade symmetry (r15, VERDICT r14 #6) -------------------
+
+    def stream_insert(
+        self,
+        vec_stream: DataFrame,
+        checkpoint_dir: str,
+        label_prop_every: int = 0,
+        label_prop_weighted: bool = False,
+    ):
+        """Maintain this database's semantic near-dup state from a
+        vector STREAM (vec_id, emb) — the streaming twin of the batch
+        insert verbs, delegating to streaming.stream_maintain_cosine_
+        tables with state_dir = the database path (the same layout the
+        batch tick and facade label lifecycle use, so the store stays
+        adoptable by all three).  On first use the blocking seeds are
+        frozen from the CURRENT embeddings table (the corpus-prefix
+        rule, queries.dedup._cosine_seeds — deterministic, so a later
+        batch rebuild over the same corpus blocks identically); an
+        empty store cannot seed and is refused.  Returns the
+        StreamingQuery — caller stops it; read results via
+        streaming.read_cosine_state(spark, db.path) / labels()."""
+        from zebra_spark.queries.dedup import NDUP_CELLS, NDUP_PER_CELL
+        from zebra_spark.streaming import (
+            init_cosine_state,
+            stream_maintain_cosine_tables,
+        )
+
+        if not os.path.exists(f"{self.path}/seeds"):
+            if self.is_empty():
+                raise ValueError(
+                    "stream_insert needs frozen blocking seeds and the "
+                    "embeddings table is empty — insert a seed corpus "
+                    "first (batch insert), or init_cosine_state the "
+                    "path with explicit seeds"
+                )
+            corpus = self.embeddings().select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("emb"),
+            )
+            # corpus-prefix seeds BY RANK, not by raw id (_cosine_seeds'
+            # `vec_id < n_cells` rule assumes the fixtures' dense ids;
+            # facade ids are batch-base offset, so the n_cells SMALLEST
+            # ids are the equivalent deterministic prefix).  cell_id is
+            # the source vec_id, preserving the seed-takedown guard's
+            # contract.  The seed table is k x dim — the driver-side
+            # limit is bounded by construction.
+            n_cells = max(NDUP_CELLS, corpus.count() // NDUP_PER_CELL)
+            seeds = (
+                corpus.orderBy("vec_id")
+                .limit(n_cells)
+                .select(
+                    F.col("vec_id").alias("cell_id"),
+                    F.col("emb").alias("ce"),
+                )
+            )
+            init_cosine_state(self.spark, self.path, seeds)
+        return stream_maintain_cosine_tables(
+            self.spark,
+            vec_stream,
+            self.path,
+            checkpoint_dir,
+            label_prop_every=label_prop_every,
+            label_prop_weighted=label_prop_weighted,
+        )
