@@ -10,6 +10,17 @@ naturally-wobbling heavy rows doesn't spam); the same double threshold
 flags improvements, reported for context.  Compares the `queries` map
 (single-shot in-suite), `frozen_medians`, and `hotspots_isolated`.
 
+Drift normalization (r15, VERDICT r14 #3): the r14 session proved
+±40% machine drift across identical-HEAD runs, with CONTROL rows
+(untouched code paths: knn_exact_100, q_agg_hash) moving in lockstep
+with the flagged rows — every r13->r14 flag was hand-re-measured and
+attributed to session noise.  This script now does that attribution
+automatically: the control rows' median new/old ratio (clamped to
+[0.67, 1.5] so a genuine control regression can't mask everything)
+divides every new value before the thresholds apply, so a uniformly
+slow run flags nothing while a single-row regression still does.  The
+rendered table shows raw AND drift-adjusted values plus the factor.
+
 Usage:
     python scripts/bench_diff.py bench_full_r13.json bench_full_r14.json
     python scripts/bench_diff.py old.json new.json --pct 30 --abs 0.5
@@ -19,30 +30,65 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 from pathlib import Path
+
+# untouched, stable code paths measured every round in both the
+# in-suite map and the frozen medians — the same rows the r14 session
+# used as manual drift evidence
+CONTROL_ROWS = ("knn_exact_100", "q_agg_hash")
+_CLAMP = (2 / 3, 1.5)
+
+
+def drift_factor(old: dict, new: dict) -> float:
+    """Median new/old ratio of the control rows across the in-suite
+    and frozen-median maps (1.0 when no control is present in both)."""
+    ratios = []
+    for key in ("queries", "frozen_medians"):
+        o, n = old.get(key) or {}, new.get(key) or {}
+        for c in CONTROL_ROWS:
+            if c in o and c in n and o[c] > 0 and n[c] > 0:
+                ratios.append(n[c] / o[c])
+    if not ratios:
+        return 1.0
+    return min(max(statistics.median(ratios), _CLAMP[0]), _CLAMP[1])
 
 
 def diff_map(
-    old: dict[str, float], new: dict[str, float], pct: float, abs_s: float
+    old: dict[str, float],
+    new: dict[str, float],
+    pct: float,
+    abs_s: float,
+    factor: float = 1.0,
 ) -> tuple[list[tuple], list[tuple]]:
     """(regressions, improvements): rows present in BOTH maps whose
-    delta exceeds both thresholds, sorted by absolute delta."""
+    DRIFT-ADJUSTED delta (new/factor vs old) exceeds both thresholds,
+    sorted by absolute adjusted delta.  Control rows are never flagged
+    against themselves."""
     regs, imps = [], []
     for name in sorted(set(old) & set(new)):
+        if name in CONTROL_ROWS:
+            continue
         o, n = old[name], new[name]
-        d = n - o
+        adj = n / factor
+        d = adj - o
         if o > 0 and abs(d) > abs_s and abs(d) / o * 100 > pct:
-            (regs if d > 0 else imps).append((name, o, n, d))
-    key = lambda r: -abs(r[3])  # noqa: E731
+            (regs if d > 0 else imps).append((name, o, n, adj, d))
+    key = lambda r: -abs(r[4])  # noqa: E731
     return sorted(regs, key=key), sorted(imps, key=key)
 
 
 def render(title: str, rows: list[tuple]) -> list[str]:
     if not rows:
         return [f"{title}: none"]
-    out = [f"{title}:", "| query | old s | new s | delta |", "|---|---|---|---|"]
+    out = [
+        f"{title}:",
+        "| query | old s | new s | new/drift | delta |",
+        "|---|---|---|---|---|",
+    ]
     out += [
-        f"| {n} | {o:.2f} | {w:.2f} | {d:+.2f} |" for n, o, w, d in rows
+        f"| {n} | {o:.2f} | {w:.2f} | {a:.2f} | {d:+.2f} |"
+        for n, o, w, a, d in rows
     ]
     return out
 
@@ -57,9 +103,12 @@ def main() -> int:
     old = json.loads(Path(args.old).read_text())
     new = json.loads(Path(args.new).read_text())
 
+    factor = drift_factor(old, new)
     lines = [
         f"Bench diff {Path(args.old).name} -> {Path(args.new).name} "
-        f"(flag: >{args.pct:.0f}% and >{args.abs_s}s, both directions)"
+        f"(flag: >{args.pct:.0f}% and >{args.abs_s}s, both directions; "
+        f"drift factor {factor:.3f} from control rows "
+        f"{', '.join(CONTROL_ROWS)})"
     ]
     for section, key in (
         ("in-suite (single-shot)", "queries"),
@@ -67,7 +116,7 @@ def main() -> int:
         ("isolated hotspots", "hotspots_isolated"),
     ):
         o, n = old.get(key) or {}, new.get(key) or {}
-        regs, imps = diff_map(o, n, args.pct, args.abs_s)
+        regs, imps = diff_map(o, n, args.pct, args.abs_s, factor)
         lines.append("")
         lines += render(f"{section} — regressions", regs)
         if imps:

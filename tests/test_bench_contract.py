@@ -81,3 +81,70 @@ def test_driver_gate_order_pins_rows_only():
     assert names[: len(m._FORCE_FIRST)] == m._FORCE_FIRST
     oracles = m.oracle_sql()
     assert set(oracles) <= set(names)
+
+
+def test_bench_diff_drift_normalization():
+    """r15 (VERDICT r14 #3): scripts/bench_diff.py scales flagged
+    deltas by the control rows' same-run ratio before flagging, so a
+    uniformly slow run (the r14 machine-drift pattern: every row
+    ~1.4x including untouched controls) is auto-attributed to session
+    noise, while a single-row regression against quiet controls still
+    flags."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import bench_diff as bd
+
+    base = {
+        "queries": {
+            "knn_exact_100": 2.0, "q_agg_hash": 0.4,
+            "q_dedup_clusters": 7.0, "q_text_tfidf": 3.0,
+        },
+        "frozen_medians": {"knn_exact_100": 2.0, "q_agg_hash": 0.4},
+    }
+
+    # lockstep drift: EVERYTHING 1.4x, controls included -> factor
+    # ~1.4, nothing flagged
+    slow = {
+        "queries": {k: v * 1.4 for k, v in base["queries"].items()},
+        "frozen_medians": {
+            k: v * 1.4 for k, v in base["frozen_medians"].items()
+        },
+    }
+    f = bd.drift_factor(base, slow)
+    assert abs(f - 1.4) < 1e-9
+    regs, imps = bd.diff_map(
+        base["queries"], slow["queries"], 30.0, 0.5, f
+    )
+    assert regs == [] and imps == []
+
+    # single-row regression against QUIET controls: still flagged
+    hot = {
+        "queries": dict(base["queries"], q_dedup_clusters=11.0),
+        "frozen_medians": dict(base["frozen_medians"]),
+    }
+    f2 = bd.drift_factor(base, hot)
+    assert abs(f2 - 1.0) < 1e-9
+    regs2, _ = bd.diff_map(base["queries"], hot["queries"], 30.0, 0.5, f2)
+    assert [r[0] for r in regs2] == ["q_dedup_clusters"]
+
+    # the clamp: a 3x control blowup is itself suspicious — the factor
+    # stops at 1.5 so a real control regression can't absolve the run
+    crazy = {
+        "queries": {k: v * 3.0 for k, v in base["queries"].items()},
+        "frozen_medians": {
+            k: v * 3.0 for k, v in base["frozen_medians"].items()
+        },
+    }
+    assert bd.drift_factor(base, crazy) == 1.5
+
+    # controls are never flagged against themselves
+    regs3, _ = bd.diff_map(
+        base["queries"], crazy["queries"], 30.0, 0.5, 1.5
+    )
+    assert "knn_exact_100" not in [r[0] for r in regs3]
+    assert "q_agg_hash" not in [r[0] for r in regs3]
