@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json files the driver leaves in the repo root, so
 # each round's prefix now re-certifies the most-stale names and every
 # query's latest row stays within ~4 rounds by construction
-# (200 names / ~50-row prefix).  Rows-only names carry driver rows
+# (202 names / ~50-row prefix).  Rows-only names carry driver rows
 # too (clean no_oracle), so the same ager rotates them (VERDICT r11
 # #6 is subsumed, plus explicit pins below for the oldest).  Pure
 # reordering — the name->callable mapping is unchanged and
@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # commit).
 _FORCE_FIRST = [
     "q_tick_chain_clusters",
+    "q_graph_local_cc_hist",  # r15's one new query — first row now
 ]
 
 _PRIORITY = [

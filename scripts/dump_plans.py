@@ -51,11 +51,19 @@ HEADLINE = [
     "q_knn_label_prop", "q_knn_label_prop_audit",
     "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
     "q_knn_label_prop_ann_weighted", "q_export_rebalance",
-    "q_label_prop_calibration",
+    "q_label_prop_calibration", "q_graph_local_cc_hist",
 ]
 
 # Per-query audit notes appended under the summary line.
 NOTES = {
+    "q_graph_local_cc_hist": (
+        "Packed-bitset per-edge common-neighbor counts (the "
+        "q_graph_triangles machinery): edges stream through two "
+        "BROADCAST word-table joins — never a wedge enumeration — "
+        "then each edge credits both endpoints (one union + groupBy "
+        "on |edges| rows) and the decile bucketing is integer "
+        "arithmetic, so no float boundary drift vs the oracle."
+    ),
     "q_cosine_assign_delta": (
         "Unseen-batch assignment: the only nested loop is batch x "
         "broadcast seed matrix (k x dim, driver-small at any corpus "

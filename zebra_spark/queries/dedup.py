@@ -3381,6 +3381,121 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_graph_local_cc_hist",
+    oracle=f"""
+    WITH {_SQL_TOK.format(nh=N_HASHES)},
+    {_SQL_MINHASH_PAIRS},
+    tsym AS MATERIALIZED (
+      SELECT doc_a AS node, doc_b AS nb FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    words AS MATERIALIZED (
+      SELECT node, nb // 64 AS w,
+             bit_or((1::UBIGINT) << CAST(nb % 64 AS INTEGER)) AS bits
+      FROM tsym GROUP BY node, nb // 64
+    ),
+    -- per-EDGE common-neighbor count, once per a<b pair (LEFT JOINs
+    -- pin the streaming order, as in q_graph_triangles' tri CTE)
+    ec AS MATERIALIZED (
+      SELECT e.doc_a, e.doc_b,
+             coalesce(sum(bit_count(wa.bits & wb.bits)), 0) AS c
+      FROM edges e
+      LEFT JOIN words wa ON wa.node = e.doc_a
+      LEFT JOIN words wb ON wb.node = e.doc_b AND wb.w = wa.w
+      GROUP BY e.doc_a, e.doc_b
+    ),
+    pernode AS MATERIALIZED (
+      SELECT node, sum(c) AS tri2, count(*) AS d FROM (
+        SELECT doc_a AS node, c FROM ec
+        UNION ALL SELECT doc_b, c FROM ec
+      ) GROUP BY node
+    )
+    SELECT CAST((10 * tri2) // (d * (d - 1)) AS INTEGER) AS cc_decile,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pernode WHERE d >= 2
+    GROUP BY 1
+    """,
+)
+def q_graph_local_cc_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cc_decile, n_docs): histogram of the per-document LOCAL
+    clustering coefficient over the near-dup graph — the per-doc twin
+    of q_graph_triangles' global number.  cc(v) = triangles through v
+    / C(deg v, 2); decile 10 is a doc whose neighbourhood is a closed
+    clique (a template family member — safe to keep-one), low deciles
+    are bridge documents stitching otherwise-unrelated families (the
+    rows a takedown or threshold change swings, worth human eyes).
+    Degree-1 docs have no defined coefficient and are excluded.
+
+    Bucketing is INTEGER arithmetic end-to-end — decile =
+    (10 * Σ_edge common-neighbors) intdiv (d·(d-1)), with the edge sum
+    counting each triangle at v twice and C(d,2) doubled to match —
+    so both engines bucket boundary values identically (no float
+    round-trip at 0.x999...).
+
+    Scale shape: reuses q_graph_triangles' packed-bitset machinery —
+    per-edge common-neighbor counts from one broadcast-word-join
+    stream (never wedge enumeration), then each edge's count credits
+    BOTH endpoints (one union + groupBy on |edges| rows), so the
+    per-node pass adds nothing corpus-quadratic."""
+    edges = _minhash_pairs(spark, sf_dir, N_HASHES, N_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nb")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nb"))
+    )
+    words = sym.groupBy(
+        "node", (F.col("nb") / 64).cast("bigint").alias("w")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(nb % 64 AS INT))")).alias("bits")
+    )
+    wa = words.select(
+        F.col("node").alias("na"), F.col("w").alias("wwa"),
+        F.col("bits").alias("ba"),
+    )
+    wb = words.select(
+        F.col("node").alias("nbn"), F.col("w").alias("wwb"),
+        F.col("bits").alias("bb"),
+    )
+    ec = (
+        edges.join(F.broadcast(wa), F.col("doc_a") == F.col("na"))
+        .join(
+            F.broadcast(wb),
+            (F.col("doc_b") == F.col("nbn")) & (F.col("wwa") == F.col("wwb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .alias("c")
+        )
+    )
+    # degree from the TRUE edge list, triangle credits left-joined on:
+    # a zero-overlap edge never reaches ec (the inner word join finds
+    # no shared word index), but it still counts toward degree
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    tric = (
+        ec.select(F.col("doc_a").alias("node"), "c")
+        .unionAll(ec.select(F.col("doc_b").alias("node"), "c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("tri2"))
+    )
+    pernode = (
+        deg.join(tric, "node", "left")
+        .withColumn("tri2", F.coalesce("tri2", F.lit(0)))
+        .filter(F.col("d") >= 2)
+    )
+    return (
+        pernode.select(
+            F.expr("CAST((10 * tri2) DIV (d * (d - 1)) AS INT)")
+            .alias("cc_decile")
+        )
+        .groupBy("cc_decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "q_semantic_incremental",
     oracle=f"""
     WITH {_SQL_COSINE_ASSIGN.strip()},
