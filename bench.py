@@ -395,6 +395,10 @@ def main() -> None:
     FROZEN_HOTSPOTS = frozenset({
         "q_dedup_clusters", "q_graph_pagerank", "q_ingest_audit",
         "q_cluster_takedown", "q_export_append_takedown",
+        # r15: straddles the 5 s dyn trigger (in-suite 4.5-5.1 across
+        # r11-r15, isolated 5.5-6.4) — frozen so the row never
+        # silently vanishes, same reason as q_export_append_takedown
+        "q_dedup_incremental",
     })
     hotspots: dict[str, float] = {}
     if only_set is None:
