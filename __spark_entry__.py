@@ -57,7 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # commit).
 _FORCE_FIRST = [
     "q_tick_chain_clusters",
-    "q_graph_local_cc_hist",  # r15's one new query — first row now
+    "q_graph_local_cc_hist",  # r15's new queries — first rows now
+    "q_text_zipf",
 ]
 
 _PRIORITY = [

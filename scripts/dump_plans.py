@@ -51,11 +51,17 @@ HEADLINE = [
     "q_knn_label_prop", "q_knn_label_prop_audit",
     "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
     "q_knn_label_prop_ann_weighted", "q_export_rebalance",
-    "q_label_prop_calibration", "q_graph_local_cc_hist",
+    "q_label_prop_calibration", "q_graph_local_cc_hist", "q_text_zipf",
 ]
 
 # Per-query audit notes appended under the summary line.
 NOTES = {
+    "q_text_zipf": (
+        "Top-10k vocab via orderBy+limit — TakeOrderedAndProject "
+        "(per-partition heads + one bounded merge), NEVER a global "
+        "window over the full vocabulary; the rank window and the "
+        "regression run on the bounded 10k-row frame."
+    ),
     "q_graph_local_cc_hist": (
         "Packed-bitset per-edge common-neighbor counts (the "
         "q_graph_triangles machinery): edges stream through two "

@@ -733,3 +733,33 @@ def test_register_maintained_table_unregister(spark, tmp_path):
     dd.register_maintained_table("minhash", sf, None)
     # unregistering an absent key is a no-op
     assert dd.register_maintained_table("cosine", sf, None) is None
+
+
+def test_closure_sql_asserts_convergence():
+    """r15: the unrolled closure oracle must FAIL LOUDLY when K is too
+    small for the graph's diameter, never ship a wrong fixpoint.  A
+    long path graph with k=1 stage (one hook+jump round on the
+    contracted graph) cannot converge; the conv CTE error()s.  The
+    same SQL with enough stages returns the exact single component."""
+    import duckdb
+    import pytest
+
+    from zebra_spark.queries.dedup import _closure_sql
+
+    con = duckdb.connect()
+    # path graph 0-1-2-...-63: diameter 63, one component
+    frame = """
+    edges AS (SELECT i AS a, i + 1 AS b FROM range(0, 63) t(i)),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+    ),
+    """
+
+    def run(k):
+        sql = ("WITH " + frame + _closure_sql("node", k=k)
+               + " SELECT count(DISTINCT cluster) FROM labels")
+        return con.execute(sql).fetchone()[0]
+
+    with pytest.raises(duckdb.Error, match="not converged"):
+        run(1)
+    assert run(8) == 1
