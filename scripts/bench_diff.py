@@ -40,9 +40,10 @@ CONTROL_ROWS = ("knn_exact_100", "q_agg_hash")
 _CLAMP = (2 / 3, 1.5)
 
 
-def drift_factor(old: dict, new: dict) -> float:
-    """Median new/old ratio of the control rows across the in-suite
-    and frozen-median maps (1.0 when no control is present in both)."""
+def control_ratio(old: dict, new: dict) -> float:
+    """Raw (unclamped) median new/old ratio of the control rows across
+    the in-suite and frozen-median maps (1.0 when no control is
+    present in both)."""
     ratios = []
     for key in ("queries", "frozen_medians"):
         o, n = old.get(key) or {}, new.get(key) or {}
@@ -51,7 +52,16 @@ def drift_factor(old: dict, new: dict) -> float:
                 ratios.append(n[c] / o[c])
     if not ratios:
         return 1.0
-    return min(max(statistics.median(ratios), _CLAMP[0]), _CLAMP[1])
+    return statistics.median(ratios)
+
+
+def drift_factor(old: dict, new: dict) -> float:
+    """control_ratio clamped to the attribution band — see main() for
+    the loud-warning + raw-threshold fallback when the clamp binds
+    (ADVICE r15: a clamped control regression scales every other row's
+    delta down by up to 33%, so a co-occurring real regression could
+    hide behind it)."""
+    return min(max(control_ratio(old, new), _CLAMP[0]), _CLAMP[1])
 
 
 def diff_map(
@@ -103,13 +113,30 @@ def main() -> int:
     old = json.loads(Path(args.old).read_text())
     new = json.loads(Path(args.new).read_text())
 
+    raw = control_ratio(old, new)
     factor = drift_factor(old, new)
+    clamped = abs(raw - factor) > 1e-9
     lines = [
         f"Bench diff {Path(args.old).name} -> {Path(args.new).name} "
         f"(flag: >{args.pct:.0f}% and >{args.abs_s}s, both directions; "
         f"drift factor {factor:.3f} from control rows "
         f"{', '.join(CONTROL_ROWS)})"
     ]
+    if clamped:
+        # the control rows themselves moved past the attribution band:
+        # normalization can no longer be trusted to separate machine
+        # drift from a real control-path regression, so say so loudly
+        # and ALSO show what the thresholds flag with no normalization
+        # at all (ADVICE r15 — a clamped factor scales every other
+        # row's delta by up to 33%, masking co-occurring regressions)
+        lines.append(
+            f"WARNING: control ratio {raw:.3f} exceeds the clamp band "
+            f"[{_CLAMP[0]:.3f}, {_CLAMP[1]:.3f}] — the CONTROL PATH "
+            "itself regressed or the box is badly drifted; treat the "
+            "adjusted table as unattributed and re-measure the control "
+            "rows standalone.  Raw-threshold (factor 1.0) flags are "
+            "appended below."
+        )
     for section, key in (
         ("in-suite (single-shot)", "queries"),
         ("frozen medians", "frozen_medians"),
@@ -121,6 +148,12 @@ def main() -> int:
         lines += render(f"{section} — regressions", regs)
         if imps:
             lines += render(f"{section} — improvements", imps)
+        if clamped:
+            rregs, _ = diff_map(o, n, args.pct, args.abs_s, 1.0)
+            lines += render(
+                f"{section} — RAW-threshold regressions (no drift adj)",
+                rregs,
+            )
         dropped = sorted(set(o) - set(n))
         added = sorted(set(n) - set(o))
         if dropped:

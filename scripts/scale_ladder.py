@@ -79,7 +79,24 @@ def main() -> int:
         help="comma-separated rung subset (names from the LADDER table)",
     )
     args = ap.parse_args()
-    only = set(args.only.split(",")) if args.only else None
+    only = (
+        {s.strip() for s in args.only.split(",") if s.strip()}
+        if args.only
+        else None
+    )
+    # ADVICE r15: a misspelled --only name used to run ZERO rungs and
+    # exit 0 (all([]) is True) — the silent-drop failure mode this
+    # script exists to prevent.  Unknown or empty selections are errors.
+    known = {name for name, *_ in LADDER}
+    if only is not None:
+        unknown = sorted(only - known)
+        if unknown:
+            ap.error(
+                f"--only names not in the ladder: {', '.join(unknown)} "
+                f"(known: {', '.join(sorted(known))})"
+            )
+        if not only:
+            ap.error("--only selected zero rungs")
 
     rows = []
     for name, script, rung_args, timeout in LADDER:

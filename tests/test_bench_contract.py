@@ -148,3 +148,68 @@ def test_bench_diff_drift_normalization():
     )
     assert "knn_exact_100" not in [r[0] for r in regs3]
     assert "q_agg_hash" not in [r[0] for r in regs3]
+
+    # ADVICE r15: the raw (unclamped) control ratio is exposed so the
+    # clamp case can be reported instead of silently absorbed
+    assert abs(bd.control_ratio(base, crazy) - 3.0) < 1e-9
+
+
+def test_bench_diff_clamp_warns_and_reports_raw(tmp_path):
+    """ADVICE r15: when the control ratio exceeds the clamp band, the
+    rendered diff must (a) warn loudly that attribution is broken and
+    (b) append raw-threshold (factor 1.0) regression tables, so a real
+    control-path regression can't scale every other row's delta down
+    by up to 33% unannounced."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = {
+        "queries": {
+            "knn_exact_100": 2.0, "q_agg_hash": 0.4,
+            "q_dedup_clusters": 7.0,
+        },
+    }
+    crazy = {
+        "queries": {k: v * 3.0 for k, v in base["queries"].items()},
+    }
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps(base))
+    new_p.write_text(json.dumps(crazy))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "bench_diff.py"),
+         str(old_p), str(new_p)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "WARNING: control ratio 3.000 exceeds the clamp band" in out
+    assert "RAW-threshold regressions" in out
+    # the raw table carries the non-control regression at factor 1.0
+    assert out.count("q_dedup_clusters") >= 2  # adjusted + raw tables
+
+    # quiet controls: no warning, no raw section
+    calm = {"queries": dict(base["queries"], q_dedup_clusters=11.0)}
+    new_p.write_text(json.dumps(calm))
+    out2 = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "bench_diff.py"),
+         str(old_p), str(new_p)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "WARNING" not in out2
+    assert "RAW-threshold" not in out2
+
+
+def test_scale_ladder_rejects_unknown_only():
+    """ADVICE r15: a misspelled --only used to run zero rungs and exit
+    0 — now it errors up front, naming the unknown rung."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "scale_ladder.py"),
+         "--only", "nope"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "nope" in r.stderr

@@ -219,11 +219,21 @@ def test_audit_verb(spark, db_path, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "gate export_needs_rebalance: False" in out
 
-    # a PQ database surfaces the retrain gate
+    # a PQ database surfaces the retrain gate — n/a until codebooks
+    # exist (the audit never trains as a side effect, ADVICE r15),
+    # then a live boolean once an index is persisted
     pq_path = str(tmp_path / "pqcli")
     assert _run(["--database-path", pq_path, "--cpus", "8",
                  "--index", "pq", "text", "insert",
                  "alpha beta gamma", "delta epsilon zeta"]) == 0
+    assert _run(["--database-path", pq_path, "--cpus", "8",
+                 "text", "audit"]) == 0
+    out = capsys.readouterr().out
+    assert "gate index_needs_retrain: n/a" in out
+
+    from zebra_spark.database import ZebraDatabase
+
+    ZebraDatabase.open(spark, pq_path).save_index()
     assert _run(["--database-path", pq_path, "--cpus", "8",
                  "text", "audit"]) == 0
     out = capsys.readouterr().out

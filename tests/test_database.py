@@ -772,16 +772,36 @@ def test_facade_audit_gates(spark, db, tmp_path):
         "export_needs_rebalance": None,
     }
 
-    # PQ store: the retrain gate is live and flips once the appended
-    # mass exceeds retrain_frac of the trained rows
+    # PQ store: the retrain gate answers WITHOUT training (ADVICE r15:
+    # audit() used to call self.index(), which on a store with no warm
+    # index TRAINED fresh codebooks — n_added=0 — and answered False in
+    # exactly the stale case it should flag).  Never-trained store ->
+    # None, and the documented read-only audit leaves _index unbuilt.
     pq = ZebraDatabase.create(
         spark, str(tmp_path / "pqdb"), dim=32, metric="l2sq",
         index_kind="pq", index_options={"m": 4, "k": 8},
     )
     pq.insert_texts(FRUIT + BEAST)
+    assert pq.audit()["gates"]["index_needs_retrain"] is None
+    assert pq._index is None  # read-only: no k-means ran
+    pq.save_index()  # trains once, persists fresh counters
     assert pq.audit()["gates"]["index_needs_retrain"] is False
     pq.insert_texts([t + " redux" for t in FRUIT + BEAST])
+    # warm in-memory index carries the appended counters
     assert pq.audit()["gates"]["index_needs_retrain"] is True
+
+    # cold reopen: the persisted index now MISSES the second batch —
+    # stale by definition, answered from metadata without building
+    cold = ZebraDatabase.open(spark, str(tmp_path / "pqdb"))
+    assert cold.audit()["gates"]["index_needs_retrain"] is True
+    assert cold._index is None
+    # re-persist fresh codebooks over the full corpus: the cold answer
+    # flips to False, still from metadata counters alone
+    cold.index(rebuild=True)
+    cold.save_index()
+    cold2 = ZebraDatabase.open(spark, str(tmp_path / "pqdb"))
+    assert cold2.audit()["gates"]["index_needs_retrain"] is False
+    assert cold2._index is None
 
     # export gate: fresh uniform tree -> False; missing tree -> False
     from tests.test_text_export import _build_epoch_export

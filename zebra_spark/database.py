@@ -1111,6 +1111,40 @@ class ZebraDatabase:
 
     # -- maintenance gates (r15, VERDICT r14 #2) ---------------------------
 
+    def _retrain_gate(self, retrain_frac: float) -> bool | None:
+        """Codebook-staleness answer WITHOUT building an index (ADVICE
+        r15: audit() used to call self.index(), which on a freshly
+        opened database with a stale or absent persisted index TRAINED
+        brand-new codebooks — n_added=0, so the gate answered False in
+        exactly the stale case it should flag, and the documented
+        read-only audit silently ran a k-means job).
+
+        Resolution order:
+        - a warm in-memory index answers directly (it carries any
+          unsaved appends' counters);
+        - a persisted index covering every batch answers from its
+          metadata.json counters — one tiny file read, no build;
+        - a persisted index MISSING batches is stale by definition
+          (the codebooks never saw them) -> True, sized against the
+          same volume threshold via the batch counters;
+        - no index anywhere -> None (nothing trained, nothing stale).
+        """
+        if self._index is not None:
+            return bool(self._index.needs_retrain(retrain_frac))
+        meta_path = f"{self.path}/index/metadata.json"
+        if not os.path.exists(meta_path):
+            return None
+        indexed = self.meta.get("indexed_batches")
+        if indexed is not None and indexed != self.meta["n_batches"]:
+            # batches landed after the last save_index(): the persisted
+            # codebooks are stale for them regardless of counters
+            return True
+        with open(meta_path) as f:
+            counters = json.load(f)
+        n_added = int(counters.get("n_added", 0))
+        n_trained = int(counters.get("n_trained", 0))
+        return n_added > retrain_frac * max(n_trained, 1)
+
     def audit(
         self,
         sf_dir: str | None = None,
@@ -1153,9 +1187,7 @@ class ZebraDatabase:
 
         kind = self.meta.get("index_kind", "lsh")
         if kind in ("pq", "ivfpq") and not self.is_empty():
-            gates["index_needs_retrain"] = bool(
-                self.index().needs_retrain(retrain_frac)
-            )
+            gates["index_needs_retrain"] = self._retrain_gate(retrain_frac)
         else:
             gates["index_needs_retrain"] = None
 
@@ -1229,10 +1261,17 @@ class ZebraDatabase:
         tables with state_dir = the database path (the same layout the
         batch tick and facade label lifecycle use, so the store stays
         adoptable by all three).  On first use the blocking seeds are
-        frozen from the CURRENT embeddings table (the corpus-prefix
-        rule, queries.dedup._cosine_seeds — deterministic, so a later
-        batch rebuild over the same corpus blocks identically); an
-        empty store cannot seed and is refused.  Returns the
+        frozen from the CURRENT embeddings table as the n_cells
+        SMALLEST vec_ids — the rank form of queries.dedup._cosine_seeds'
+        `vec_id < n_cells` prefix (ADVICE r15: the two rules coincide
+        only on dense-from-0 id spaces; facade ids are batch-base
+        offset, so the rank prefix is the rule that stays well-defined
+        here).  Deterministic either way, and the seeds are PERSISTED
+        under {path}/seeds — any later rebuild that adopts this state
+        dir blocks identically because it reads the frozen seeds back,
+        not because it re-derives them; only a from-scratch
+        _cosine_seeds re-derivation assumes dense ids.  An empty store
+        cannot seed and is refused.  Returns the
         StreamingQuery — caller stops it; read results via
         streaming.read_cosine_state(spark, db.path) / labels()."""
         from zebra_spark.queries.dedup import NDUP_CELLS, NDUP_PER_CELL

@@ -1255,7 +1255,17 @@ def _cosine_seeds(e: DataFrame) -> DataFrame:
     """(cell_id, ce): the frozen IVF seeds of a corpus projection
     (vec_id, emb) — its vectors with vec_id < C, C = max(NDUP_CELLS,
     n / NDUP_PER_CELL).  Deterministic, so both engines and every
-    later ingest batch see the same blocking."""
+    later ingest batch see the same blocking.
+
+    The `vec_id < C` THRESHOLD form is the rule the heldout-family
+    oracles pin (_SQL_HELDOUT) — on an id space with holes it selects
+    fewer than C rows, diverging from the "C smallest ids" RANK form
+    the facade's stream_insert uses for its offset-id stores (ADVICE
+    r15).  The two coincide exactly on dense-from-0 ids, which every
+    fixture corpus and heldout slice here satisfies by construction;
+    persisted seed tables (cosseeds / {path}/seeds) are always read
+    back rather than re-derived, so the divergence never reaches a
+    consumer of frozen state."""
     n_cells = max(NDUP_CELLS, e.count() // NDUP_PER_CELL)
     return e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
