@@ -48,17 +48,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # reordering — the name->callable mapping is unchanged and
 # tests/test_oracle_parity.py still sweeps all of them.
 # Names forced to the FRONT of the gate order even if they already
-# have a fresh driver row.  r14's q_shard_balance pin got its green
-# row in r14, so it is retired.  r15 pins the single r10-vintage name
-# (VERDICT r14 #4 — the ager already ranks it first, the pin makes
-# the intent durable against same-round additions) so CORRECTNESS_r15
-# leaves no driver row older than r11; the ager fills the rest of the
-# prefix with the stalest cohort (verified by simulation before
-# commit).
+# have a fresh driver row.  r15's pins (q_tick_chain_clusters + the
+# two new queries) all carry green r15 rows — retired.  r16 pins the
+# three r11-vintage rows VERDICT r15 #3 names (the driver recorded a
+# 50-row prefix where the r15 gate-sim assumed 56, so these missed
+# re-certification by six slots; the ager ranks them first anyway,
+# the pin makes it durable against same-round additions), so
+# CORRECTNESS_r16 leaves no driver row older than r12.  Gate sims are
+# now sized to the REAL 50-row prefix (scripts/driver_sim.py).
 _FORCE_FIRST = [
-    "q_tick_chain_clusters",
-    "q_graph_local_cc_hist",  # r15's new queries — first rows now
-    "q_text_zipf",
+    "q_export_append_manifest",
+    "q_pack_sequences_epoch",
+    "q_snapshot_audit",
 ]
 
 _PRIORITY = [

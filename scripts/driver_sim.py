@@ -1,8 +1,10 @@
 """Bare-session driver simulation: reproduce the per-round CORRECTNESS
 gate locally — load __spark_entry__ by file path exactly like the
 driver, run entry() as the smoke check, then run the first N queries
-of the gate order (default 56, ~the driver's per-round budget; pass
-`all` for the whole registry) at sf0.01 against their DuckDB oracles
+of the gate order (default 50 — the prefix size every driver round
+r12-r15 actually recorded; VERDICT r15 #3 flagged the old 56-row
+simulation for over-promising freshness by six names; pass `all` for
+the whole registry) at sf0.01 against their DuckDB oracles
 with the driver's row-count + sorted-column value-hash compare.
 
     python scripts/driver_sim.py [N|all]
@@ -35,7 +37,7 @@ def vhash(pdf) -> str:
 
 
 def main() -> None:
-    arg = sys.argv[1] if len(sys.argv) > 1 else "56"
+    arg = sys.argv[1] if len(sys.argv) > 1 else "50"
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", str(ROOT / "__spark_entry__.py")
