@@ -5,7 +5,16 @@ query time, recall@10 vs brute force, and candidate efficiency.
 Not part of the test suite (runtime); results recorded in SCALING.md.
 
     python scripts/lsh_scale_check.py [n_rows] [n_queries]
-"""
+    python scripts/lsh_scale_check.py --big-splits [n_rows]
+
+--big-splits (r16, VERDICT r15 #5) is the driver-RSS rung for the
+adaptive build's bounded split loop: the corpus is generated
+EXECUTOR-side (mapInPandas over spark.range — the driver never holds
+the vectors), sized to push the split count ~10x past the 50k rung's
+9.4k, and the run reports resplit_stats (rounds / splits / frozen /
+cap deferrals) plus the driver's peak RSS before and after the build —
+flat RSS across a 10x split count is the recorded evidence that the
+per-round cap bounds driver memory."""
 
 from __future__ import annotations
 
@@ -111,12 +120,75 @@ def main(n: int = 50_000, nq: int = 100, dim: int = 64) -> None:
         f"p99 bucket={float(sizes['n'].quantile(0.99)):.0f} "
         f"(limit {16 * adaptive.options.max_node_size})  "
         f"max nbits={int(sizes['nbits'].max())} (base {depth})  "
-        f"recall@10: {recall2:.3f}"
+        f"recall@10: {recall2:.3f}  resplit_stats={adaptive.resplit_stats}"
+    )
+    spark.stop()
+
+
+def _rss_mb() -> float:
+    """Driver peak RSS in MB (ru_maxrss is KB on Linux)."""
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def big_splits(n: int = 500_000, dim: int = 64) -> None:
+    """The 10x-split driver-RSS rung (module docstring)."""
+    import pandas as pd
+
+    from zebra_spark.index.lsh import LSHIndex
+    from zebra_spark.session import get_spark
+
+    spark = get_spark("lsh-big-splits", cpus="32")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                # per-row seeded clustered vectors, executor-side: the
+                # driver never materializes the corpus
+                r = np.random.default_rng(int(i))
+                c = int(i) % 100
+                cr = np.random.default_rng(10_000 + c)
+                out.append(
+                    (cr.standard_normal(dim) * 3 + r.standard_normal(dim))
+                    .tolist()
+                )
+            yield pd.DataFrame({"vec_id": ids, "emb": out})
+
+    corpus = (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(gen, "vec_id bigint, emb array<double>")
+        .cache()
+    )
+    corpus.count()
+    rss0 = _rss_mb()
+    t0 = time.perf_counter()
+    idx = LSHIndex.build(
+        spark, sf_dir="", corpus=corpus, num_trees=15, seed=42,
+        adaptive=True,
+    )
+    t_build = time.perf_counter() - t0
+    sizes = idx.bucket_counts().toPandas()
+    rss1 = _rss_mb()
+    print(
+        f"big-splits: n={n} build {t_build:.1f}s  "
+        f"splits={len(idx.split_meta)}  "
+        f"resplit_stats={idx.resplit_stats}  "
+        f"p99 bucket={float(sizes['n'].quantile(0.99)):.0f}  "
+        f"rows={int(sizes['n'].sum())}  "
+        f"driver RSS {rss0:.0f} -> {rss1:.0f} MB"
     )
     spark.stop()
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    main(n, nq)
+    args = [a for a in sys.argv[1:] if a != "--big-splits"]
+    if "--big-splits" in sys.argv[1:]:
+        big_splits(int(args[0]) if args else 500_000)
+    else:
+        n = int(args[0]) if args else 50_000
+        nq = int(args[1]) if len(args) > 1 else 100
+        main(n, nq)

@@ -73,3 +73,67 @@ def test_ivfpq_recall_sf01(spark, exact_pairs):
         exact_pairs,
     )
     assert r >= 0.9, f"IVF-PQ recall@10 {r} < 0.9 at sf0.1"
+
+
+# -- filtered ANN (r16, VERDICT r15 #4): recall vs the FILTERED exact
+# oracle at sf0.1.  The lang='en' predicate keeps ~44% of the corpus,
+# thinning every bucket/cell, so these gates prove the pre-filter
+# path still reaches 0.9 at each family's serving settings.
+
+
+@pytest.fixture(scope="module")
+def filtered_exact_pairs(spark):
+    from zebra_spark.queries.vector import knn_filtered
+
+    df = knn_filtered(
+        spark, SF01, lang="en", n_queries=N_QUERIES, k=10
+    ).select("query_id", "neighbor_id")
+    return set(map(tuple, df.toPandas().itertuples(index=False)))
+
+
+@pytest.fixture(scope="module")
+def en_ids(spark):
+    from zebra_spark.io import load
+
+    return (
+        load(spark, SF01, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+
+
+@pytest.fixture(scope="module")
+def query_frame(spark):
+    from zebra_spark.io import embeddings_d
+
+    return (
+        embeddings_d(spark, SF01)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    )
+
+
+def test_lsh_filtered_recall_sf01(
+    spark, filtered_exact_pairs, en_ids, query_frame
+):
+    from zebra_spark.index.lsh import LSHIndex
+
+    idx = LSHIndex.build(spark, SF01, num_trees=15, seed=42)
+    r = _recall(
+        idx.search_df(query_frame, k=10, probes=8, filter_ids=en_ids),
+        filtered_exact_pairs,
+    )
+    assert r >= 0.9, f"filtered LSH recall@10 {r} < 0.9 at sf0.1"
+
+
+def test_ivf_filtered_recall_sf01(
+    spark, filtered_exact_pairs, en_ids, query_frame
+):
+    from zebra_spark.index.ivf import IVFIndex
+
+    idx = IVFIndex.train(spark, SF01, k=16, iters=5, seed=42)
+    r = _recall(
+        idx.search_df(query_frame, k=10, nprobe=12, filter_ids=en_ids),
+        filtered_exact_pairs,
+    )
+    assert r >= 0.9, f"filtered IVF recall@10 {r} < 0.9 at sf0.1"

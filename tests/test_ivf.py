@@ -216,3 +216,38 @@ def test_search_df_nprobe_clamped(spark, clustered):
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert over.equals(full)
+
+
+def test_ivf_search_df_filtered(spark):
+    """r16 (VERDICT r15 #4): filter_ids pre-filters the corpus side of
+    the salted cell join — every hit admissible, all-corpus filter a
+    no-op."""
+    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.io import embeddings_d, load
+
+    idx = IVFIndex.train(spark, SF_ORACLE, k=16, iters=5, seed=42)
+    queries = (
+        embeddings_d(spark, SF_ORACLE)
+        .filter("vec_id < 50")
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    )
+    allowed = (
+        load(spark, SF_ORACLE, "documents")
+        .filter("lang = 'en'")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    res = idx.search_df(queries, k=5, nprobe=8, filter_ids=allowed).toPandas()
+    ok = set(allowed.toPandas()["vec_id"])
+    assert set(res["neighbor_id"]) <= ok
+    assert res.groupby("query_id").size().max() <= 5
+
+    full = embeddings_d(spark, SF_ORACLE).select("vec_id")
+    via_full = (
+        idx.search_df(queries, k=5, nprobe=8, filter_ids=full)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    via_none = (
+        idx.search_df(queries, k=5, nprobe=8)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert via_full.equals(via_none)

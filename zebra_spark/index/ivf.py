@@ -337,6 +337,7 @@ class IVFIndex:
         k: int = 10,
         nprobe: int = 4,
         metric: str = "l2sq",
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """DataFrame-native ANN for large query batches: `queries` is
         (query_id bigint, qe array<double>).  Probe cells are computed
@@ -362,7 +363,15 @@ class IVFIndex:
         flip an argsort boundary between near-equidistant centroids —
         pinned by test_ivf_search_df_matches_numpy_path) and switches
         to the memory-bounded BLAS form past _PROBE_TENSOR_LIMIT
-        (VERDICT r12 #5; pinned by test_ivf_probe_guard.py)."""
+        (VERDICT r12 #5; pinned by test_ivf_probe_guard.py).
+
+        filter_ids (r16, VERDICT r15 #4): a one-column (vec_id) frame
+        of ADMISSIBLE neighbours — metadata-predicate + kNN in one
+        pass.  The filter semi-joins the corpus side BEFORE the salted
+        cell join, so excluded vectors never pair with a probe row
+        (pre-filter, same contract as LSHIndex.search_df).  Raise
+        `nprobe` as the filter gets more selective; the recall gate vs
+        the filtered exact oracle is tests/test_ann_recall_sf01.py."""
         centroids = self.centroids
         # same clamp as IVFPQIndex.search_df (ADVICE r7): an oversized
         # nprobe would make the expansion disagree with the probe slice
@@ -416,9 +425,12 @@ class IVFIndex:
         probed = queries.mapInPandas(
             probe_op, "query_id bigint, cell_id int, salt int, qe array<double>"
         )
-        cell_corpus = salted_cell_side(
-            self.assignments.join(self.corpus, "vec_id"), buckets, "vec_id"
-        )
+        corpus_side = self.assignments.join(self.corpus, "vec_id")
+        if filter_ids is not None:
+            corpus_side = corpus_side.join(
+                filter_ids.select("vec_id"), "vec_id", "left_semi"
+            )
+        cell_corpus = salted_cell_side(corpus_side, buckets, "vec_id")
         metric_fn = zf.METRICS[metric]
         w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
         return (

