@@ -205,6 +205,12 @@ def main() -> None:
         # row prices the steady-state nightly read (one pruned scan +
         # groupBy(shard)), matching its role as the tenth audit section.
         "q_shard_balance",
+        # round-16: filtered exact kNN (predicate -> semi-join ->
+        # distance -> top-k) and the composed takedown -> rebalance ->
+        # manifest lifecycle tick (3 real appends + takedown +
+        # rebalance + manifest read per trial)
+        "q_knn_filtered",
+        "q_export_lifecycle_tick",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
@@ -239,12 +245,25 @@ def main() -> None:
     # parquet, so their rows below are steady-state costs and the
     # one-per-corpus-snapshot build cost is visible instead of being
     # re-paid invisibly inside each consumer.
-    from zebra_spark.queries.dedup import cosine_pair_table, pair_table
+    from zebra_spark.queries.dedup import (
+        cluster_label_table,
+        cosine_pair_table,
+        pair_table,
+    )
     from zebra_spark.queries.tick import chain_state, chain_timings
 
     for bname, builder in (
         ("pair_table_build", pair_table),
         ("cosine_table_build", cosine_pair_table),
+        # r16 (VERDICT r15 #2): the cluster-label table is a MAINTAINED
+        # artifact (registry kind 'clusters' — production reads it back
+        # from parquet, the tick updates it at delta cost), but the
+        # isolated-trial registry restore made every consumer trial
+        # (q_ingest_audit ~10 s of its 27, q_dedup_clusters nearly all
+        # of its 8.7) rebuild the full-graph CC from scratch — pricing
+        # corpus-snapshot scaffolding into steady-state rows.  One
+        # visible build row, same treatment pair_table got in r5.
+        ("cluster_label_build", cluster_label_table),
         # the 3-tick chained-maintenance state (r10): one build per
         # session, the steady-state per-tick cost is SCALING.md's table.
         # with_audit=True runs the nightly read-side audit on the LAST
@@ -272,6 +291,35 @@ def main() -> None:
         derived_registry_snapshot,
         restore_derived_registry,
     )
+
+    # Export-family warm pass (r16, VERDICT r15 #1b): these rows run a
+    # REAL on-disk lifecycle (build/replay a session-keyed export tree,
+    # takedown/rebalance rewrites, or an IVF-on-seeds train) whose
+    # FIRST invocation pays one-time scaffolding — scratch-dir
+    # creation, cold page cache, codegen for the write plans — that
+    # the isolated-median trials later in the run never see (their
+    # trees are warm by then).  r14/r15 showed the resulting in-suite
+    # vs isolated divergence reaching 2.4x (q_export_append_takedown
+    # 12.7 s in-suite, 5.3 s isolated — same code).  Run each once,
+    # untimed per row but priced together as the export_warm build
+    # row, so the timed in-suite rows below measure the same warm
+    # steady-state replay the isolated medians do.
+    EXPORT_WARM_ROWS = (
+        "q_export_shards", "q_export_append_takedown",
+        "q_export_append_manifest", "q_export_rebalance",
+        "q_export_lifecycle_tick",
+        "q_knn_label_prop_ann", "q_knn_label_prop_ann_weighted",
+    )
+    if only_set is None:
+        t0 = time.perf_counter()
+        for wname in EXPORT_WARM_ROWS:
+            try:
+                _consume(zebra_spark.QUERIES[wname](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — warm is best-effort
+                print(f"export warm {wname} failed: {exc}", file=sys.stderr)
+            finally:
+                release_caches()
+        times["export_warm"] = round(time.perf_counter() - t0, 3)
 
     shared_snapshot = derived_registry_snapshot()
 
@@ -535,6 +583,48 @@ def main() -> None:
         # per-query error map makes the gap visible instead of silent.
         out["errors"] = errors
 
+    # Self-defending headline (r16, VERDICT r15 #1a): two rounds
+    # running, the kept BENCH number regressed while isolated
+    # re-measures held, and the attribution lived only in the
+    # bench_diff tool run by hand afterwards.  The artifact now
+    # carries its own attribution: the control-row drift factor
+    # against the PREVIOUS round's full artifact (scripts/bench_diff
+    # math — median new/old ratio of knn_exact_100 + q_agg_hash,
+    # clamped [0.67, 1.5]) and the drift-adjusted headline scalars.
+    # A hot box shows factor ~1.3 with flat adjusted numbers; a real
+    # regression shows factor ~1.0 with elevated adjusted numbers.
+    here = Path(__file__).resolve().parent
+    try:
+        sys.path.insert(0, str(here / "scripts"))
+        import bench_diff as _bd
+
+        fulls = []
+        for p in here.glob("bench_full_r*.json"):
+            if "_partial" in p.stem:
+                continue
+            try:
+                fulls.append((int(p.stem.split("_r")[-1]), p))
+            except ValueError:
+                continue
+        if fulls:
+            ref_path = max(fulls)[1]
+            ref = json.loads(ref_path.read_text())
+            factor = _bd.drift_factor(ref, out)
+            out["drift_ref"] = ref_path.name
+            out["drift_control_ratio"] = round(
+                _bd.control_ratio(ref, out), 3
+            )
+            out["drift_factor"] = round(factor, 3)
+            out["headline_full_adj"] = round(
+                out["headline_full"] / factor, 3
+            )
+            if "headline_frozen_median" in out:
+                out["headline_frozen_median_adj"] = round(
+                    out["headline_frozen_median"] / factor, 3
+                )
+    except Exception as exc:  # noqa: BLE001 — attribution is best-effort
+        print(f"drift normalization failed: {exc}", file=sys.stderr)
+
     # Driver-parseable output contract (VERDICT r10 #1): BENCH_r10 came
     # back `parsed: null` because the one-line summary had outgrown the
     # driver's capture (189-row queries map + 27 medians + hotspots).
@@ -544,7 +634,6 @@ def main() -> None:
     # max+1 IS this round); stdout gets a COMPACT single line with the
     # headline numbers plus the 8 BASELINE.md-mapped rows, guaranteed
     # far under 2 KB.
-    here = Path(__file__).resolve().parent
     rounds = []
     for p in here.glob("BENCH_r*.json"):
         try:
@@ -589,6 +678,10 @@ def main() -> None:
         "headline_frozen_median", "frozen_median_n", "suite_sf001",
         "suite_sf001_queries", "hotspots_isolated", "tick_update_s",
         "tick_audit_s",
+        # drift self-defense scalars (r16): the compact line the driver
+        # keeps must carry its own attribution, not just raw values
+        "drift_ref", "drift_control_ratio", "drift_factor",
+        "headline_full_adj", "headline_frozen_median_adj",
     ):
         if k in out:
             compact[k] = out[k]

@@ -54,15 +54,34 @@ AUDIT_SECTIONS: dict[str, str] = {
 }
 
 
-def snapshot_audit(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def snapshot_audit(
+    spark: SparkSession, sf_dir: str, share_scans: bool = True
+) -> dict[str, DataFrame]:
     """Build/refresh the snapshot's derived tables, then return every
     audit section as its own DataFrame — each bit-identical to running
     the corresponding registered query, because each IS that query over
-    the same shared artifacts (the wiring the tests pin)."""
+    the same shared artifacts (the wiring the tests pin).
+
+    share_scans (r16, VERDICT r15 #3): the ten sections collectively
+    read the same handful of artifacts — the plan dossier counted 19
+    file scans per audit because every section re-opened its inputs.
+    Each shared input is persist()ed ONCE here (tracked, so the
+    harness's release_caches() frees it after the terminal action);
+    Spark's cache manager substitutes the cached relation into every
+    section plan that contains an equivalent read, so the whole audit
+    performs one scan per artifact with sections byte-identical by
+    construction (the substitution changes the physical plan only).
+    At 100 TB the cached frames are the BOUNDED derived artifacts
+    (pair/assignment/label/signature tables — edges and labels, not
+    the corpus); the documents read is fixture-sized here and an audit
+    over a full-scale corpus would scope it to the audited columns or
+    disable sharing."""
     from zebra_spark.queries.dedup import (
         cluster_label_table,
+        cosine_assign_table,
         cosine_pair_table,
         pair_table,
+        sig_table,
     )
     from zebra_spark.registry import QUERIES
 
@@ -71,6 +90,19 @@ def snapshot_audit(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     pair_table(spark, sf_dir)
     cosine_pair_table(spark, sf_dir)
     cluster_label_table(spark, sf_dir)
+    if share_scans:
+        from zebra_spark.caching import tracked_persist
+        from zebra_spark.io import load
+
+        for frame in (
+            load(spark, sf_dir, "documents"),
+            pair_table(spark, sf_dir),
+            cosine_pair_table(spark, sf_dir),
+            cosine_assign_table(spark, sf_dir),
+            cluster_label_table(spark, sf_dir),
+            sig_table(spark, sf_dir),
+        ):
+            tracked_persist(frame)
     return {
         section: QUERIES[qname](spark, sf_dir)
         for section, qname in AUDIT_SECTIONS.items()
@@ -237,8 +269,20 @@ def ingest_then_audit(
         # same-distribution batch never takes this branch)
         writes["cosine"] = dd.cosine_pair_table(spark, sf_dir)
         writes["cosassign"] = dd.cosine_assign_table(spark, sf_dir)
-    for kind, df in writes.items():
+    # the four maintained-table writes are independent jobs that each
+    # underfill the cluster at tick scale — run them CONCURRENTLY
+    # (r16, VERDICT r15 #2: sequential writes were ~9.6 s of the tick's
+    # 27; the wall cost is now the slowest single write).  Spark
+    # sessions schedule concurrent actions safely; the parity sweep
+    # already drives 8 threads through one session.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item):
+        kind, df = item
         df.write.mode("overwrite").parquet(f"{work_dir}/{kind}")
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        list(ex.map(_write, writes.items()))
     if timings is not None:
         timings["update_s"] = round(time.perf_counter() - t0, 3)
 
