@@ -206,10 +206,13 @@ def main() -> None:
         # groupBy(shard)), matching its role as the tenth audit section.
         "q_shard_balance",
         # round-16: filtered exact kNN (predicate -> semi-join ->
-        # distance -> top-k) and the composed takedown -> rebalance ->
-        # manifest lifecycle tick (3 real appends + takedown +
-        # rebalance + manifest read per trial)
+        # distance -> top-k), the hash-checkable filtered-ANN path
+        # (IVF train + exhaustive-probe filtered search_df), and the
+        # composed takedown -> rebalance -> manifest lifecycle tick
+        # (3 real appends + takedown + rebalance + manifest read per
+        # trial)
         "q_knn_filtered",
+        "q_knn_filtered_ivf",
         "q_export_lifecycle_tick",
     ]
     if only_set is not None:

@@ -52,10 +52,23 @@ HEADLINE = [
     "q_knn_label_prop_ann", "q_knn_label_prop_weighted",
     "q_knn_label_prop_ann_weighted", "q_export_rebalance",
     "q_label_prop_calibration", "q_graph_local_cc_hist", "q_text_zipf",
+    "q_knn_filtered", "q_knn_filtered_ivf", "q_export_lifecycle_tick",
 ]
 
 # Per-query audit notes appended under the summary line.
 NOTES = {
+    "q_knn_filtered": (
+        "PRE-filter: the lang predicate is pushed to the documents "
+        "scan (PushedFilters), survivors semi-join the corpus, and "
+        "distance math runs only over admissible rows; the query side "
+        "broadcasts — no cartesian, no post-filtered top-k."
+    ),
+    "q_export_lifecycle_tick": (
+        "Composed takedown -> rebalance -> manifest over a real "
+        "3-epoch tree; the plan shown is the final manifest read "
+        "(partition-pruned scan + two-level agg) — the verbs' write "
+        "plans are audited under their own rows."
+    ),
     "q_text_zipf": (
         "Top-10k vocab via orderBy+limit — TakeOrderedAndProject "
         "(per-partition heads + one bounded merge), NEVER a global "

@@ -886,3 +886,38 @@ def test_facade_stream_insert_equivalence(spark, db, tmp_path):
     # the blocking gate is live now (and quiet: no drift on the same
     # corpus the baseline is computed from)
     assert db.audit()["gates"]["blocking_needs_reseed"] is False
+
+
+def test_query_where_filters_neighbours(spark, tmp_path):
+    """r16 (VERDICT r15 #4): query_texts/query_vectors `where` is a
+    SQL predicate over the documents table restricting admissible
+    neighbours — pre-filter on every path (exact brute force AND each
+    index family's search_df), so a selective predicate returns k
+    admissible hits instead of a post-filtered stub."""
+    from zebra_spark.database import ZebraDatabase
+
+    for kind, metric in (("lsh", "cosine"), ("pq", "l2sq")):
+        db = ZebraDatabase.create(
+            spark, str(tmp_path / f"wdb_{kind}"), dim=32, metric=metric,
+            index_kind=kind,
+            index_options={"m": 4, "k": 8} if kind == "pq" else {},
+        )
+        db.insert_texts(FRUIT + BEAST)
+        beast_pred = (
+            "doc LIKE '%wolf%' OR doc LIKE '%bear%' OR doc LIKE '%otter%'"
+        )
+        beast_ids = set(
+            r.vec_id
+            for r in db.documents().filter(beast_pred).select("vec_id").collect()
+        )
+        assert len(beast_ids) == 4
+        for exact in (True, False):
+            res = db.query_texts(
+                ["wolf bear lynx forest"], k=3, exact=exact,
+                where=beast_pred,
+            ).toPandas()
+            assert len(res) == 3, (kind, exact)
+            assert set(res["vec_id"]) <= beast_ids, (kind, exact)
+        # unfiltered search over the same store still sees everything
+        res_all = db.query_texts(["wolf bear lynx forest"], k=8).toPandas()
+        assert len(res_all) == 8

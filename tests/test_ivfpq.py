@@ -185,3 +185,40 @@ def test_nprobe_clamped_to_cell_count(spark, idx):
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert drv.equals(exact_probe)
+
+
+def test_ivfpq_search_df_filtered(spark, idx):
+    """r16 (VERDICT r15 #4): filter_ids pre-filters the coded table
+    before the probe join — every hit admissible, all-corpus filter a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import embeddings_d, load
+
+    queries = (
+        embeddings_d(spark, SF_ORACLE)
+        .filter("vec_id < 20")
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    )
+    allowed = (
+        load(spark, SF_ORACLE, "documents")
+        .filter("lang = 'en'")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    res = idx.search_df(
+        queries, k=5, nprobe=12, refine=200, filter_ids=allowed
+    ).toPandas()
+    ok = set(allowed.toPandas()["vec_id"])
+    assert set(res["neighbor_id"]) <= ok
+    assert res.groupby("query_id").size().max() <= 5
+
+    full = embeddings_d(spark, SF_ORACLE).select("vec_id")
+    via_full = (
+        idx.search_df(queries, k=5, nprobe=12, refine=200, filter_ids=full)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    via_none = (
+        idx.search_df(queries, k=5, nprobe=12, refine=200)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert via_full.equals(via_none)

@@ -226,3 +226,35 @@ def test_pq_remove(spark):
     # the remaining order is the before-order with id 10 dropped
     keep = [n for n in before.neighbor_id if n != 10][: len(after)]
     assert list(after.neighbor_id) == keep
+
+
+def test_pq_search_df_filtered(spark, pq):
+    """r16 (VERDICT r15 #4): filter_ids pre-filters the codes side of
+    the ADC scan — every hit admissible, all-corpus filter a no-op."""
+    from zebra_spark.io import load
+
+    queries = (
+        embeddings_d(spark, SF_ORACLE)
+        .filter("vec_id < 20")
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    )
+    allowed = (
+        load(spark, SF_ORACLE, "documents")
+        .filter("lang = 'en'")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    res = pq.search_df(queries, k=5, refine=100, filter_ids=allowed).toPandas()
+    ok = set(allowed.toPandas()["vec_id"])
+    assert set(res["neighbor_id"]) <= ok
+    assert res.groupby("query_id").size().max() <= 5
+
+    full = embeddings_d(spark, SF_ORACLE).select("vec_id")
+    via_full = (
+        pq.search_df(queries, k=5, refine=100, filter_ids=full)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    via_none = (
+        pq.search_df(queries, k=5, refine=100)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert via_full.equals(via_none)

@@ -723,10 +723,15 @@ class ZebraDatabase:
         self.meta["indexed_batches"] = self.meta["n_batches"]
         self._write_meta()
 
-    def query_texts(self, texts: list[str], k: int = 10, exact: bool = False) -> DataFrame:
+    def query_texts(
+        self, texts: list[str], k: int = 10, exact: bool = False,
+        where: str | None = None,
+    ) -> DataFrame:
         """Embed query docs then search (≙ query_documents, core.rs:267).
         Returns ranked (query_id, vec_id, rank, dist, doc) — rank is KEPT
-        (the reference computes then discards it, core.rs:304-305)."""
+        (the reference computes then discards it, core.rs:304-305).
+        `where` restricts admissible neighbours by a SQL predicate over
+        the documents table (query_vectors docstring, r16)."""
         if self.is_empty():  # ≙ empty-index short-circuit core.rs:272-274
             return self.spark.createDataFrame(
                 [], "query_id bigint, vec_id bigint, rank int, dist double, doc string"
@@ -749,12 +754,12 @@ class ZebraDatabase:
         qids = sorted(vecs)
         return self.query_vectors(
             np.array([vecs[q] for q in qids], dtype=np.float64), k=k, exact=exact,
-            query_ids=qids,
+            query_ids=qids, where=where,
         )
 
     def query_blobs(
         self, blobs: list[bytes], modality: str = "image", k: int = 10,
-        exact: bool = False,
+        exact: bool = False, where: str | None = None,
     ) -> DataFrame:
         """Query by raw binary documents (≙ CLI image/audio query,
         src/main.rs:209-294): decode+embed via the multimodal path
@@ -773,7 +778,7 @@ class ZebraDatabase:
         qids = sorted(got)
         return self.query_vectors(
             np.array([got[q] for q in qids], dtype=np.float64),
-            k=k, exact=exact, query_ids=qids,
+            k=k, exact=exact, query_ids=qids, where=where,
         )
 
     def query_vectors(
@@ -782,40 +787,61 @@ class ZebraDatabase:
         k: int = 10,
         exact: bool = False,
         query_ids=None,
+        where: str | None = None,
     ) -> DataFrame:
         """ANN via the LSH index (exact=False) or brute force; always
-        exact re-rank; joins documents back (≙ read_documents, core.rs:358)."""
+        exact re-rank; joins documents back (≙ read_documents, core.rs:358).
+
+        where (r16, VERDICT r15 #4): an optional SQL predicate over the
+        DOCUMENTS table (columns vec_id, doc, modality) restricting the
+        admissible neighbours — `label = X AND k nearest` in one call.
+        PRE-filter strategy throughout: the predicate lands on the
+        documents scan, the surviving ids semi-join the search path
+        (exact: before the distance math; every index family: before
+        candidate scoring via search_df's filter_ids), so a selective
+        predicate can never empty the top-k the way post-filtering a
+        result would.  The reference has no filter surface (its only
+        predicate is the metric, lsh.rs:544-565) — extension surface."""
         if self.is_empty():  # ≙ empty-index short-circuit core.rs:272-274
             return self.spark.createDataFrame(
                 [], "query_id bigint, vec_id bigint, rank int, dist double,"
                 " doc string"
             )
+        filter_ids = (
+            None if where is None
+            else self.documents().filter(where).select("vec_id")
+        )
         if exact:
-            res = self._brute_force(vectors, k, query_ids)
+            res = self._brute_force(vectors, k, query_ids, filter_ids)
         else:
             res = self._index_search(
-                np.asarray(vectors, dtype=np.float64), k, query_ids
+                np.asarray(vectors, dtype=np.float64), k, query_ids,
+                filter_ids,
             )
         docs = self.documents().select(
             F.col("vec_id"), F.col("doc")
         )
         return res.withColumnRenamed("neighbor_id", "vec_id").join(docs, "vec_id", "left")
 
-    def _index_search(self, vectors, k, query_ids=None):
+    def _index_search(self, vectors, k, query_ids=None, filter_ids=None):
         """Dispatch an ANN vector search to whichever index family the
         metadata records, normalizing to (query_id, neighbor_id, rank,
         dist).  LSH and IVF serve the database's configured metric
         directly; the PQ family's ADC kernel is L2-trained, so it backs
         l2sq databases only (cosine/other metrics: use lsh/ivf or
-        exact=True)."""
+        exact=True).  filter_ids (r16) restricts admissible neighbours
+        via each family's search_df pre-filter; filtered LSH/IVF
+        searches route through search_df (the filter-aware path) while
+        unfiltered ones keep search_vectors' low-latency driver-side
+        probes."""
         kind = self.meta.get("index_kind", "lsh")
         idx = self.index()
-        if kind in ("lsh", "ivf"):
+        if kind in ("lsh", "ivf") and filter_ids is None:
             return idx.search_vectors(
                 vectors, k=k, metric=self.meta["metric"],
                 query_ids=query_ids,
             )
-        if self.meta["metric"] != "l2sq":
+        if kind in ("pq", "ivfpq") and self.meta["metric"] != "l2sq":
             raise ValueError(
                 f"index_kind {kind!r} serves l2sq databases only "
                 f"(metric is {self.meta['metric']!r}); use "
@@ -831,14 +857,26 @@ class ZebraDatabase:
             "query_id bigint, qe array<double>",
         )
         opts = self.meta["index_options"]
+        if kind == "lsh":
+            return idx.search_df(
+                qdf, k=k, metric=self.meta["metric"], filter_ids=filter_ids
+            )
+        if kind == "ivf":
+            return idx.search_df(
+                qdf, k=k, nprobe=opts.get("nprobe", 8),
+                metric=self.meta["metric"], filter_ids=filter_ids,
+            )
         if kind == "pq":
-            return idx.search_df(qdf, k=k, refine=opts.get("refine", 100))
+            return idx.search_df(
+                qdf, k=k, refine=opts.get("refine", 100),
+                filter_ids=filter_ids,
+            )
         return idx.search_df(
             qdf, k=k, nprobe=opts.get("nprobe", 8),
-            refine=opts.get("refine", 100),
+            refine=opts.get("refine", 100), filter_ids=filter_ids,
         )
 
-    def _brute_force(self, vectors, k, query_ids=None):
+    def _brute_force(self, vectors, k, query_ids=None, filter_ids=None):
         vectors = np.asarray(vectors, dtype=np.float64)
         if query_ids is None:
             query_ids = list(range(len(vectors)))
@@ -849,6 +887,12 @@ class ZebraDatabase:
         corpus = self.embeddings().select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
+        if filter_ids is not None:
+            # admissibility BEFORE the distance math (query_vectors
+            # docstring): the semi-join prunes the corpus scan
+            corpus = corpus.join(
+                filter_ids.select("vec_id"), "vec_id", "left_semi"
+            )
         metric = zf.METRICS[self.meta["metric"]]
         w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
         return (

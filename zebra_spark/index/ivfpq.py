@@ -469,6 +469,7 @@ class IVFPQIndex:
         k: int = 10,
         nprobe: int = 4,
         refine: int = 100,
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Distributed IVF-PQ search for LARGE query batches: `queries`
         is (query_id bigint, qe array<double>) and NOTHING
@@ -492,7 +493,13 @@ class IVFPQIndex:
         search_ids/_search stay the low-latency path for driver-sized
         batches (their per-query LUTs ride the scan closure instead of
         a join).  Results match _search for any refine that captures
-        the true top-k candidates (parity test in tests/test_ivfpq.py)."""
+        the true top-k candidates (parity test in tests/test_ivfpq.py).
+
+        filter_ids (r16, VERDICT r15 #4): a one-column (vec_id) frame
+        of ADMISSIBLE neighbours, semi-joined into the coded table
+        before the probe join — excluded rows are never ADC-scored and
+        never consume refine slots (the pre-filter contract shared by
+        all four index families)."""
         cents, cb = self.centroids.copy(), self.codebooks.copy()
         m, kk, dsub = cb.shape
         # clamp: argsort slice below yields min(nprobe, k_coarse)
@@ -550,8 +557,13 @@ class IVFPQIndex:
                 }
             )
 
+        coded_side = self.coded
+        if filter_ids is not None:
+            coded_side = coded_side.join(
+                filter_ids.select("vec_id"), "vec_id", "left_semi"
+            )
         scored = (
-            self.coded.join(probes, "cell_id")
+            coded_side.join(probes, "cell_id")
             .groupBy("cell_id", "query_id")
             .applyInPandas(
                 score_group, "query_id bigint, vec_id bigint, adist double"

@@ -379,6 +379,7 @@ class PQIndex:
         queries: DataFrame,
         k: int = 10,
         refine: int = 100,
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """ADC search: `queries` is (query_id bigint, qe array<double>).
         Returns (query_id, neighbor_id, rank, dist) — dist is the EXACT
@@ -392,7 +393,13 @@ class PQIndex:
         top-`refine` per (Arrow batch, query) — the map-side combine for
         top-k — so the global per-query window shuffles
         O(partitions x refine) rows, not the corpus.  Only the surviving
-        `refine` candidate ids join back to the full vectors."""
+        `refine` candidate ids join back to the full vectors.
+
+        filter_ids (r16, VERDICT r15 #4): a one-column (vec_id) frame
+        of ADMISSIBLE neighbours, semi-joined into the CODES side
+        before the ADC scan — excluded rows are never scored and never
+        consume refine slots (the pre-filter contract shared by all
+        four index families)."""
         cb = self.codebooks
         m, kk, dsub = cb.shape
 
@@ -435,7 +442,12 @@ class PQIndex:
                     }
                 )
 
-        scored = self.codes.mapInPandas(
+        codes_side = self.codes
+        if filter_ids is not None:
+            codes_side = codes_side.join(
+                filter_ids.select("vec_id"), "vec_id", "left_semi"
+            )
+        scored = codes_side.mapInPandas(
             scan, "query_id bigint, vec_id bigint, adist double"
         )
         wa = Window.partitionBy("query_id").orderBy("adist", "vec_id")

@@ -354,3 +354,54 @@ def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", "n", zf_rnd(F.col("mse")).alias("mse"),
         zf_rnd(F.col("ratio")).alias("ratio"),
     ).orderBy("split")
+
+
+@query(
+    "q_knn_filtered_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+    c AS (SELECT e.vec_id, e.emb FROM e JOIN allowed a ON a.vec_id = e.vec_id),
+    d AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {zf.sql_metric("l2sq", a="q.qe", b="c.emb", dim=64)} AS dist
+      FROM q CROSS JOIN c
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, rank, {sql_rnd("dist")} AS dist
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN through the REAL IVFIndex.search_df plumbing, made
+    HASH-CHECKABLE by probing every cell (r16, VERDICT r15 #4): with
+    nprobe = k_coarse the candidate set is the whole admissible corpus
+    regardless of where k-means placed the centroids, so the result is
+    centroid-independent and must bit-equal the filtered exact oracle
+    (q_knn_filtered's SQL).  This gates the filter_ids path itself —
+    the admissibility semi-join before the salted cell join, the
+    (dist, neighbor_id) ranking, the tie-breaks — end to end at the
+    driver hash gate, where the recall tests can only gate a
+    threshold.  Scale shape: identical to IVFIndex.search_df's
+    documented plan (the exhaustive probe is the test configuration;
+    production uses nprobe << k_coarse and the sf0.1 recall gate)."""
+    from zebra_spark.index.ivf import IVFIndex
+    from zebra_spark.io import load
+
+    idx = IVFIndex.train(spark, sf_dir, k=16, iters=2, seed=42)
+    e = embeddings_d(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return idx.search_df(q, k=5, nprobe=16, filter_ids=allowed)
