@@ -450,6 +450,9 @@ def main() -> None:
         # r11-r15, isolated 5.5-6.4) — frozen so the row never
         # silently vanishes, same reason as q_export_append_takedown
         "q_dedup_incremental",
+        # r16: the composed lifecycle row (first obs: in-suite 6.9,
+        # isolated 5.9) straddles the same trigger — frozen at birth
+        "q_export_lifecycle_tick",
     })
     hotspots: dict[str, float] = {}
     if only_set is None:
