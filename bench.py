@@ -319,6 +319,11 @@ def main() -> None:
             try:
                 _consume(zebra_spark.QUERIES[wname](spark, sf_dir))
             except Exception as exc:  # noqa: BLE001 — warm is best-effort
+                # recorded, not just printed (review r16): a silently
+                # failed warm leaves that row measuring COLD replay, and
+                # the artifact must carry the attribution for the
+                # resulting in-suite elevation
+                errors[f"warm:{wname}"] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"export warm {wname} failed: {exc}", file=sys.stderr)
             finally:
                 release_caches()
@@ -599,37 +604,42 @@ def main() -> None:
     # clamped [0.67, 1.5]) and the drift-adjusted headline scalars.
     # A hot box shows factor ~1.3 with flat adjusted numbers; a real
     # regression shows factor ~1.0 with elevated adjusted numbers.
+    # Skipped on subset runs (review r16): a partial queries map (often
+    # missing the control rows entirely) would emit factor-1.0
+    # "attribution" scalars that look official while meaning nothing —
+    # every other drift-sensitive section is gated the same way.
     here = Path(__file__).resolve().parent
-    try:
-        sys.path.insert(0, str(here / "scripts"))
-        import bench_diff as _bd
+    if only_set is None:
+        try:
+            sys.path.insert(0, str(here / "scripts"))
+            import bench_diff as _bd
 
-        fulls = []
-        for p in here.glob("bench_full_r*.json"):
-            if "_partial" in p.stem:
-                continue
-            try:
-                fulls.append((int(p.stem.split("_r")[-1]), p))
-            except ValueError:
-                continue
-        if fulls:
-            ref_path = max(fulls)[1]
-            ref = json.loads(ref_path.read_text())
-            factor = _bd.drift_factor(ref, out)
-            out["drift_ref"] = ref_path.name
-            out["drift_control_ratio"] = round(
-                _bd.control_ratio(ref, out), 3
-            )
-            out["drift_factor"] = round(factor, 3)
-            out["headline_full_adj"] = round(
-                out["headline_full"] / factor, 3
-            )
-            if "headline_frozen_median" in out:
-                out["headline_frozen_median_adj"] = round(
-                    out["headline_frozen_median"] / factor, 3
+            fulls = []
+            for p in here.glob("bench_full_r*.json"):
+                if "_partial" in p.stem:
+                    continue
+                try:
+                    fulls.append((int(p.stem.split("_r")[-1]), p))
+                except ValueError:
+                    continue
+            if fulls:
+                ref_path = max(fulls)[1]
+                ref = json.loads(ref_path.read_text())
+                factor = _bd.drift_factor(ref, out)
+                out["drift_ref"] = ref_path.name
+                out["drift_control_ratio"] = round(
+                    _bd.control_ratio(ref, out), 3
                 )
-    except Exception as exc:  # noqa: BLE001 — attribution is best-effort
-        print(f"drift normalization failed: {exc}", file=sys.stderr)
+                out["drift_factor"] = round(factor, 3)
+                out["headline_full_adj"] = round(
+                    out["headline_full"] / factor, 3
+                )
+                if "headline_frozen_median" in out:
+                    out["headline_frozen_median_adj"] = round(
+                        out["headline_frozen_median"] / factor, 3
+                    )
+        except Exception as exc:  # noqa: BLE001 — attribution best-effort
+            print(f"drift normalization failed: {exc}", file=sys.stderr)
 
     # Driver-parseable output contract (VERDICT r10 #1): BENCH_r10 came
     # back `parsed: null` because the one-line summary had outgrown the

@@ -836,10 +836,21 @@ class ZebraDatabase:
         probes."""
         kind = self.meta.get("index_kind", "lsh")
         idx = self.index()
-        if kind in ("lsh", "ivf") and filter_ids is None:
+        opts = self.meta["index_options"]
+        if kind == "lsh" and filter_ids is None:
             return idx.search_vectors(
                 vectors, k=k, metric=self.meta["metric"],
-                query_ids=query_ids,
+                probes=opts.get("probes", 8), query_ids=query_ids,
+            )
+        if kind == "ivf" and filter_ids is None:
+            # same nprobe source as the filtered path below: a no-op
+            # filter must probe the same cells as no filter at all
+            # (review r16 — search_vectors' own default is 4 while the
+            # filtered path read index_options, so an all-pass `where`
+            # could return different neighbours than its absence)
+            return idx.search_vectors(
+                vectors, k=k, nprobe=opts.get("nprobe", 8),
+                metric=self.meta["metric"], query_ids=query_ids,
             )
         if kind in ("pq", "ivfpq") and self.meta["metric"] != "l2sq":
             raise ValueError(
@@ -856,10 +867,10 @@ class ZebraDatabase:
             ],
             "query_id bigint, qe array<double>",
         )
-        opts = self.meta["index_options"]
         if kind == "lsh":
             return idx.search_df(
-                qdf, k=k, metric=self.meta["metric"], filter_ids=filter_ids
+                qdf, k=k, metric=self.meta["metric"],
+                probes=opts.get("probes", 8), filter_ids=filter_ids,
             )
         if kind == "ivf":
             return idx.search_df(
@@ -1209,9 +1220,14 @@ class ZebraDatabase:
         Each gate is True/False when its target state exists, None
         when not applicable to this database:
 
-        - index_needs_retrain: PQ/IVFPQ codebook staleness
-          (index.needs_retrain(retrain_frac)) — None for LSH/IVF
-          databases (no trained codebooks) and for empty stores.
+        - index_needs_retrain: PQ/IVFPQ codebook staleness, answered
+          WITHOUT building an index (_retrain_gate: warm index
+          counters, else persisted metadata.json counters, else a
+          stale-persisted True) — None for LSH/IVF databases (no
+          trained codebooks), for empty stores, AND for PQ/IVFPQ
+          stores that have never trained/persisted an index (nothing
+          exists to be stale; callers must treat None as "no signal",
+          not False).
         - blocking_needs_reseed: when the path carries an adopted
           cosine blocking state ({path}/seeds — the tick/stream
           maintainers' layout), queries.dedup.needs_reseed over

@@ -278,6 +278,11 @@ class LSHIndex:
         self.index_df = index_df
         self.split_meta = split_meta or {}
         self.appends = appends  # un-compacted add() rounds
+        # build diagnostics — populated by build(adaptive=True); empty
+        # on loaded/added/non-adaptive indexes (review r16: an absent
+        # attribute was an AttributeError trap for any consumer reading
+        # it off a load()ed or add()-returned instance)
+        self.resplit_stats: dict = {}
 
     # -- construction (≙ LSHIndex::build_index, lsh.rs:411-429) -----------
 

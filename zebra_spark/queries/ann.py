@@ -356,28 +356,10 @@ def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("split")
 
 
-@query(
-    "q_knn_filtered_ivf",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
-    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
-    c AS (SELECT e.vec_id, e.emb FROM e JOIN allowed a ON a.vec_id = e.vec_id),
-    d AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             {zf.sql_metric("l2sq", a="q.qe", b="c.emb", dim=64)} AS dist
-      FROM q CROSS JOIN c
-    ),
-    r AS (
-      SELECT query_id, neighbor_id, dist,
-             CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
-      FROM d
-    )
-    SELECT query_id, neighbor_id, rank, {sql_rnd("dist")} AS dist
-    FROM r WHERE rank <= 5
-    """,
-)
+from zebra_spark.queries.vector import FILTERED_KNN_ORACLE
+
+
+@query("q_knn_filtered_ivf", oracle=FILTERED_KNN_ORACLE)
 def q_knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN through the REAL IVFIndex.search_df plumbing, made
     HASH-CHECKABLE by probing every cell (r16, VERDICT r15 #4): with

@@ -288,9 +288,12 @@ def knn_filtered(
     )
 
 
-@query(
-    "q_knn_filtered",
-    oracle=f"""
+# ONE oracle string for the filtered-kNN gates: q_knn_filtered (the
+# exact declaration) and queries.ann.q_knn_filtered_ivf (the
+# exhaustive-probe gate of the REAL IVF filter path) must stay
+# bit-identical in predicate, k, query set, and tie-break — sharing
+# the string makes divergence impossible (review r16).
+FILTERED_KNN_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
     q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
@@ -308,8 +311,10 @@ def knn_filtered(
     )
     SELECT query_id, neighbor_id, rank, {sql_rnd("dist")} AS dist
     FROM r WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("q_knn_filtered", oracle=FILTERED_KNN_ORACLE)
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + search in one pass: top-5 L2^2 neighbours among the
     lang='en' documents for 10 query vectors — must hash-equal the
