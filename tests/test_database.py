@@ -896,7 +896,7 @@ def test_query_where_filters_neighbours(spark, tmp_path):
     admissible hits instead of a post-filtered stub."""
     from zebra_spark.database import ZebraDatabase
 
-    for kind, metric in (("lsh", "cosine"), ("pq", "l2sq")):
+    for kind, metric in (("lsh", "cosine"), ("ivf", "l2sq"), ("pq", "l2sq")):
         db = ZebraDatabase.create(
             spark, str(tmp_path / f"wdb_{kind}"), dim=32, metric=metric,
             index_kind=kind,
@@ -921,3 +921,36 @@ def test_query_where_filters_neighbours(spark, tmp_path):
         # unfiltered search over the same store still sees everything
         res_all = db.query_texts(["wolf bear lynx forest"], k=8).toPandas()
         assert len(res_all) == 8
+
+
+def test_query_where_allpass_matches_unfiltered(spark, tmp_path):
+    """Review r16 regression pin: an ALL-PASS `where` must return the
+    same ranked neighbours as no `where` at all.  The original bug was
+    probe-breadth divergence on IVF stores — the unfiltered path used
+    search_vectors' hardcoded nprobe=4 while the filtered path read
+    index_options (default 8), so on a store with >4 cells the two
+    calls could probe different cells.  Both paths now read the same
+    index_options source.  k_coarse=16 keeps the clamp from hiding a
+    relapse (nprobe 4 vs 8 is a real difference at 16 cells)."""
+    from zebra_spark.database import ZebraDatabase
+
+    db = ZebraDatabase.create(
+        spark, str(tmp_path / "allpass_ivf"), dim=32, metric="l2sq",
+        index_kind="ivf", index_options={"k_coarse": 16},
+    )
+    db.insert_texts(
+        [f"wolf bear lynx {i} {'forest' if i % 2 else 'tundra'}"
+         for i in range(24)]
+        + [f"apple mango plum {i} orchard" for i in range(24)]
+    )
+    plain = (
+        db.query_texts(["wolf bear lynx 1 forest"], k=5)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    allpass = (
+        db.query_texts(["wolf bear lynx 1 forest"], k=5, where="vec_id >= 0")
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert plain[["vec_id", "rank", "dist"]].equals(
+        allpass[["vec_id", "rank", "dist"]]
+    )
