@@ -162,7 +162,8 @@ def main() -> int:
             lines.append(f"{section} — rows added: {', '.join(added)}")
     for scalar in (
         "headline_frozen", "headline_frozen_median", "headline_full",
-        "tick_update_s", "tick_audit_s", "suite_sf001",
+        "headline_full_adj", "headline_frozen_median_adj",
+        "drift_factor", "tick_update_s", "tick_audit_s", "suite_sf001",
     ):
         if scalar in old and scalar in new:
             lines.append(

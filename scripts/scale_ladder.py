@@ -39,6 +39,10 @@ REPO = HERE.parent
 # script's defaults — the recorded 10x-beyond-fixture posture.
 LADDER: list[tuple[str, str, list[str], int]] = [
     ("lsh", "lsh_scale_check.py", [], 1200),
+    # r16: the bounded-split-loop driver-RSS rung (500k rows, ~14x the
+    # 50k rung's split count; corpus generated executor-side) — the
+    # recorded evidence that the per-round cap bounds driver memory
+    ("lsh_big_splits", "lsh_scale_check.py", ["--big-splits"], 1800),
     ("pq", "pq_scale_check.py", [], 1800),
     ("pca", "pca_scale_check.py", [], 1200),
     ("dedup", "dedup_scale_check.py", [], 1200),
