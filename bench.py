@@ -609,6 +609,16 @@ def main() -> None:
     # "attribution" scalars that look official while meaning nothing —
     # every other drift-sensitive section is gated the same way.
     here = Path(__file__).resolve().parent
+    # this round's number, inferred the same way full_name is below:
+    # the driver's BENCH_r{N}.json lands AFTER bench runs, so at bench
+    # time max(existing)+1 IS this round
+    rounds = []
+    for p in here.glob("BENCH_r*.json"):
+        try:
+            rounds.append(int(p.stem.split("_r")[-1]))
+        except ValueError:
+            continue
+    this_round = max(rounds) + 1 if rounds else 1
     if only_set is None:
         try:
             sys.path.insert(0, str(here / "scripts"))
@@ -619,9 +629,14 @@ def main() -> None:
                 if "_partial" in p.stem:
                     continue
                 try:
-                    fulls.append((int(p.stem.split("_r")[-1]), p))
+                    n = int(p.stem.split("_r")[-1])
                 except ValueError:
                     continue
+                # strictly BEFORE this round (ADVICE r16): a same-round
+                # re-run must still normalize against the PREVIOUS
+                # round's artifact, not its own earlier output
+                if n < this_round:
+                    fulls.append((n, p))
             if fulls:
                 ref_path = max(fulls)[1]
                 ref = json.loads(ref_path.read_text())
@@ -650,14 +665,8 @@ def main() -> None:
     # max+1 IS this round); stdout gets a COMPACT single line with the
     # headline numbers plus the 8 BASELINE.md-mapped rows, guaranteed
     # far under 2 KB.
-    rounds = []
-    for p in here.glob("BENCH_r*.json"):
-        try:
-            rounds.append(int(p.stem.split("_r")[-1]))
-        except ValueError:
-            continue
-    full_name = f"bench_full_r{max(rounds) + 1:02d}.json" if rounds else (
-        "bench_full.json"
+    full_name = (
+        f"bench_full_r{this_round:02d}.json" if rounds else "bench_full.json"
     )
     # a SUBSET run (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
     # round's full artifact with a partial queries map (r13: two

@@ -1184,21 +1184,30 @@ class ZebraDatabase:
           same volume threshold via the batch counters;
         - no index anywhere -> None (nothing trained, nothing stale).
         """
+        from zebra_spark import fsutil
+        from zebra_spark.index.pq import retrain_due
+
         if self._index is not None:
             return bool(self._index.needs_retrain(retrain_frac))
         meta_path = f"{self.path}/index/metadata.json"
-        if not os.path.exists(meta_path):
+        # fsutil, not os.path/open (ADVICE r16): save_index writes
+        # through fsutil, so on any non-local filesystem it supports a
+        # builtin reader would wrongly answer None ("missing") or raise
+        if not fsutil.exists(self.spark, meta_path):
             return None
         indexed = self.meta.get("indexed_batches")
         if indexed is not None and indexed != self.meta["n_batches"]:
             # batches landed after the last save_index(): the persisted
             # codebooks are stale for them regardless of counters
             return True
-        with open(meta_path) as f:
-            counters = json.load(f)
-        n_added = int(counters.get("n_added", 0))
-        n_trained = int(counters.get("n_trained", 0))
-        return n_added > retrain_frac * max(n_trained, 1)
+        counters = json.loads(fsutil.read_text(self.spark, meta_path))
+        # the ONE shared trigger formula (ADVICE r16) — same function
+        # PQIndex/IVFPQIndex.needs_retrain evaluate on warm counters
+        return retrain_due(
+            int(counters.get("n_added", 0)),
+            int(counters.get("n_trained", 0)),
+            retrain_frac,
+        )
 
     def audit(
         self,

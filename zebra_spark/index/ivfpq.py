@@ -38,6 +38,7 @@ from zebra_spark.index.pq import (
     _pq_decode_np,
     _pq_encode_np,
     _sample_mse,
+    retrain_due,
 )
 
 
@@ -227,7 +228,7 @@ class IVFPQIndex:
         ).localCheckpoint()
 
     def needs_retrain(self, added_frac: float = 0.5) -> bool:
-        return self.n_added > added_frac * max(self.n_trained, 1)
+        return retrain_due(self.n_added, self.n_trained, added_frac)
 
     def retrain(self, iters: int = 5, seed: int = 42,
                 sample_rows: int = 16_384) -> "IVFPQIndex":

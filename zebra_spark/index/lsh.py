@@ -374,12 +374,17 @@ class LSHIndex:
         by design — it ships inside every probe closure.  Returns
         (index_df, split_meta, stats) where stats records rounds,
         splits, frozen leaves, and the peak per-round deferral so a
-        capped build is visible in the artifact, never silent."""
+        capped build is visible in the artifact, never silent.
+        stats['rounds'] counts rounds that PERFORMED at least one
+        split, uniformly across every exit path (ADVICE r16: the
+        empty-todo break used to rewind while the all-frozen break
+        did not, so the count meant different things depending on how
+        the loop ended) — a no-op round always breaks, so the counted
+        rounds are exactly the splitting prefix."""
         split_meta: dict = {}
         frozen: set = set()  # leaves that failed to split (e.g. all-identical)
         stats = {"rounds": 0, "deferred_peak": 0, "capped_rounds": 0}
         for rnd_no in range(max_rounds):
-            stats["rounds"] = rnd_no + 1
             oversized = (
                 index_df.groupBy("tree_id", "bucket_id", "nbits")
                 .agg(F.count(F.lit(1)).alias("c"))
@@ -413,7 +418,6 @@ class LSHIndex:
                 )
                 todo = todo[:max_splits_per_round]
             if not todo:
-                stats["rounds"] = rnd_no
                 break
             parent_size = {
                 (r.tree_id, r.nbits, r.bucket_id): r.c for r in todo
@@ -455,6 +459,7 @@ class LSHIndex:
                 new_splits[key] = (normal, float(const))
             if not new_splits:
                 break
+            stats["rounds"] = rnd_no + 1  # this round splits >= 1 leaf
             # re-assign ONLY the members of leaves split this round
             bcast = new_splits
 

@@ -104,6 +104,16 @@ def _sample_mse(X: np.ndarray, codebooks: np.ndarray) -> float:
     return float(((X - Xh) ** 2).sum(axis=1).mean())
 
 
+def retrain_due(n_added: int, n_trained: int, added_frac: float) -> bool:
+    """THE retrain-volume trigger, one definition (ADVICE r16): the
+    appended mass exceeds `added_frac` of the rows the codebooks were
+    trained against.  Shared by PQIndex/IVFPQIndex.needs_retrain (warm
+    counters) and Database._retrain_gate (persisted metadata counters)
+    so the cold metadata-only audit path can never silently diverge
+    from the warm-index path."""
+    return n_added > added_frac * max(n_trained, 1)
+
+
 class PQIndex:
     """`codebooks`: (m, k, dsub) float64, driver-side (constant size);
     `codes`: DataFrame (vec_id bigint, codes array<int>), distributed.
@@ -248,7 +258,7 @@ class PQIndex:
         the rows the codebooks were trained against.  Pair with
         drift_audit() — volume alone does not imply drift, and a
         distribution shift can warrant retraining far earlier."""
-        return self.n_added > added_frac * max(self.n_trained, 1)
+        return retrain_due(self.n_added, self.n_trained, added_frac)
 
     def retrain(self, iters: int = 10, seed: int = 42,
                 sample_rows: int = 16_384) -> "PQIndex":
