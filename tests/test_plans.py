@@ -529,3 +529,78 @@ def test_export_manifest_single_filescan_aggregation(spark):
     assert "CartesianProduct" not in p
     assert re.search(r"Join", p) is None, p[:1500]
     assert p.count("HashAggregate") >= 2
+
+
+def _prefilter_shape_ok(plan: str) -> bool:
+    """True iff the plan is the PRE-filter shape: an admissibility
+    LeftSemi join sits UPSTREAM of the per-query rank window (formatted
+    explain prints the tree root-first, so upstream nodes print LATER).
+    A post-filter plan ranks first and semi-joins the top-k afterwards,
+    which prints the LeftSemi BEFORE the Window."""
+    tree = plan.split("\n\n", 1)[0]  # the tree section only
+    if "LeftSemi" not in tree or "Window" not in tree:
+        return False
+    return tree.index("LeftSemi") > tree.index("Window")
+
+
+def test_knn_filtered_is_prefilter(spark):
+    """q_knn_filtered (VERDICT r16 #6): the sf0.01 hash gate can't
+    distinguish pre- from post-filter (same rows either way when the
+    predicate admits >= k per query), and post-filter is the classic
+    silent regression — a selective predicate then empties the result
+    and the distance work stops scaling with selectivity.  Pin BOTH
+    load-bearing plan properties: the lang predicate reaches the
+    documents parquet scan, and the semi-join precedes the distance
+    projection / rank window."""
+    p = plan_of(spark, "q_knn_filtered")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(lang,en)" in l for l in pushed), pushed
+    # the documents scan feeding the semi-join reads only (doc_id, lang)
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert any("doc_id:bigint,lang:string" in l for l in rs), rs
+    assert _prefilter_shape_ok(p), p[:2000]
+
+
+def test_prefilter_checker_fails_on_postfilter_mutation(spark):
+    """Negative control for _prefilter_shape_ok: a deliberately wrong
+    post-filter formulation (rank over the WHOLE corpus, semi-join the
+    winners afterwards) must be rejected — proves the checker actually
+    distinguishes the two shapes rather than passing anything with a
+    semi-join in it."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Window, functions as F
+
+    from zebra_spark import functions as zf
+    from zebra_spark.io import embeddings_d, load
+
+    e = embeddings_d(spark, SF_ORACLE)
+    allowed = (
+        load(spark, SF_ORACLE, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    post = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            zf.l2sq(F.col("qe"), F.col("emb")).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .join(
+            allowed.select(F.col("vec_id").alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        post.explain("formatted")
+    assert not _prefilter_shape_ok(buf.getvalue())
