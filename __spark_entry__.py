@@ -56,10 +56,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the pin makes it durable against same-round additions), so
 # CORRECTNESS_r16 leaves no driver row older than r12.  Gate sims are
 # now sized to the REAL 50-row prefix (scripts/driver_sim.py).
+# r17 (VERDICT r16 #7): the r16 pins all carry green r16 rows —
+# retired; pin the six remaining r12-vintage names so CORRECTNESS_r17
+# leaves no driver row older than r13.
 _FORCE_FIRST = [
-    "q_export_append_manifest",
-    "q_pack_sequences_epoch",
-    "q_snapshot_audit",
+    "q_ann_pq",
+    "q_ingest_audit",
+    "q_pivot",
+    "q_subquery_scalar",
+    "q_tpch_q3",
+    "q_tpch_q5",
 ]
 
 _PRIORITY = [

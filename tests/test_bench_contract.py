@@ -213,3 +213,27 @@ def test_scale_ladder_rejects_unknown_only():
     )
     assert r.returncode != 0
     assert "nope" in r.stderr
+
+
+def test_build_row_ceilings_frozen():
+    """VERDICT r16 #4: every priced build row must carry a one-sided
+    regression ceiling in SCALING.md, and bench.py must still emit the
+    row on a full run (source pin: the rows are spelled in the
+    only_set-is-None path).  Parses the ceiling out of the table so a
+    renamed/deleted entry fails loudly rather than leaving the row
+    silently ungated."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    scaling = (root / "SCALING.md").read_text()
+    src = (root / "bench.py").read_text()
+    for row in ("export_warm", "cluster_label_build"):
+        m = re.search(
+            rf"^\| {row} \| \*\*(\d+(?:\.\d+)?) s\*\* \|",
+            scaling,
+            re.MULTILINE,
+        )
+        assert m, f"no frozen ceiling entry for {row} in SCALING.md"
+        assert float(m.group(1)) > 0
+        assert f'"{row}"' in src, f"bench.py no longer prices {row}"

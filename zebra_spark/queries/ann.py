@@ -372,11 +372,19 @@ def q_knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash gate, where the recall tests can only gate a
     threshold.  Scale shape: identical to IVFIndex.search_df's
     documented plan (the exhaustive probe is the test configuration;
-    production uses nprobe << k_coarse and the sf0.1 recall gate)."""
+    production uses nprobe << k_coarse and the sf0.1 recall gate).
+
+    Gate config (r17, VERDICT r16 #3): k_coarse 8 / one k-means
+    iteration — centroid-independence means ANY (k, iters) hashes
+    identically, so the gate buys nothing by training a bigger
+    k-means; the per-call train latency was one of the two rows
+    blamed for B8's r16 growth.  nprobe is tied to k_coarse so the
+    exhaustive-probe precondition can't silently break."""
     from zebra_spark.index.ivf import IVFIndex
     from zebra_spark.io import load
 
-    idx = IVFIndex.train(spark, sf_dir, k=16, iters=2, seed=42)
+    k_coarse = 8
+    idx = IVFIndex.train(spark, sf_dir, k=k_coarse, iters=1, seed=42)
     e = embeddings_d(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
@@ -386,4 +394,80 @@ def q_knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") == "en")
         .select(F.col("doc_id").alias("vec_id"))
     )
-    return idx.search_df(q, k=5, nprobe=16, filter_ids=allowed)
+    return idx.search_df(q, k=5, nprobe=k_coarse, filter_ids=allowed)
+
+
+def _filtered_gate_inputs(spark: SparkSession, sf_dir: str):
+    """The exact (queries, admissible) pair FILTERED_KNN_ORACLE fixes:
+    10 query vectors, lang='en' admissibility — shared by the four
+    per-family filtered gates so their inputs cannot drift apart."""
+    from zebra_spark.io import load
+
+    e = embeddings_d(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return q, allowed
+
+
+# candidate bound for the exhaustive PQ-family gates: must exceed the
+# admissible-set size at every sf the parity sweeps run (sf0.1: ~880
+# lang='en' rows) so the partial ADC top-`refine` keeps EVERY
+# admissible row and the exact re-rank reproduces the oracle
+_EXHAUSTIVE_REFINE = 4096
+
+
+@query("q_knn_filtered_pq", oracle=FILTERED_KNN_ORACLE)
+def q_knn_filtered_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN through the REAL PQIndex.search_df plumbing, made
+    HASH-CHECKABLE by an exhaustive candidate bound (r17, completing
+    the r16 q_knn_filtered_ivf pattern for the PQ family): with
+    refine >= the admissible-set size, the per-batch ADC
+    argpartition and the global candidate window keep EVERY admissible
+    code row regardless of what the codebooks quantized, and the exact
+    re-rank then reproduces the filtered exact oracle bit-for-bit —
+    codebook-independent, so the gate pins the filter_ids semi-join
+    (BEFORE the ADC scan), the re-rank join, and the (dist,
+    neighbor_id) tie-breaks, which the sf0.1 recall gates can only
+    threshold.  Gate config is deliberately tiny (m=8, one k-means
+    iteration): any (m, k, iters) hashes identically here.
+    Production serves with refine << corpus (recall gates in
+    tests/test_ann_recall_sf01.py)."""
+    from zebra_spark.index.pq import PQIndex
+
+    idx = PQIndex.train(spark, sf_dir, m=8, k=16, iters=1, seed=42)
+    q, allowed = _filtered_gate_inputs(spark, sf_dir)
+    return idx.search_df(
+        q, k=5, refine=_EXHAUSTIVE_REFINE, filter_ids=allowed
+    )
+
+
+@query("q_knn_filtered_ivfpq", oracle=FILTERED_KNN_ORACLE)
+def q_knn_filtered_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN through IVFPQIndex.search_df, hash-checkable by
+    composing BOTH exhaustiveness tricks (r17): nprobe = k_coarse
+    makes the probe set centroid-independent (every cell visited) and
+    refine >= the admissible-set size makes the residual-ADC
+    truncation lossless, so the exact re-rank must equal the filtered
+    exact oracle.  This is the only driver-hash coverage of the
+    coarse+residual path's filter plumbing — the admissibility
+    semi-join lands on the CODED table before the probe join, and a
+    post-filter regression (or a refine-slot leak to inadmissible
+    rows) breaks the hash.  Production: nprobe << k_coarse, refine <<
+    corpus; the sf0.1 filtered recall gate holds the serving point."""
+    from zebra_spark.index.ivfpq import IVFPQIndex
+
+    k_coarse = 8
+    idx = IVFPQIndex.train(
+        spark, sf_dir, k_coarse=k_coarse, m=8, k=16, iters=1, seed=42
+    )
+    q, allowed = _filtered_gate_inputs(spark, sf_dir)
+    return idx.search_df(
+        q, k=5, nprobe=k_coarse, refine=_EXHAUSTIVE_REFINE,
+        filter_ids=allowed,
+    )

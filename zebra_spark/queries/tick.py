@@ -521,8 +521,24 @@ def run_tick(
     batch_docs = batch_docs.select("doc_id", "text")
     batch_vecs = batch_vecs.select("vec_id", "emb")
     prevs = _register_all(sf_dir, state_dir)
+
+    # per-step decomposition (r17, VERDICT r16 #1): update_s moved on
+    # the driver box while the builder box held, and the aggregate
+    # number couldn't say WHICH step — the ceilings can only be
+    # confirmed/recalibrated against a committed decomposition.  Cheap
+    # wall-clock deltas, recorded only when the caller passes timings.
+    parts: dict[str, float] = {}
+    _last = time.perf_counter()
+
+    def _mark(step: str) -> None:
+        nonlocal _last
+        now = time.perf_counter()
+        parts[step] = round(parts.get(step, 0.0) + (now - _last), 3)
+        _last = now
+
     try:
         t0 = time.perf_counter()
+        _last = t0
         drifted = dd.needs_reseed(
             spark,
             sf_dir,
@@ -532,6 +548,7 @@ def run_tick(
         )
         if timings is not None:
             timings["reseed_triggered"] = drifted
+        _mark("drift_gate_s")
 
         # lexical family: batch rows first (the delta's corpus side is
         # the post-append signature table), then the pair delta —
@@ -543,15 +560,18 @@ def run_tick(
         dd.batch_toksets(batch_docs).write.mode("append").parquet(
             f"{state_dir}/toksets"
         )
+        _mark("batch_append_s")
         ldelta = dd.pair_table_delta(
             spark, sf_dir, batch_docs.select("doc_id")
         ).localCheckpoint()
         ldelta.write.mode("append").parquet(f"{state_dir}/minhash")
+        _mark("pair_delta_s")
 
         # the state's raw vector truth — appended FIRST, so the quiet
         # path's scoring source and a reseed both see ingested ∪ batch
         # (a batch need not have landed in the lake; r10 review)
         batch_vecs.write.mode("append").parquet(f"{state_dir}/vecs")
+        _mark("vecs_append_s")
 
         # semantic family: quiet ticks append assignment + pair deltas
         # under the frozen seeds; a drifted batch invalidates the
@@ -570,6 +590,7 @@ def run_tick(
                 new_ids=batch_vecs.select("vec_id"),
                 embeddings=spark.read.parquet(f"{state_dir}/vecs"),
             ).write.mode("append").parquet(f"{state_dir}/cosine")
+        _mark("semantic_s")
 
         # cluster labels: star-collapse the persisted labels, merge the
         # batch's thresholded lexical delta — |V| + |delta| edges
@@ -584,8 +605,10 @@ def run_tick(
             F.col("id").alias("doc_id"), F.col("component").alias("cluster")
         )
         _swap_write(spark, state_dir, "clusters", merged)
+        _mark("labels_s")
         if timings is not None:
             timings["update_s"] = round(time.perf_counter() - t0, 3)
+            timings["update_parts"] = dict(parts)
 
         if label_prop_every and tick_no % label_prop_every == 0:
             # DELTA append via the shared trigger (see
