@@ -54,6 +54,24 @@ AUDIT_SECTIONS: dict[str, str] = {
 }
 
 
+
+def consume_sections(frames: dict[str, DataFrame]) -> None:
+    """Materialize every audit section CONCURRENTLY (r17, VERDICT r16
+    #1): the nightly read side is ten independent read-only plans over
+    the same handful of persisted/cached artifacts, so sequential
+    counts paid ten scheduling round-trips of idle executor time —
+    wall cost should be the slowest section, not the sum (the read
+    twin of ingest_then_audit's r16 concurrent writes).  Spark
+    sessions schedule concurrent actions safely, and racing consumers
+    of one persisted artifact block on the cache manager rather than
+    recomputing.  This is the production shape too: an audit
+    dashboard fans its sections out."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(frames)))) as ex:
+        list(ex.map(lambda df: df.count(), frames.values()))
+
+
 def snapshot_audit(
     spark: SparkSession, sf_dir: str, share_scans: bool = True
 ) -> dict[str, DataFrame]:
@@ -299,9 +317,8 @@ def ingest_then_audit(
         frames = snapshot_audit(spark, sf_dir)
         if timings is not None:
             # materialize each section so audit_s prices consumption,
-            # not just plan construction
-            for df in frames.values():
-                df.count()
+            # not just plan construction — concurrently (consume_sections)
+            consume_sections(frames)
             timings["audit_s"] = round(time.perf_counter() - t0, 3)
         return frames
     finally:

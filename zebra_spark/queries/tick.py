@@ -658,8 +658,9 @@ def run_tick(
         t0 = time.perf_counter()
         frames = snapshot_audit(spark, sf_dir)
         if timings is not None:
-            for df in frames.values():
-                df.count()
+            from zebra_spark.queries.audit import consume_sections
+
+            consume_sections(frames)
             timings["audit_s"] = round(time.perf_counter() - t0, 3)
         return frames
     finally:
@@ -931,6 +932,13 @@ def chain_trial(spark: SparkSession, sf_dir: str) -> dict:
     Never touches the session's cached chain."""
     path, ticks = _build_chain(spark, sf_dir, with_audit=True)
     shutil.rmtree(Path(path).parent, ignore_errors=True)
+    # drop the audit's tracked persists NOW (r17): they cache frames
+    # over this trial's just-deleted state dir, so leaving them in the
+    # cache manager leaks dead memory into the NEXT trial's budget —
+    # one visible source of the trial-to-trial audit_s wobble.
+    from zebra_spark.caching import release_caches
+
+    release_caches()
     return ticks[-1]
 
 

@@ -720,6 +720,36 @@ def q_knn_label_prop_ann_weighted(
     return label_prop_ann_df(spark, lab, unl, weighted=True)
 
 
+@query(
+    "q_label_prop_ann_exhaustive",
+    oracle=f"""
+    WITH {_SQL_PROP}
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(votes AS BIGINT) AS votes
+    FROM w WHERE pick = 1
+    """,
+)
+def q_label_prop_ann_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN propagation kernel at the driver HASH gate (r17 — the
+    q_knn_filtered_ivf trick applied to label propagation): with
+    nprobe = k_cells every non-empty cell is probed, so the candidate
+    set is ALL seeds regardless of where Lloyd put the centroids, and
+    label_prop_ann_df's vote must bit-equal q_knn_label_prop's oracle
+    — same l2sq Column builder, same (dist, lab_id) rank and (votes
+    desc, label) pick windows.  This pins the salted cell join, the
+    empty-cell masking, the probe expansion and the vote plumbing by
+    hash, where q_knn_label_prop_ann (serving settings, rows-only)
+    can only pin agreement >= 0.95.  k_cells=8 deliberately small:
+    ANY k hashes identically here, and the per-call Lloyd is the
+    gate's only non-plumbing cost.  Scale shape: identical to
+    label_prop_ann_df's documented plan (exhaustive probing is the
+    test configuration; production prunes cells)."""
+    lab, unl = _seed_split(spark, sf_dir)
+    return label_prop_ann_df(spark, lab, unl, k_cells=8, nprobe=8)
+
+
 def label_prop_ann_df(
     spark: SparkSession,
     lab: DataFrame,
