@@ -545,8 +545,13 @@ def main() -> None:
         # per-step decomposition medians (r17, VERDICT r16 #1): when
         # tick_update_s moves, the artifact itself says which step —
         # the ceilings are confirmed or recalibrated against THIS, not
-        # against a hand re-measure on a different box.
-        if trials and all("update_parts" in t for t in trials):
+        # against a hand re-measure on a different box.  Same
+        # completeness gate as the aggregate fields: a partial trial
+        # set must not emit official-looking 1-sample "medians"
+        # (review r17).
+        if len(trials) == TICK_TRIALS and all(
+            "update_parts" in t for t in trials
+        ):
             keys = sorted(
                 set().union(*(t["update_parts"] for t in trials))
             )
@@ -623,13 +628,22 @@ def main() -> None:
         # attribute rather than measure — the same role the queries map
         # plays for the headline.  Top slice only: a 194-row map would
         # bloat the artifact for a tail that never moves the total.
-        row_times = {n: r[1] for n, r in results.items()}
+        failed = {n: r[0] for n, r in results.items() if r[0]}
+        # rank SUCCESSFUL rows only (review r17): a query that spins
+        # 30 s before dying would otherwise top the attribution map
+        # looking like the hottest row; failures keep their elapsed
+        # time in their own map, marked as failures
+        row_times = {
+            n: r[1] for n, r in results.items() if n not in failed
+        }
         out["suite_sf001_rows"] = {
             n: round(row_times[n], 3)
             for n in sorted(row_times, key=row_times.get, reverse=True)[:15]
         }
-        failed = {n: r[0] for n, r in results.items() if r[0]}
         if failed:
+            out["suite_sf001_failed_s"] = {
+                n: round(results[n][1], 3) for n in sorted(failed)
+            }
             errors.update({f"suite:{n}": e for n, e in failed.items()})
 
     out.update(tick_rows)

@@ -29,7 +29,14 @@ def main() -> None:
     from zebra_spark.session import get_spark
 
     zebra_spark.load_all_queries()
-    spark = get_spark("tick-standalone", cpus="32")
+    # same env lookup as bench.py (review r17): the two halves of the
+    # two-run protocol must measure on identical parallelism or the
+    # comparison is meaningless
+    import os
+
+    spark = get_spark(
+        "tick-standalone", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     trials = [chain_trial(spark, sf_dir) for _ in range(n)]
     out = {
         "sf_dir": sf_dir,

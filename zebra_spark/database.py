@@ -676,8 +676,14 @@ class ZebraDatabase:
         load() when the persisted copy covers every batch."""
         kind = self.meta.get("index_kind", "lsh")
         cls_ = self._index_class()
+        # fsutil, not os.path (review r17, completing the ADVICE r16
+        # fix): save_index writes through fsutil, so a builtin probe
+        # would answer "missing" on any non-local filesystem it
+        # supports and silently retrain from scratch on every call
+        from zebra_spark import fsutil
+
         persisted_fresh = (
-            os.path.exists(f"{self.path}/index/metadata.json")
+            fsutil.exists(self.spark, f"{self.path}/index/metadata.json")
             and self.meta.get("indexed_batches") == self.meta["n_batches"]
         )
         if self._index is None and not rebuild and persisted_fresh:
@@ -1080,7 +1086,11 @@ class ZebraDatabase:
         from zebra_spark.streaming import recover_state_swaps
 
         recover_state_swaps(self.spark, self.path, ("proplabels",))
-        have = os.path.exists(f"{self.path}/labelidx/metadata.json")
+        from zebra_spark import fsutil
+
+        have = fsutil.exists(
+            self.spark, f"{self.path}/labelidx/metadata.json"
+        )
         if seeds is None and not have:
             raise ValueError(
                 "no label state yet — bootstrap with "
@@ -1118,8 +1128,11 @@ class ZebraDatabase:
         next propagate_labels re-votes the corpus).  Same seed shapes
         as propagate_labels; returns seeds added."""
         from zebra_spark.queries.tick import add_label_seeds as _add
+        from zebra_spark import fsutil
 
-        if not os.path.exists(f"{self.path}/labelidx/metadata.json"):
+        if not fsutil.exists(
+            self.spark, f"{self.path}/labelidx/metadata.json"
+        ):
             raise ValueError(
                 "no label state yet — bootstrap with "
                 "propagate_labels(seeds=...)"

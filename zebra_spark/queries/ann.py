@@ -381,19 +381,10 @@ def q_knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     blamed for B8's r16 growth.  nprobe is tied to k_coarse so the
     exhaustive-probe precondition can't silently break."""
     from zebra_spark.index.ivf import IVFIndex
-    from zebra_spark.io import load
 
     k_coarse = 8
     idx = IVFIndex.train(spark, sf_dir, k=k_coarse, iters=1, seed=42)
-    e = embeddings_d(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
-    )
-    allowed = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("lang") == "en")
-        .select(F.col("doc_id").alias("vec_id"))
-    )
+    q, allowed = _filtered_gate_inputs(spark, sf_dir)
     return idx.search_df(q, k=5, nprobe=k_coarse, filter_ids=allowed)
 
 
