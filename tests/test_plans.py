@@ -552,6 +552,12 @@ def test_knn_filtered_is_prefilter(spark):
     load-bearing plan properties: the lang predicate reaches the
     documents parquet scan, and the semi-join precedes the distance
     projection / rank window."""
+    # cold catalog: an earlier test's persisted documents frame would
+    # make Spark substitute InMemoryTableScan for the parquet scan and
+    # the PushedFilters/ReadSchema lines vanish — the property under
+    # test is the COLD plan the optimizer builds, not whatever cache
+    # state the suite happens to carry (full-suite-order flake, r17)
+    spark.catalog.clearCache()
     p = plan_of(spark, "q_knn_filtered")
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("EqualTo(lang,en)" in l for l in pushed), pushed
@@ -567,6 +573,7 @@ def test_prefilter_checker_fails_on_postfilter_mutation(spark):
     winners afterwards) must be rejected — proves the checker actually
     distinguishes the two shapes rather than passing anything with a
     semi-join in it."""
+    spark.catalog.clearCache()  # same cold-catalog rule as above
     import io as _io
     from contextlib import redirect_stdout
 
