@@ -214,6 +214,12 @@ def main() -> None:
         "q_knn_filtered",
         "q_knn_filtered_ivf",
         "q_export_lifecycle_tick",
+        # round-17: the exhaustive-candidates hash gates — PQ / IVF-PQ
+        # filtered search and the ANN label-propagation kernel (cheap
+        # by construction: tiny k-means + lossless candidate bounds)
+        "q_knn_filtered_pq",
+        "q_knn_filtered_ivfpq",
+        "q_label_prop_ann_exhaustive",
     ]
     if only_set is not None:
         headline = [n for n in headline if n in only_set]
