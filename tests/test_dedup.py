@@ -763,3 +763,79 @@ def test_closure_sql_asserts_convergence():
     with pytest.raises(duckdb.Error, match="not converged"):
         run(1)
     assert run(8) == 1
+
+
+def test_vocab_hash_collision_free(spark):
+    """r17 (hashed verify kernel, dedup._verify_scored): n_common is
+    computed by intersecting xxhash64(word) arrays; it equals the
+    word-array intersection EXACTLY as long as xxhash64 is injective
+    on the corpus vocabulary.  Pin that for every fixture corpus the
+    driver gates run against — if a fixture ever gains a colliding
+    word pair, this fails before any oracle hash can drift."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.io import load
+
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        v = (
+            load(spark, sf, "documents")
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .distinct()
+        )
+        r = v.agg(
+            F.count("w").alias("n"),
+            F.countDistinct(F.xxhash64("w")).alias("nh"),
+        ).first()
+        assert r["n"] == r["nh"], f"xxhash64 vocab collision in {sf}"
+
+
+def test_verify_scored_hashed_equals_string_kernel(spark):
+    """The hashed verify kernel must produce the exact rows of the
+    string-intersect formulation on the oracle fixture (injectivity
+    pinned above makes this an equality, not an approximation)."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    sigs = dd.sig_table(spark, SF_ORACLE)
+    keyed = sigs.select("doc_id", F.xxhash64("band", "key").alias("bk"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("bk").alias("bk_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("bk") == F.col("bk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = dd.tokset_table(spark, SF_ORACLE)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    want = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).cast("bigint").alias("n_common"),
+            F.size("wa").alias("na"),
+            F.size("wb").alias("nb"),
+        )
+    )
+    got = dd._verify_scored(cand, toks)
+    mismatched = (
+        got.unionByName(want)
+        .groupBy("doc_a", "doc_b", "n_common", "na", "nb")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    assert mismatched == 0

@@ -259,3 +259,53 @@ def test_remove_and_relabel_splits_components(spark):
     assert got[10] == got[11] == got[12] == 10  # untouched cluster
     assert got[20] == 20
     assert 2 not in got
+
+
+def test_adversarial_chain_and_duplicate_edges(spark):
+    """r17 (vectorized single-task UF): a descending-order chain with
+    duplicate and self edges forces multiple hook+compress rounds —
+    the worst case for the hook step — and must still converge to the
+    min id on both paths."""
+    from zebra_spark.graph import connected_components
+
+    n = 300
+    edges = [(i + 1, i) for i in reversed(range(n - 1))]
+    edges += edges[:50] + [(7, 7), (120, 120)]  # dups + self-loops
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = connected_components(nodes, edf, max_rounds=14).collect()
+    assert len(out) == n and all(r.component == 0 for r in out)
+
+
+def test_incremental_flags_identical_when_preconditions_hold(spark):
+    """r17 optimization flags: endpoints_within_nodes / nodes_disjoint
+    skip provably-redundant shuffles; on inputs satisfying their
+    preconditions (delta endpoints ⊆ labels ∪ batch, batch ids
+    disjoint from labels) the labels must be bit-identical to the
+    guarded defaults."""
+    from zebra_spark.graph import connected_components, incremental_components
+
+    old_edges = [(1, 2), (2, 3), (10, 11)]
+    old_nodes = sorted({n for e in old_edges for n in e} | {4})
+    nodes_df = spark.createDataFrame([(n,) for n in old_nodes], "id bigint")
+    labels = connected_components(
+        nodes_df, spark.createDataFrame(old_edges, "src bigint, dst bigint")
+    )
+    delta = [(3, 20), (20, 21), (4, 10)]  # batch 20/21; corpus endpoints
+    delta_df = spark.createDataFrame(delta, "src bigint, dst bigint")
+    new_df = spark.createDataFrame([(20,), (21,)], "id bigint")
+    base = {
+        (r.id, r.component)
+        for r in incremental_components(labels, delta_df, new_df).collect()
+    }
+    fast = {
+        (r.id, r.component)
+        for r in incremental_components(
+            labels,
+            delta_df,
+            new_df,
+            endpoints_within_nodes=True,
+            nodes_disjoint=True,
+        ).collect()
+    }
+    assert base == fast

@@ -156,3 +156,60 @@ def test_apply_in_pandas_matches_native_zscore(spark):
         .reset_index(drop=True)
     )
     assert np.allclose(native["zscore"], udf_out["zscore"], atol=1e-4)
+
+
+def test_unrolled_matches_hof_fold(spark):
+    """r17 (functions._unrolled_sum): the dim-unrolled codegen chain
+    must be BIT-identical to the higher-order-function fold — same
+    IEEE additions in the same order — for dot / l2sq / cosine,
+    including the degenerate zero-norm and null-element cases."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark import functions as zf
+
+    rng = random.Random(3)
+    rows = [
+        ([rng.uniform(-3, 3) for _ in range(64)],
+         [rng.uniform(-3, 3) for _ in range(64)])
+        for _ in range(200)
+    ]
+    rows.append(([0.0] * 64, [1.0] * 64))  # zero-norm cosine branch
+    df = spark.createDataFrame(
+        rows, "a array<double>, b array<double>"
+    )
+    out = df.select(
+        zf.dot("a", "b").alias("d_h"),
+        zf.dot("a", "b", dim=64).alias("d_u"),
+        zf.l2sq("a", "b").alias("s_h"),
+        zf.l2sq("a", "b", dim=64).alias("s_u"),
+        zf.cosine("a", "b").alias("c_h"),
+        zf.cosine("a", "b", dim=64).alias("c_u"),
+    ).collect()
+    for r in out:
+        assert r["d_h"] == r["d_u"]  # bitwise: same fold order
+        assert r["s_h"] == r["s_u"]
+        assert r["c_h"] == r["c_u"]
+    # short array: the width guard routes mismatched rows to the HOF
+    # fold, so the dim hint never changes a result
+    short = spark.createDataFrame(
+        [([1.0, 2.0], [1.0] * 64)], "a array<double>, b array<double>"
+    ).select(
+        zf.l2sq("a", "b").alias("s_h"),
+        zf.l2sq("a", "b", dim=64).alias("s_u"),
+    ).first()
+    assert short["s_h"] is None and short["s_u"] is None
+    # non-64-dim store with the 64 hint: values must equal the HOF
+    # fold bitwise (the guard's fallback branch)
+    ten = spark.createDataFrame(
+        [([float(i) for i in range(10)], [2.0] * 10)],
+        "a array<double>, b array<double>",
+    ).select(
+        zf.l2sq("a", "b").alias("s_h"),
+        zf.l2sq("a", "b", dim=64).alias("s_u"),
+        zf.cosine("a", "b").alias("c_h"),
+        zf.cosine("a", "b", dim=64).alias("c_u"),
+    ).first()
+    assert ten["s_h"] == ten["s_u"] and ten["c_h"] == ten["c_u"]

@@ -40,20 +40,81 @@ def rnd(c: Column, nd: int = 4) -> Column:
     return F.when(r == 0.0, F.lit(0.0)).otherwise(r)
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    return F.aggregate(
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _unrolled_sum(term, dim: int) -> Column:
+    """0.0 + term(0) + term(1) + ... — the SAME left-to-right IEEE
+    double fold as `aggregate(zip_with(...), 0.0, acc + x)`, expressed
+    as a flat expression chain.
+
+    r17 optimization pass (guide §1.2 per-task work): Spark's
+    higher-order functions (ArrayAggregate / ZipWith) are
+    CodegenFallback — every row pays an interpreted lambda call per
+    element with boxing — while this chain compiles into straight-line
+    whole-stage-codegen arithmetic.  Bit-identical results by
+    construction (identical operations in identical order on identical
+    doubles; elements are read with F.get, whose out-of-range NULL
+    matches zip_with's null-padding — ANSI `col[i]` would THROW
+    there), so every oracle hash is unchanged — pinned by
+    tests/test_metrics.py::test_unrolled_matches_hof_fold."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + term(i)
+    return acc
+
+
+def _dim_guarded(a: Column, b: Column, unrolled: Column, hof: Column,
+                 dim: int) -> Column:
+    """Width guard for the unrolled kernels: rows whose arrays match
+    `dim` take the codegen chain; any other width (shorter, longer,
+    NULL — e.g. a caller-supplied store of a different dimension)
+    falls back to the higher-order-function fold, so the dim hint can
+    NEVER change a result — it only picks the faster plan for the
+    declared common case.  The guard predicate codegens; the fallback
+    branch is evaluated lazily only for mismatched rows."""
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), unrolled).otherwise(
+        hof
+    )
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    if dim is not None:
+        ca, cb = _as_col(a), _as_col(b)
+        return _dim_guarded(
+            ca, cb,
+            _unrolled_sum(lambda i: F.get(ca, i) * F.get(cb, i), dim),
+            hof, dim,
+        )
+    return hof
 
 
 def _agg_sum(pair_col: Column) -> Column:
     return F.aggregate(pair_col, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2sq(a, b) -> Column:
+def l2sq(a, b, dim: int | None = None) -> Column:
     """Squared Euclidean — the reference's default text metric
-    (src/distance.rs:34-49, src/database/default/text.rs:8)."""
-    return _agg_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+    (src/distance.rs:34-49, src/database/default/text.rs:8).
+    `dim` (r17): known-width inputs take the unrolled codegen chain
+    (see _unrolled_sum); identical IEEE results either way."""
+    hof = _agg_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+    if dim is not None:
+        ca, cb = _as_col(a), _as_col(b)
+        return _dim_guarded(
+            ca, cb,
+            _unrolled_sum(
+                lambda i: (F.get(ca, i) - F.get(cb, i))
+                * (F.get(ca, i) - F.get(cb, i)),
+                dim,
+            ),
+            hof, dim,
+        )
+    return hof
 
 
 def l2(a, b) -> Column:
@@ -91,11 +152,12 @@ def braycurtis(a, b) -> Column:
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
 
 
-def cosine(a, b) -> Column:
-    """1 - cos(a,b); zero-norm input -> 1.0 (src/distance.rs:15-32)."""
-    num = dot(a, b)
-    na = F.sqrt(dot(a, a))
-    nb = F.sqrt(dot(b, b))
+def cosine(a, b, dim: int | None = None) -> Column:
+    """1 - cos(a,b); zero-norm input -> 1.0 (src/distance.rs:15-32).
+    `dim` (r17): unrolled codegen chain for known-width inputs."""
+    num = dot(a, b, dim)
+    na = F.sqrt(dot(a, a, dim))
+    nb = F.sqrt(dot(b, b, dim))
     return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(
         F.lit(1.0) - num / (na * nb)
     )

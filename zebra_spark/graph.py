@@ -46,7 +46,10 @@ def _fs_rmtree(spark, path: str) -> None:
     rmtree(spark, path)
 
 
-def _cc_single_task(nodes: DataFrame, edges_m: DataFrame) -> DataFrame:
+def _cc_single_task(
+    nodes: DataFrame, edges_m: DataFrame,
+    endpoints_within_nodes: bool = False,
+) -> DataFrame:
     """Union-find over the whole (small) edge list in ONE task.
 
     The edge frame is coalesced to a single partition and processed by
@@ -61,14 +64,34 @@ def _cc_single_task(nodes: DataFrame, edges_m: DataFrame) -> DataFrame:
     could name a component after a NON-node id (nodes={5}, edge (3,5)
     -> component 3) while the iterative path's label join silently drops
     the edge -> component 5 — the same input would change results as it
-    crossed the size threshold (ADVICE r4)."""
+    crossed the size threshold (ADVICE r4).
+
+    `endpoints_within_nodes=True` (r17 optimization pass, guide §2.4:
+    remove shuffles outright) skips those two guard joins for callers
+    that PROVE every edge endpoint is a node — the incremental label
+    merge's star∪delta edges are constructed from the label table and
+    the batch's verified pairs, so the guards were two always-pass
+    joins on the maintenance hot path.  Results are identical by
+    construction when the precondition holds; callers that cannot
+    prove it keep the default."""
     import pandas as pd
 
-    edges_m = edges_m.join(
-        nodes.select(F.col("id").alias("src")), "src", "left_semi"
-    ).join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
+    if not endpoints_within_nodes:
+        edges_m = edges_m.join(
+            nodes.select(F.col("id").alias("src")), "src", "left_semi"
+        ).join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
 
     def uf(it):
+        # Per-edge path-compressed union-find.  The r17 optimization
+        # pass prototyped a vectorized numpy/pandas hook-and-compress
+        # variant (guide §4.2) and A/B'd it at the workload's actual
+        # shape — a few thousand nodes under millions of near-dup
+        # edges — where this dict loop WON (1.5 s vs 2.8 s at 3.5M
+        # edges driver-side): the parent dict fits in cache and most
+        # finds are O(1), while the vectorized form pays a full
+        # id-space sort (np.unique) plus per-round passes over the
+        # whole edge list.  Revisit only if the node count per task
+        # grows to where dict locality breaks down.
         parent: dict = {}
 
         def find(x):
@@ -106,6 +129,7 @@ def connected_components(
     max_rounds: int = 50,
     spill_dir: str | None = None,
     edges_cheap: bool = False,
+    endpoints_within_nodes: bool = False,
 ) -> DataFrame:
     """Label every node with the MIN node id of its component.
 
@@ -155,7 +179,7 @@ def connected_components(
     # job overhead dominates tiny graphs.  5M edges x 16 B ≈ 80 MB,
     # comfortably inside one task's memory; above it, pointer doubling.
     if edges_m.count() <= SMALL_GRAPH_EDGES:
-        return _cc_single_task(nodes, edges_m)
+        return _cc_single_task(nodes, edges_m, endpoints_within_nodes)
     # static through all rounds: one localCheckpoint (no chaining — the
     # blowup above only affects iterated checkpoints of checkpoints)
     # No distinct: min-label propagation is idempotent to duplicate
@@ -277,7 +301,11 @@ def remove_and_relabel(
 
 
 def incremental_components(
-    labels: DataFrame, delta_edges: DataFrame, new_nodes: DataFrame
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    new_nodes: DataFrame,
+    endpoints_within_nodes: bool = False,
+    nodes_disjoint: bool = False,
 ) -> DataFrame:
     """Update a MAINTAINED component assignment with one ingest batch's
     edges — without re-traversing the full edge set.
@@ -296,10 +324,26 @@ def incremental_components(
     instead of the full pair graph: the cluster twin of
     `old_pairs UNION delta` (equivalence pinned by
     tests/test_graph.py::test_incremental_components and the
-    driver-gated q_cluster_delta)."""
+    driver-gated q_cluster_delta).
+
+    r17 optimization flags (both default off — results are identical
+    when the stated precondition holds, and callers must prove it):
+    `endpoints_within_nodes=True` skips the CC fast path's two guard
+    semi-joins when every delta edge endpoint is known to be a label
+    row or a batch member (true for pair_table_delta output by
+    construction: each pair involves >= 1 batch doc and only corpus
+    docs otherwise); `nodes_disjoint=True` skips the node-set
+    `distinct` when the batch ids are disjoint from the maintained
+    labels (the chained tick's id contract; also true for
+    ingest_then_audit, whose base labels are the non-batch slice)."""
     star = labels.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("src"), F.col("component").alias("dst")
     )
-    nodes = labels.select("id").unionByName(new_nodes.select("id")).distinct()
+    nodes = labels.select("id").unionByName(new_nodes.select("id"))
+    if not nodes_disjoint:
+        nodes = nodes.distinct()
     edges = star.unionByName(delta_edges.select("src", "dst"))
-    return connected_components(nodes, edges, edges_cheap=True)
+    return connected_components(
+        nodes, edges, edges_cheap=True,
+        endpoints_within_nodes=endpoints_within_nodes,
+    )

@@ -125,7 +125,8 @@ def salted_cell_side(df: DataFrame, buckets: np.ndarray, id_col: str) -> DataFra
     )
 
 
-def _assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
+def _assign(corpus: DataFrame, centroids: np.ndarray,
+            spread: bool = False) -> DataFrame:
     """(vec_id, cell_id): nearest centroid per vector via one broadcast
     join; ties broken by cell_id."""
     spark = corpus.sparkSession
@@ -134,12 +135,16 @@ def _assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
         "cell_id int, ce array<double>",
     )
     w = Window.partitionBy("vec_id").orderBy("d", "cell_id")
+    if spread:
+        from zebra_spark.io import spread_scan
+
+        corpus = spread_scan(corpus, "vec_id")
     return (
         corpus.crossJoin(F.broadcast(cdf))
         .select(
             "vec_id",
             "cell_id",
-            zf.l2sq(F.col("emb"), F.col("ce")).alias("d"),
+            zf.l2sq(F.col("emb"), F.col("ce"), dim=64).alias("d"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -191,7 +196,7 @@ class IVFIndex:
         k = len(centroids)
         dim = centroids.shape[1]
         for _ in range(iters):
-            assign = _assign(corpus, centroids)
+            assign = _assign(corpus, centroids, spread=True)
             means = (
                 corpus.join(assign, "vec_id")
                 .select("cell_id", F.posexplode("emb").alias("pos", "val"))
@@ -206,7 +211,7 @@ class IVFIndex:
                 centroids = new
                 break
             centroids = new
-        assignments = _assign(corpus, centroids).localCheckpoint()
+        assignments = _assign(corpus, centroids, spread=True).localCheckpoint()
         return cls(spark, corpus, centroids, assignments)
 
     def add(self, new_corpus: DataFrame) -> int:

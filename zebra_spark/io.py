@@ -58,6 +58,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Parallelism floor for a CORPUS-scale scan feeding a per-row
+    fan-out kernel (r17 optimization pass, guide §2.5 input skew / §6
+    input split size): a fixture-sized parquet table is one row group
+    = ONE scan task, so a broadcast crossJoin over it ran
+    single-threaded on a 32-core session (measured: the knn scoring
+    stage used 1 of 32 cores).  Hash-repartition by `cols`
+    (deterministic, never round-robin) to defaultParallelism before
+    the fan-out.
+
+    Apply ONLY where the input is the corpus side of a broadcast
+    fan-out (kNN scoring, full-corpus seed assignment, label
+    propagation): there the narrow-row shuffle this adds is negligible
+    against the fan-out compute it parallelizes — and it also evens
+    out input-order skew — at any scale.  Do NOT apply to batch-sized
+    frames (ingest deltas, drift gates): for them the extra exchange
+    is pure overhead (measured: the tick's drift gate tripled when
+    this was applied indiscriminately; an earlier plan-time
+    `.rdd.getNumPartitions()` probe variant cost ~0.3-1 s of driver
+    planning per call and was dropped for the same reason)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with the vector cast to array<double>.
 

@@ -229,18 +229,21 @@ def ingest_then_audit(
     # production delta paths (batch-proportional, driver-hash-checked
     # under q_pair_table_delta / q_cosine_table_delta /
     # q_cosine_assign_delta / q_cluster_delta)
-    ldelta = dd.pair_table_delta(spark, sf_dir, batch_docs)
+    t_d = time.perf_counter()
+    # the lexical delta is consumed TWICE (thresholded CC edges + the
+    # maintained minhash write), so it is materialized exactly once
+    # here; its wall cost is part of delta_s on the instrumented path
+    ldelta = dd.pair_table_delta(spark, sf_dir, batch_docs).localCheckpoint()
     cdelta = dd.cosine_pair_table_delta(
         spark, sf_dir, new_ids=batch_vecs.select("vec_id")
     )
     adelta = dd.cosine_assign_delta(spark, sf_dir, batch_vecs)
     if timings is not None:
-        # price the batch-proportional delta joins alone (materialized
-        # here, so the instrumented path computes them twice — once
-        # for the split, once inside the writes; the un-instrumented
-        # tick computes them once)
-        t_d = time.perf_counter()
-        for d in (ldelta, cdelta, adelta):
+        # price the batch-proportional delta joins alone (the two
+        # single-consumer cosine deltas are materialized here for the
+        # split and again inside their writes; the un-instrumented
+        # path computes them once, lazily, inside the write jobs)
+        for d in (cdelta, adelta):
             d.count()
         timings["delta_s"] = round(time.perf_counter() - t_d, 3)
 
@@ -255,13 +258,23 @@ def ingest_then_audit(
     # parquet.
     from zebra_spark.graph import incremental_components
 
-    delta_edges = dd.threshold_edges(ldelta).localCheckpoint()
-    # CC iterates that frame; the checkpoint cuts the band-join
-    # lineage once instead of per round
+    # r17 optimization pass (guide §1.2 "don't compute things you
+    # throw away"): ldelta is checkpointed ONCE above and both its
+    # consumers — the thresholded CC edges here and the maintained
+    # minhash write below — read that single materialization; the
+    # previous shape checkpointed only the thresholded edges, so the
+    # minhash write re-ran the whole band-join delta a second time.
+    delta_edges = dd.threshold_edges(ldelta)
     merged_labels = incremental_components(
         dd.base_cluster_labels(spark, sf_dir),
         delta_edges,
         batch_docs.select(F.col("doc_id").alias("id")),
+        # endpoints are batch ∪ corpus docs ⊆ base labels ∪ batch, and
+        # the base labels are the non-batch (% 10 != 0) slice, so the
+        # node sets are disjoint — both fast-path guards provably
+        # redundant here (see incremental_components docstring)
+        endpoints_within_nodes=True,
+        nodes_disjoint=True,
     ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
 
     # maintained artifacts = pre-batch base ∪ delta (the fixture's

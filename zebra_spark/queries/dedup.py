@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
-from zebra_spark.io import embeddings_d
+from zebra_spark.io import embeddings_d, spread_scan
 from zebra_spark.queries.text import (
     _SQL_SHARD_HASH,
     N_SHARDS,
@@ -41,6 +41,10 @@ from zebra_spark.caching import cache_scope, tracked_persist
 from zebra_spark.registry import QUERIES, query, sql_rnd
 
 P = 2_147_483_647  # 2^31 - 1
+# fixture embedding width — passed to the r17 dim-unrolled metric
+# builders (functions._unrolled_sum); the SQL oracles already pin the
+# same 64 via sql_metric(dim=64)
+EMB_DIM = 64
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 MINHASH_THRESHOLD = 0.5
@@ -226,7 +230,10 @@ def _minhash_scored(
             .select("bk")
         )
         keyed = keyed.join(ok, "bk", "left_semi")
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
+    # probe side spread across the cluster BEFORE the g^2 band-bucket
+    # expansion (see _spread) — the build side stays a plain scan so
+    # its broadcast decision is untouched
+    a = _spread(keyed, "doc_id").select(F.col("doc_id").alias("doc_a"), "bk")
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("bk").alias("bk_b"))
     cand = (
         a.join(
@@ -236,26 +243,12 @@ def _minhash_scored(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify: join each candidate pair to the two docs' SORTED token
-    # arrays and count the overlap with native array_intersect — one row
-    # per pair through the join, instead of exploding (pair x shared
-    # word) rows into a shuffle (the fixture has ~100 shared words per
-    # pair, so that explode would be two orders of magnitude more rows)
-    toksets = tokset_table(spark, sf_dir)
-    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
-    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
-    scored = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("wa", "wb")).cast("bigint").alias("n_common"),
-            F.size("wa").alias("na"),
-            F.size("wb").alias("nb"),
-        )
-    )
-    return scored
+    # verify: join each candidate pair to the two docs' token sets and
+    # count the overlap — one row per pair through the join, instead of
+    # exploding (pair x shared word) rows into a shuffle (the fixture
+    # has ~100 shared words per pair, so that explode would be two
+    # orders of magnitude more rows)
+    return _verify_scored(cand, tokset_table(spark, sf_dir))
 
 
 # --- shared near-dup pair table ---------------------------------------------
@@ -318,6 +311,68 @@ def _derived_table(spark: SparkSession, key: tuple, build) -> DataFrame:
         # write-side commit marker, not part of any consumer's schema
         df = df.drop("epoch")
     return df
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a collision join's PROBE side to the session's
+    default parallelism before the pair expansion (r17 optimization
+    pass, guide §2.5 input skew / §2.2).
+
+    Every bucket/cell-collision join in this module amplifies its probe
+    rows by the colliding group's size (g(g-1)/2 pairs per g-member
+    key), but the probe side is typically a compact scan — a few
+    parquet row groups, or an AQE-coalesced tiny aggregate — so the
+    ENTIRE multi-million-row expansion and its map-side dedup ran in
+    1-2 tasks while the other 30 cores idled (measured at sf0.1: the
+    full band-join candidate stage 9.7 s -> 0.7 s with this spread).
+    The shuffle this adds moves only the narrow pre-expansion rows
+    (16-24 B each) — negligible against the pair volume it
+    parallelizes, at any scale — and hash partitioning by the row key
+    spreads each bucket's members across tasks, which also de-skews
+    hot buckets.  Deterministic (hash of the key columns, never
+    round-robin), so results are unchanged."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def _verify_scored(cand: DataFrame, toksets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, na, nb) for candidate pairs `cand`
+    against the (doc_id, words) token sets — THE verify kernel shared
+    by the full pair-table build (_minhash_scored) and the delta path
+    (pair_table_delta), so the two cannot drift.
+
+    r17 optimization pass (guide §2.3 "narrower types" + §1.2
+    per-task work): the intersection runs over xxhash64(word) LONG
+    arrays instead of the raw string arrays — array_intersect on
+    longs avoids per-element UTF8 hashing/equality inside the hottest
+    per-row kernel in the suite (~7.7M candidate pairs x ~100-element
+    arrays at sf0.1; measured A/B in OPTIMIZATION_r17.md).  The
+    transform runs once per doc on the (small, broadcast) tokset side,
+    not per pair.  n_common is EXACT as long as xxhash64 is injective
+    on the corpus vocabulary: tests/test_dedup.py::
+    test_vocab_hash_collision_free pins that for every fixture corpus
+    (so every oracle hash is byte-identical by construction), and at
+    production scale a collision adds 2^-64-probability overcount to
+    one pair's n_common — far below the sketch noise the Jaccard
+    verify already tolerates.  na/nb are the array sizes, unchanged
+    (transform preserves length; words are distinct per doc)."""
+    hashed = toksets.select(
+        "doc_id",
+        F.transform("words", lambda w: F.xxhash64(w)).alias("wh"),
+    )
+    ta = hashed.select(F.col("doc_id").alias("doc_a"), F.col("wh").alias("wa"))
+    tb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("wh").alias("wb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).cast("bigint").alias("n_common"),
+            F.size("wa").alias("na"),
+            F.size("wb").alias("nb"),
+        )
+    )
 
 
 def batch_signatures(
@@ -498,8 +553,10 @@ def pair_table_delta(
             .select("bk")
         )
         keyed = keyed.join(ok, "bk", "left_semi")
-    newk = keyed.join(
-        new_ids.select("doc_id"), "doc_id", "left_semi"
+    # probe side spread before the band-bucket expansion (see _spread)
+    newk = _spread(
+        keyed.join(new_ids.select("doc_id"), "doc_id", "left_semi"),
+        "doc_id",
     ).select(F.col("doc_id").alias("doc_n"), "bk")
     other = keyed.select(F.col("doc_id").alias("doc_o"), F.col("bk").alias("bk_o"))
     # band-collide new x all, normalize to (doc_a < doc_b); pairs where
@@ -515,20 +572,7 @@ def pair_table_delta(
         )
         .distinct()
     )
-    toksets = tokset_table(spark, sf_dir)
-    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
-    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("wa", "wb")).cast("bigint").alias("n_common"),
-            F.size("wa").alias("na"),
-            F.size("wb").alias("nb"),
-        )
-    )
+    return _verify_scored(cand, tokset_table(spark, sf_dir))
 
 
 @query(
@@ -1052,7 +1096,10 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("docs") <= NGRAM_DF_CAP)
     )
     cand = (
-        grp.select(
+        # spread the per-gram doc lists before the pair explosion
+        # (same single-task-amplification fix as _cosine_candidates)
+        _spread(grp, "source", "gram")
+        .select(
             "source",
             F.explode(
                 F.expr(
@@ -1194,7 +1241,8 @@ def _score_pairs(cand: DataFrame, e: DataFrame, vectorized: bool) -> DataFrame:
         dist = cos_np(F.col("ea"), F.col("eb"))
     else:
         en = e.select(
-            "vec_id", "emb", F.sqrt(zf.dot("emb", "emb")).alias("nrm")
+            "vec_id", "emb",
+            F.sqrt(zf.dot("emb", "emb", dim=EMB_DIM)).alias("nrm"),
         )
         ea = en.select(
             F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"),
@@ -1208,7 +1256,8 @@ def _score_pairs(cand: DataFrame, e: DataFrame, vectorized: bool) -> DataFrame:
             (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(1.0)
         ).otherwise(
             F.lit(1.0)
-            - zf.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            - zf.dot(F.col("ea"), F.col("eb"), dim=EMB_DIM)
+            / (F.col("na") * F.col("nb"))
         )
     return cand.join(ea, "id_a").join(eb, "id_b").select(
         "id_a", "id_b", dist.alias("dist")
@@ -1272,7 +1321,9 @@ def _cosine_seeds(e: DataFrame) -> DataFrame:
     )
 
 
-def _assign_to_seeds(e: DataFrame, seeds: DataFrame) -> DataFrame:
+def _assign_to_seeds(
+    e: DataFrame, seeds: DataFrame, spread: bool = False
+) -> DataFrame:
     """(vec_id, cell_id): assign every vector of `e` to its NDUP_ASSIGN
     nearest FROZEN seeds — one broadcast of the seed matrix, one corpus
     pass (the IVFIndex.add kernel, index/ivf.py, expressed natively).
@@ -1284,12 +1335,17 @@ def _assign_to_seeds(e: DataFrame, seeds: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     wv = Window.partitionBy("vec_id").orderBy("d_seed", "cell_id")
+    # spread only the CORPUS-scale assignment pass (the full-table
+    # build); batch deltas keep their natural partitioning — see
+    # io.spread_scan's applicability note
+    if spread:
+        e = spread_scan(e, "vec_id")
     return (
         e.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
             "cell_id",
-            zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
+            zf.l2sq(F.col("emb"), F.col("ce"), dim=EMB_DIM).alias("d_seed"),
         )
         .withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") <= NDUP_ASSIGN)
@@ -1323,6 +1379,7 @@ def cosine_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _assign_to_seeds(
             embeddings_d(spark, sf_dir).select("vec_id", "emb"),
             cosine_seed_table(spark, sf_dir),
+            spread=True,
         )
 
     key = ("cosassign", str(Path(sf_dir).resolve()))
@@ -1370,8 +1427,14 @@ def _cosine_candidates(
     if max_cell is not None:
         members = F.slice(members, 1, max_cell)
     cand = (
-        assign.groupBy("cell_id")
-        .agg(members.alias("members"))
+        # spread the ~|cells| member-list rows across the cluster
+        # BEFORE the per-cell pair explosion: AQE rightly coalesces the
+        # tiny post-aggregate frame to one partition by size, but each
+        # row then amplifies by |cell|^2/2 — the expansion must
+        # parallelize by CELL, not by bytes (see _spread; same fix as
+        # the band join's probe side)
+        _spread(assign.groupBy("cell_id").agg(members.alias("members")),
+                "cell_id")
         .select(
             F.explode(
                 F.expr(
@@ -1496,7 +1559,10 @@ def _cell_collide_pairs(
             "left_semi",
         )
         other_assign = admitted
-    newa = batch_assign.select(F.col("vec_id").alias("id_n"), "cell_id")
+    # probe side spread before the cell-collision expansion (_spread)
+    newa = _spread(batch_assign, "vec_id").select(
+        F.col("vec_id").alias("id_n"), "cell_id"
+    )
     other = other_assign.select(
         F.col("vec_id").alias("id_o"), F.col("cell_id").alias("cell_o")
     )
@@ -1660,7 +1726,7 @@ def q_cosine_delta_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py::test_cosine_assign_delta_equals_rebuild)."""
     corpus, batch = _heldout_split(spark, sf_dir)
     seeds = _cosine_seeds(corpus)
-    corpus_assign = _assign_to_seeds(corpus, seeds)
+    corpus_assign = _assign_to_seeds(corpus, seeds, spread=True)
     batch_assign = _assign_to_seeds(batch, seeds)
     cand = _cell_collide_pairs(
         batch_assign, corpus_assign.unionByName(batch_assign)
@@ -1691,7 +1757,10 @@ def cell_drift_audit(
     return (
         batch.select("vec_id", "emb")
         .crossJoin(F.broadcast(seeds))
-        .select("vec_id", zf.l2sq(F.col("emb"), F.col("ce")).alias("d"))
+        .select(
+            "vec_id",
+            zf.l2sq(F.col("emb"), F.col("ce"), dim=EMB_DIM).alias("d"),
+        )
         .groupBy("vec_id")
         .agg(F.min("d").alias("dmin"))
         .agg(F.count(F.lit(1)).alias("n"), F.avg("dmin").alias("mse"))

@@ -336,7 +336,7 @@ def _reseed_tick_state(
     seeds = dd._cosine_seeds(e_all)
     _swap_write(spark, state_dir, "cosseeds", seeds)
     seeds = spark.read.parquet(f"{state_dir}/cosseeds")
-    assign = dd._assign_to_seeds(e_all, seeds)
+    assign = dd._assign_to_seeds(e_all, seeds, spread=True)
     _swap_write(spark, state_dir, "cosassign", assign)
     assign = spark.read.parquet(f"{state_dir}/cosassign")
     pairs = dd._score_pairs(
@@ -527,6 +527,11 @@ def run_tick(
     # number couldn't say WHICH step — the ceilings can only be
     # confirmed/recalibrated against a committed decomposition.  Cheap
     # wall-clock deltas, recorded only when the caller passes timings.
+    # (The r17 optimization pass A/B'd overlapping the gate/appends and
+    # the two family chains from driver threads per guide §2.6; with
+    # the _spread fixes each chain already saturates the local cluster,
+    # so concurrency only stretched in-thread walls with no update_s
+    # win — the sequential order stays, and parts sum to update_s.)
     parts: dict[str, float] = {}
     _last = time.perf_counter()
 
@@ -551,9 +556,7 @@ def run_tick(
         _mark("drift_gate_s")
 
         # lexical family: batch rows first (the delta's corpus side is
-        # the post-append signature table), then the pair delta —
-        # localCheckpoint so the append and the label merge below share
-        # one materialization instead of re-running the band join
+        # the post-append signature table)
         dd.batch_signatures(batch_docs).write.mode("append").parquet(
             f"{state_dir}/sigs"
         )
@@ -561,17 +564,29 @@ def run_tick(
             f"{state_dir}/toksets"
         )
         _mark("batch_append_s")
+
+        # the state's raw vector truth — appended before the semantic
+        # family, so the quiet path's scoring source and a reseed both
+        # see ingested ∪ batch (a batch need not be in the lake; r10)
+        batch_vecs.write.mode("append").parquet(f"{state_dir}/vecs")
+        _mark("vecs_append_s")
+
+        # ONE materialization of the batch's pair delta; the append
+        # and the label merge below share it (localCheckpoint)
         ldelta = dd.pair_table_delta(
             spark, sf_dir, batch_docs.select("doc_id")
         ).localCheckpoint()
-        ldelta.write.mode("append").parquet(f"{state_dir}/minhash")
+        # REBALANCE before the append (r17, guide §6 output sizing):
+        # the checkpointed delta holds one cached partition per compute
+        # task, and appending those verbatim accreted ~32 near-empty
+        # files per tick — every later tick/audit read of the
+        # maintained dir then paid per-file open cost (measured:
+        # steady-state tick cost GREW across ticks).  The hint lets
+        # AQE size the written files by bytes.
+        ldelta.hint("rebalance").write.mode("append").parquet(
+            f"{state_dir}/minhash"
+        )
         _mark("pair_delta_s")
-
-        # the state's raw vector truth — appended FIRST, so the quiet
-        # path's scoring source and a reseed both see ingested ∪ batch
-        # (a batch need not have landed in the lake; r10 review)
-        batch_vecs.write.mode("append").parquet(f"{state_dir}/vecs")
-        _mark("vecs_append_s")
 
         # semantic family: quiet ticks append assignment + pair deltas
         # under the frozen seeds; a drifted batch invalidates the
@@ -583,17 +598,27 @@ def run_tick(
                 spark, sf_dir, batch_vecs
             ).localCheckpoint()
             _guard_capped_append(spark, state_dir, adf, batch_vecs)
-            adf.write.mode("append").parquet(f"{state_dir}/cosassign")
+            # REBALANCE both semantic appends too (same file-accretion
+            # fix as the minhash append above)
+            adf.hint("rebalance").write.mode("append").parquet(
+                f"{state_dir}/cosassign"
+            )
             dd.cosine_pair_table_delta(
                 spark,
                 sf_dir,
                 new_ids=batch_vecs.select("vec_id"),
                 embeddings=spark.read.parquet(f"{state_dir}/vecs"),
-            ).write.mode("append").parquet(f"{state_dir}/cosine")
+            ).hint("rebalance").write.mode("append").parquet(
+                f"{state_dir}/cosine"
+            )
         _mark("semantic_s")
 
         # cluster labels: star-collapse the persisted labels, merge the
-        # batch's thresholded lexical delta — |V| + |delta| edges
+        # batch's thresholded lexical delta — |V| + |delta| edges.
+        # Endpoints are batch ∪ corpus-so-far ⊆ the node set and batch
+        # ids are disjoint from the maintained labels (the tick's id
+        # contract), so the CC fast path can skip its guard joins
+        # (incremental_components r17 flags).
         labels = spark.read.parquet(f"{state_dir}/clusters").select(
             F.col("doc_id").alias("id"), F.col("cluster").alias("component")
         )
@@ -601,6 +626,8 @@ def run_tick(
             labels,
             dd.threshold_edges(ldelta),
             batch_docs.select(F.col("doc_id").alias("id")),
+            endpoints_within_nodes=True,
+            nodes_disjoint=True,
         ).select(
             F.col("id").alias("doc_id"), F.col("component").alias("cluster")
         )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from zebra_spark import functions as zf
 from zebra_spark.functions import rnd
-from zebra_spark.io import embeddings_d, load
+from zebra_spark.io import embeddings_d, load, spread_scan
 from zebra_spark.registry import query, sql_rnd
 
 DIM = 64
@@ -180,10 +180,16 @@ query("q_distance_pnorm_p3", oracle=_metric_oracle("pnorm:3.0"))(
 # --- kNN (reference src/database/core.rs:267-313, lsh.rs:544-565) ----------
 
 
+def _l2sq_dim(a, b):
+    """l2sq with the fixture width pinned — takes the r17 unrolled
+    codegen chain (functions.l2sq dim path); bit-identical results."""
+    return zf.l2sq(a, b, dim=DIM)
+
+
 def knn_exact(
     spark: SparkSession,
     sf_dir: str,
-    metric=zf.l2sq,
+    metric=_l2sq_dim,
     n_queries: int = 10,
     k: int = 10,
 ) -> DataFrame:
@@ -201,7 +207,7 @@ def knn_exact(
     )
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     return (
-        e.crossJoin(F.broadcast(q))
+        spread_scan(e, "vec_id").crossJoin(F.broadcast(q))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -243,7 +249,7 @@ def knn_filtered(
     lang: str = "en",
     n_queries: int = 10,
     k: int = 5,
-    metric=zf.l2sq,
+    metric=_l2sq_dim,
 ) -> DataFrame:
     """FILTERED exact kNN (r16, VERDICT r15 #4): metadata predicate +
     top-k nearest in ONE declarative plan — the query shape every
@@ -366,13 +372,13 @@ def q_knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     return (
-        e.crossJoin(F.broadcast(q))
+        spread_scan(e, "vec_id").crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_label",
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            zf.cosine(F.col("qe"), F.col("emb")).alias("dist"),
+            zf.cosine(F.col("qe"), F.col("emb"), dim=DIM).alias("dist"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
@@ -490,10 +496,10 @@ def label_prop_exact_df(lab: DataFrame, unl: DataFrame) -> DataFrame:
         F.col("votes").desc(), "label"
     )
     return (
-        unl.crossJoin(F.broadcast(lab))
+        spread_scan(unl, "vec_id").crossJoin(F.broadcast(lab))
         .select(
             "vec_id", "label", "lab_id",
-            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
+            zf.l2sq(F.col("emb"), F.col("le"), dim=DIM).alias("dist"),
         )
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= K_PROP)
@@ -599,10 +605,10 @@ def label_prop_weighted_exact_df(lab: DataFrame, unl: DataFrame) -> DataFrame:
         rnd(F.col("score")).desc(), "label"
     )
     return (
-        unl.crossJoin(F.broadcast(lab))
+        spread_scan(unl, "vec_id").crossJoin(F.broadcast(lab))
         .select(
             "vec_id", "label", "lab_id",
-            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
+            zf.l2sq(F.col("emb"), F.col("le"), dim=DIM).alias("dist"),
         )
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= K_PROP)
@@ -922,7 +928,7 @@ def label_prop_ann_df(
         probed.join(seed_side, ["cell_id", "salt"])
         .select(
             "vec_id", "label", "lab_id",
-            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
+            zf.l2sq(F.col("emb"), F.col("le"), dim=DIM).alias("dist"),
         )
         # a seed lives in exactly one (cell, salt) bucket, so no
         # per-(query, seed) dedup is needed
@@ -1434,11 +1440,12 @@ def q_emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "nid", "rk")
         )
 
-    f10 = topk(zf.l2sq(F.col("qe"), F.col("emb")))
+    f10 = topk(zf.l2sq(F.col("qe"), F.col("emb"), dim=DIM))
     p10 = topk(
         zf.l2sq(
             F.slice(F.col("qe"), 1, PREFIX_DIM),
             F.slice(F.col("emb"), 1, PREFIX_DIM),
+            dim=PREFIX_DIM,
         )
     )
     # rename the prefix side before joining: f10/p10 share lineage (e, q),
