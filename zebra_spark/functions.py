@@ -58,7 +58,25 @@ def _unrolled_sum(term, dim: int) -> Column:
     doubles; elements are read with F.get, whose out-of-range NULL
     matches zip_with's null-padding — ANSI `col[i]` would THROW
     there), so every oracle hash is unchanged — pinned by
-    tests/test_metrics.py::test_unrolled_matches_hof_fold."""
+    tests/test_metrics.py::test_unrolled_matches_hof_fold.
+
+    MEASURED NET-NEGATIVE IN SITU — kept available but NO query or
+    index call site passes `dim` (r17 full-bench A/B, recorded in
+    OPTIMIZATION_r17.md): the kernel wins exactly where its premise
+    holds — a long-running executor stage whose per-row cost
+    dominates (isolated fan-out microbench: 1.1 s unrolled vs 2.7 s
+    HOF at 32-way over 6.4M evals; 3.2x on the single-task kNN
+    scoring stage before the _spread fixes existed) — but inside the
+    real queries it is a 2.5-3.8x LOSS (q_cell_drift 1.5 -> 3.6 s,
+    q_knn_filtered 0.52 -> 1.35 s, q_ann_ivf 1.0 -> 3.1 s; the
+    sf0.01 suite 69 -> 169 s).  The flat chain is a ~400-node
+    expression tree per kernel (x3 in cosine, doubled again by the
+    width guard carrying the HOF fallback branch), and every Catalyst
+    analysis/optimization pass re-walks it on the DRIVER for every
+    action — per-plan seconds that repeat on each run and dwarf the
+    per-row win once _spread parallelizes the scoring stages.  Same
+    failure class as the plan-time getNumPartitions probe rejected in
+    io.spread_scan."""
     acc: Column = F.lit(0.0)
     for i in range(dim):
         acc = acc + term(i)

@@ -144,7 +144,7 @@ def _assign(corpus: DataFrame, centroids: np.ndarray,
         .select(
             "vec_id",
             "cell_id",
-            zf.l2sq(F.col("emb"), F.col("ce"), dim=64).alias("d"),
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

@@ -477,7 +477,7 @@ class PQIndex:
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                zf.l2sq(F.col("qe"), F.col("emb"), dim=64).alias("dist"),
+                zf.l2sq(F.col("qe"), F.col("emb")).alias("dist"),
             )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -162,7 +162,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cell_id",
-            zf.l2sq(F.col("emb"), F.col("ce"), dim=64).alias("d_seed"),
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
         )
         .withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") == 1)
@@ -177,7 +177,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cell_id",
-            zf.l2sq(F.col("qe"), F.col("ce"), dim=64).alias("d_seed"),
+            zf.l2sq(F.col("qe"), F.col("ce")).alias("d_seed"),
         )
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= N_PROBE)
@@ -193,7 +193,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            zf.l2sq(F.col("qe"), F.col("emb"), dim=64).alias("dist"),
+            zf.l2sq(F.col("qe"), F.col("emb")).alias("dist"),
         )
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= IVF_K)

@@ -41,10 +41,6 @@ from zebra_spark.caching import cache_scope, tracked_persist
 from zebra_spark.registry import QUERIES, query, sql_rnd
 
 P = 2_147_483_647  # 2^31 - 1
-# fixture embedding width — passed to the r17 dim-unrolled metric
-# builders (functions._unrolled_sum); the SQL oracles already pin the
-# same 64 via sql_metric(dim=64)
-EMB_DIM = 64
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 MINHASH_THRESHOLD = 0.5
@@ -1241,8 +1237,7 @@ def _score_pairs(cand: DataFrame, e: DataFrame, vectorized: bool) -> DataFrame:
         dist = cos_np(F.col("ea"), F.col("eb"))
     else:
         en = e.select(
-            "vec_id", "emb",
-            F.sqrt(zf.dot("emb", "emb", dim=EMB_DIM)).alias("nrm"),
+            "vec_id", "emb", F.sqrt(zf.dot("emb", "emb")).alias("nrm")
         )
         ea = en.select(
             F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"),
@@ -1256,8 +1251,7 @@ def _score_pairs(cand: DataFrame, e: DataFrame, vectorized: bool) -> DataFrame:
             (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(1.0)
         ).otherwise(
             F.lit(1.0)
-            - zf.dot(F.col("ea"), F.col("eb"), dim=EMB_DIM)
-            / (F.col("na") * F.col("nb"))
+            - zf.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         )
     return cand.join(ea, "id_a").join(eb, "id_b").select(
         "id_a", "id_b", dist.alias("dist")
@@ -1345,7 +1339,7 @@ def _assign_to_seeds(
         .select(
             "vec_id",
             "cell_id",
-            zf.l2sq(F.col("emb"), F.col("ce"), dim=EMB_DIM).alias("d_seed"),
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d_seed"),
         )
         .withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") <= NDUP_ASSIGN)
@@ -1759,7 +1753,7 @@ def cell_drift_audit(
         .crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
-            zf.l2sq(F.col("emb"), F.col("ce"), dim=EMB_DIM).alias("d"),
+            zf.l2sq(F.col("emb"), F.col("ce")).alias("d"),
         )
         .groupBy("vec_id")
         .agg(F.min("d").alias("dmin"))

@@ -180,16 +180,10 @@ query("q_distance_pnorm_p3", oracle=_metric_oracle("pnorm:3.0"))(
 # --- kNN (reference src/database/core.rs:267-313, lsh.rs:544-565) ----------
 
 
-def _l2sq_dim(a, b):
-    """l2sq with the fixture width pinned — takes the r17 unrolled
-    codegen chain (functions.l2sq dim path); bit-identical results."""
-    return zf.l2sq(a, b, dim=DIM)
-
-
 def knn_exact(
     spark: SparkSession,
     sf_dir: str,
-    metric=_l2sq_dim,
+    metric=zf.l2sq,
     n_queries: int = 10,
     k: int = 10,
 ) -> DataFrame:
@@ -249,7 +243,7 @@ def knn_filtered(
     lang: str = "en",
     n_queries: int = 10,
     k: int = 5,
-    metric=_l2sq_dim,
+    metric=zf.l2sq,
 ) -> DataFrame:
     """FILTERED exact kNN (r16, VERDICT r15 #4): metadata predicate +
     top-k nearest in ONE declarative plan — the query shape every
@@ -378,7 +372,7 @@ def q_knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_label",
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            zf.cosine(F.col("qe"), F.col("emb"), dim=DIM).alias("dist"),
+            zf.cosine(F.col("qe"), F.col("emb")).alias("dist"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
@@ -499,7 +493,7 @@ def label_prop_exact_df(lab: DataFrame, unl: DataFrame) -> DataFrame:
         spread_scan(unl, "vec_id").crossJoin(F.broadcast(lab))
         .select(
             "vec_id", "label", "lab_id",
-            zf.l2sq(F.col("emb"), F.col("le"), dim=DIM).alias("dist"),
+            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
         )
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= K_PROP)
@@ -608,7 +602,7 @@ def label_prop_weighted_exact_df(lab: DataFrame, unl: DataFrame) -> DataFrame:
         spread_scan(unl, "vec_id").crossJoin(F.broadcast(lab))
         .select(
             "vec_id", "label", "lab_id",
-            zf.l2sq(F.col("emb"), F.col("le"), dim=DIM).alias("dist"),
+            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
         )
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= K_PROP)
@@ -928,7 +922,7 @@ def label_prop_ann_df(
         probed.join(seed_side, ["cell_id", "salt"])
         .select(
             "vec_id", "label", "lab_id",
-            zf.l2sq(F.col("emb"), F.col("le"), dim=DIM).alias("dist"),
+            zf.l2sq(F.col("emb"), F.col("le")).alias("dist"),
         )
         # a seed lives in exactly one (cell, salt) bucket, so no
         # per-(query, seed) dedup is needed
@@ -1440,12 +1434,11 @@ def q_emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "nid", "rk")
         )
 
-    f10 = topk(zf.l2sq(F.col("qe"), F.col("emb"), dim=DIM))
+    f10 = topk(zf.l2sq(F.col("qe"), F.col("emb")))
     p10 = topk(
         zf.l2sq(
             F.slice(F.col("qe"), 1, PREFIX_DIM),
             F.slice(F.col("emb"), 1, PREFIX_DIM),
-            dim=PREFIX_DIM,
         )
     )
     # rename the prefix side before joining: f10/p10 share lineage (e, q),
