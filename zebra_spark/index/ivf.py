@@ -195,11 +195,44 @@ class IVFIndex:
         centroids = np.array([r.emb for r in init], dtype=np.float64)
         k = len(centroids)
         dim = centroids.shape[1]
+        from zebra_spark.io import spread_scan
+
         for _ in range(iters):
-            assign = _assign(corpus, centroids, spread=True)
+            # FUSED assign+update (r17, guide §2.4): one aggregation
+            # job per iteration instead of _assign's window + a
+            # corpus⋈assign hash join to recover `emb` — the crossJoin
+            # already carries emb, so argmin via min(struct(d,
+            # cell_id)) (≡ the window's orderBy("d", "cell_id") rk=1,
+            # lexicographic struct order, identical tie-break) keeps
+            # it in-row and the join disappears.  first("emb") is
+            # value-deterministic: every candidate row of a vec_id
+            # group replicates the SAME array.  Shuffle bytes also
+            # shrink: the partial agg ships n rows (emb once) where
+            # the old plan shipped n*k skinny window rows PLUS the
+            # full corpus again through the join.  Measured at the
+            # 100-seed label-prop gate: train 3.7 s -> see
+            # OPTIMIZATION_r17.md.
+            cdf = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell_id int, ce array<double>",
+            )
             means = (
-                corpus.join(assign, "vec_id")
-                .select("cell_id", F.posexplode("emb").alias("pos", "val"))
+                spread_scan(corpus, "vec_id")
+                .crossJoin(F.broadcast(cdf))
+                .select(
+                    "vec_id",
+                    "emb",
+                    F.struct(
+                        zf.l2sq(F.col("emb"), F.col("ce")).alias("d"),
+                        "cell_id",
+                    ).alias("s"),
+                )
+                .groupBy("vec_id")
+                .agg(F.min("s").alias("s"), F.first("emb").alias("emb"))
+                .select(
+                    F.col("s.cell_id").alias("cell_id"),
+                    F.posexplode("emb").alias("pos", "val"),
+                )
                 .groupBy("cell_id", "pos")
                 .agg(F.avg("val").alias("m"))
                 .collect()

@@ -743,11 +743,15 @@ def q_label_prop_ann_exhaustive(
     hash, where q_knn_label_prop_ann (serving settings, rows-only)
     can only pin agreement >= 0.95.  k_cells=8 deliberately small:
     ANY k hashes identically here, and the per-call Lloyd is the
-    gate's only non-plumbing cost.  Scale shape: identical to
+    gate's only non-plumbing cost — so it runs ONE iteration (r17,
+    the q_knn_filtered_ivf gate-config trick, VERDICT r16 #3):
+    centroid-independence means any (k, iters) hashes identically,
+    and the 5-iteration default was ~3.7 s of the gate's ~5 s
+    (measured, OPTIMIZATION_r17.md).  Scale shape: identical to
     label_prop_ann_df's documented plan (exhaustive probing is the
     test configuration; production prunes cells)."""
     lab, unl = _seed_split(spark, sf_dir)
-    return label_prop_ann_df(spark, lab, unl, k_cells=8, nprobe=8)
+    return label_prop_ann_df(spark, lab, unl, k_cells=8, nprobe=8, iters=1)
 
 
 def label_prop_ann_df(
@@ -758,6 +762,7 @@ def label_prop_ann_df(
     nprobe: int = 12,
     weighted: bool = False,
     index=None,
+    iters: int = 5,
 ) -> DataFrame:
     """The reusable ANN propagation kernel: `lab` is (lab_id, label,
     le), `unl` is (vec_id, emb).  Builds the IVF index over the seeds
@@ -827,10 +832,17 @@ def label_prop_ann_df(
     seeds = lab.select(
         F.col("lab_id").alias("vec_id"), F.col("le").alias("emb")
     )
+    # `iters` reaches only the per-call Lloyd (ignored with a prebuilt
+    # index).  The serving-config queries keep the default; the
+    # exhaustive hash gate passes 1 — with every cell probed the
+    # candidate set (and therefore the vote) is centroid-independent,
+    # so extra Lloyd iterations are computed-then-discarded work.
     idx = (
         index
         if index is not None
-        else IVFIndex.train(spark, sf_dir="", k=k_cells, corpus=seeds)
+        else IVFIndex.train(
+            spark, sf_dir="", k=k_cells, iters=iters, corpus=seeds
+        )
     )
     centroids = idx.centroids
     nprobe = min(nprobe, len(centroids))
