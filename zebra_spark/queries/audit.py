@@ -219,10 +219,9 @@ def ingest_then_audit(
     # streaming twin routes through ingest_cosine_batch /
     # reseed_cosine_state, which re-freezes seeds over the combined
     # corpus and persists a new baseline — test-pinned lifecycle).
-    drifted = dd.needs_reseed(
-        spark, sf_dir, batch_vecs,
-        baseline_mse=dd.drift_baseline(spark, sf_dir),
-    )
+    # default args take needs_reseed's FUSED path (r17 optimization
+    # pass): persisted-baseline read + batch audit in one collect
+    drifted = dd.needs_reseed(spark, sf_dir, batch_vecs)
     if timings is not None:
         timings["reseed_triggered"] = drifted
 

@@ -1973,8 +1973,33 @@ def needs_reseed(
     if baseline_mse is None and seeds is None:
         # corpus-seed default: the baseline is the PERSISTED 1-row
         # 'driftbase' artifact (session-materialized / maintained), so
-        # repeated nightly checks never re-score the corpus
-        baseline_mse = drift_baseline(spark, sf_dir)
+        # repeated nightly checks never re-score the corpus.  FUSED
+        # (r17 optimization pass, guide §1.2): the baseline read and
+        # the batch audit are both 1-row frames, so crossJoining them
+        # answers the gate in ONE action instead of two sequential
+        # collects — on the maintenance hot path (run_tick /
+        # ingest_then_audit) that halves the gate's per-tick job count
+        # with identical scalars reaching the driver.
+        base = drift_baseline_table(spark, sf_dir).select(
+            F.col("mse").alias("base_mse")
+        )
+        row = (
+            cell_drift_audit(spark, sf_dir, batch, "batch")
+            .crossJoin(F.broadcast(base))
+            .collect()[0]
+        )
+        if row.base_mse is None:
+            # same contract as drift_baseline(): an empty baseline is
+            # a build-order error, never a quiet "no drift"
+            raise ValueError(
+                "drift baseline is empty (no vectors scored against "
+                "the seed table) — build the corpus state first"
+            )
+        if row.mse is None:  # empty batch (a quiet tick) cannot drift
+            return False
+        return float(row.mse) > ratio_threshold * max(
+            float(row.base_mse), 1e-12
+        )
     if seeds is None:
         seeds = cosine_seed_table(spark, sf_dir)
     if baseline_mse is None:

@@ -376,8 +376,16 @@ def _guard_capped_append(
     if max_cell is None:
         return
     prior_assign = spark.read.parquet(f"{state_dir}/cosassign")
-    state_max = prior_assign.agg(F.max("vec_id")).first()[0]
-    batch_min = batch_vecs.agg(F.min("vec_id")).first()[0]
+    # FUSED probe (r17 optimization pass, guide §1.2): the state-max
+    # and batch-min scalars used to be two sequential one-row actions;
+    # crossJoining the two aggregates answers the monotonicity check
+    # in ONE job with identical values
+    probe = (
+        prior_assign.agg(F.max("vec_id").alias("smax"))
+        .crossJoin(batch_vecs.agg(F.min("vec_id").alias("bmin")))
+        .first()
+    )
+    state_max, batch_min = probe["smax"], probe["bmin"]
     if state_max is None or batch_min is None or batch_min > state_max:
         return
     biggest = (
@@ -544,12 +552,16 @@ def run_tick(
     try:
         t0 = time.perf_counter()
         _last = t0
+        # the default (no seeds/baseline args) takes needs_reseed's
+        # FUSED path: persisted-baseline read + batch audit in one
+        # collect (r17 optimization pass) — both read this state's
+        # registered 'driftbase'/'cosseeds' tables, exactly as the
+        # previous explicit drift_baseline() call did
         drifted = dd.needs_reseed(
             spark,
             sf_dir,
             batch_vecs,
             ratio_threshold=reseed_ratio,
-            baseline_mse=dd.drift_baseline(spark, sf_dir),
         )
         if timings is not None:
             timings["reseed_triggered"] = drifted
