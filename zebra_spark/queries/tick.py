@@ -117,6 +117,34 @@ def _swap_write(spark: SparkSession, state_dir: str, kind: str,
     rename(spark, nxt, f"{state_dir}/{kind}")
 
 
+# target rows per appended parquet file (guide §6 output sizing).  The
+# tick's delta schemas are a handful of scalar columns (~5 B/row under
+# zstd, measured: 872k pair rows = 4.1 MB), so 8M rows ≈ 40-60 MB files
+# — env-overridable for clusters whose delta rows are wider.
+APPEND_ROWS_PER_FILE = int(
+    os.environ.get("ZEBRA_APPEND_ROWS_PER_FILE", "8000000")
+)
+
+
+def _append_sized(df: DataFrame, path: str) -> None:
+    """Append a MATERIALIZED (localCheckpoint'ed) delta with a
+    size-derived file count (guide §6).  The r17 first attempt used
+    `.hint("rebalance")`, but AQE's default
+    coalescePartitions.parallelismFirst=true makes the post-rebalance
+    coalescing respect only minPartitionSize (1 MB) instead of the
+    64 MB advisory, so each tick still appended one ~0.25 MB file per
+    shuffle partition (measured: minhash/ grew 17 -> 49 -> 81 files
+    over 3 ticks) and every later read of the maintained dir paid
+    per-file open cost.  A cached count (the frame is already in the
+    block manager) + coalesce writes ceil(rows / APPEND_ROWS_PER_FILE)
+    files with NO shuffle at all — the rebalance exchange is gone too.
+    coalesce would serialize an unmaterialized lineage, hence the
+    checkpointed-input contract."""
+    n = df.count()
+    nparts = max(1, -(-n // APPEND_ROWS_PER_FILE))
+    df.coalesce(nparts).write.mode("append").parquet(path)
+
+
 def init_tick_state(
     spark: SparkSession,
     sf_dir: str,
@@ -588,16 +616,14 @@ def run_tick(
         ldelta = dd.pair_table_delta(
             spark, sf_dir, batch_docs.select("doc_id")
         ).localCheckpoint()
-        # REBALANCE before the append (r17, guide §6 output sizing):
-        # the checkpointed delta holds one cached partition per compute
+        # size-derived append (r17, guide §6 output sizing): the
+        # checkpointed delta holds one cached partition per compute
         # task, and appending those verbatim accreted ~32 near-empty
         # files per tick — every later tick/audit read of the
         # maintained dir then paid per-file open cost (measured:
-        # steady-state tick cost GREW across ticks).  The hint lets
-        # AQE size the written files by bytes.
-        ldelta.hint("rebalance").write.mode("append").parquet(
-            f"{state_dir}/minhash"
-        )
+        # steady-state tick cost GREW across ticks).  See
+        # _append_sized for why the rebalance hint did NOT fix this.
+        _append_sized(ldelta, f"{state_dir}/minhash")
         _mark("pair_delta_s")
 
         # semantic family: quiet ticks append assignment + pair deltas
@@ -610,19 +636,18 @@ def run_tick(
                 spark, sf_dir, batch_vecs
             ).localCheckpoint()
             _guard_capped_append(spark, state_dir, adf, batch_vecs)
-            # REBALANCE both semantic appends too (same file-accretion
-            # fix as the minhash append above)
-            adf.hint("rebalance").write.mode("append").parquet(
-                f"{state_dir}/cosassign"
-            )
-            dd.cosine_pair_table_delta(
+            # size-derived appends for both semantic deltas too (same
+            # file-accretion fix as the minhash append above); the
+            # cosine delta is checkpointed so _append_sized's count is
+            # a cached scan, not a recompute
+            _append_sized(adf, f"{state_dir}/cosassign")
+            cdelta = dd.cosine_pair_table_delta(
                 spark,
                 sf_dir,
                 new_ids=batch_vecs.select("vec_id"),
                 embeddings=spark.read.parquet(f"{state_dir}/vecs"),
-            ).hint("rebalance").write.mode("append").parquet(
-                f"{state_dir}/cosine"
-            )
+            ).localCheckpoint()
+            _append_sized(cdelta, f"{state_dir}/cosine")
         _mark("semantic_s")
 
         # cluster labels: star-collapse the persisted labels, merge the
