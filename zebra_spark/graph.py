@@ -328,22 +328,99 @@ def incremental_components(
 
     r17 optimization flags (both default off — results are identical
     when the stated precondition holds, and callers must prove it):
-    `endpoints_within_nodes=True` skips the CC fast path's two guard
+    `endpoints_within_nodes=True` skips the delta-edge guard
     semi-joins when every delta edge endpoint is known to be a label
     row or a batch member (true for pair_table_delta output by
     construction: each pair involves >= 1 batch doc and only corpus
-    docs otherwise); `nodes_disjoint=True` skips the node-set
-    `distinct` when the batch ids are disjoint from the maintained
-    labels (the chained tick's id contract; also true for
-    ingest_then_audit, whose base labels are the non-batch slice)."""
-    star = labels.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("src"), F.col("component").alias("dst")
+    docs otherwise); `nodes_disjoint=True` skips the new-node
+    `distinct`/anti-join when the batch ids are disjoint from the
+    maintained labels (the chained tick's id contract; also true for
+    ingest_then_audit, whose base labels are the non-batch slice).
+
+    r17 optimization pass, second change (guide §2.3 "shuffle keys
+    and metadata instead of payloads" / §8 "decide with small rows"):
+    the delta edges are CONTRACTED through the maintained labels
+    BEFORE any connectivity pass — each endpoint maps to its
+    component representative (itself when unlabeled), self-edges
+    drop, and a map-side-partial `distinct` collapses the delta to
+    one edge per touched component pair.  CC then runs over
+    |components| + |batch| nodes and the contracted edge set instead
+    of |V| star edges ∪ the raw delta (measured at sf0.1: a 1.19M-row
+    thresholded tick delta contracts to 60,696 edges in 0.87 s
+    distributed, where the single-task union-find over the raw
+    star ∪ delta frame took ~4 s — and at any scale the contraction
+    is a pair of equi-joins on the edge keys plus a distinct whose
+    partial aggregation collapses the volume before it is shuffled).
+    Exactness rides the maintained-label contract this module already
+    requires everywhere (labels' component IS the min MEMBER id of
+    its class — connected_components' output contract): every member
+    id >= its representative, so min-per-merged-class over
+    {representatives} ∪ {batch ids} equals min over all member ids,
+    and expanding members through their representative's final label
+    reproduces the star-union result bit-for-bit (pinned by
+    tests/test_graph.py and the q_cluster_delta /
+    q_semantic_cluster_delta / q_tick_chain_clusters driver hashes)."""
+    new_nodes = new_nodes.select("id")
+    d = delta_edges.select("src", "dst")
+    if not endpoints_within_nodes:
+        nodes = labels.select("id").unionByName(new_nodes).distinct()
+        d = d.join(
+            nodes.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    if nodes_disjoint:
+        new_only = new_nodes
+    else:
+        new_only = new_nodes.join(
+            labels.select("id"), "id", "left_anti"
+        ).distinct()
+    contracted = (
+        d.join(
+            labels.select(
+                F.col("id").alias("src"), F.col("component").alias("cs")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("component").alias("cd")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("cs", F.col("src")).alias("a"),
+            F.coalesce("cd", F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+        .distinct()
+        # ONE materialization of the contraction pass: the frame is
+        # referenced by CC's small-graph count gate, by the union-find
+        # (or the iterative rounds), and — through ccc — by BOTH
+        # expansion branches below; unmaterialized, the join+distinct
+        # over the raw delta would re-run once per reference (measured
+        # in-chain: the whole win disappeared into triple recompute).
+        # The checkpointed frame is component-level edges — tiny.
+        .localCheckpoint()
     )
-    nodes = labels.select("id").unionByName(new_nodes.select("id"))
-    if not nodes_disjoint:
-        nodes = nodes.distinct()
-    edges = star.unionByName(delta_edges.select("src", "dst"))
-    return connected_components(
-        nodes, edges, edges_cheap=True,
-        endpoints_within_nodes=endpoints_within_nodes,
+    # contracted node set: one row per old component plus the genuinely
+    # new ids — disjoint unions by construction (representatives are
+    # label members; new_only is anti-joined/contract-disjoint)
+    reps = labels.select(F.col("component").alias("id")).distinct()
+    ccc = connected_components(
+        reps.unionByName(new_only), contracted, edges_cheap=True,
+        endpoints_within_nodes=True,
     )
+    # expand: every labeled node inherits its representative's final
+    # label; new nodes carry their own CC rows verbatim
+    out_old = labels.join(
+        ccc.select(
+            F.col("id").alias("component"), F.col("component").alias("f")
+        ),
+        "component",
+    ).select("id", F.col("f").alias("component"))
+    out_new = ccc.join(new_only, "id", "left_semi")
+    return out_old.unionByName(out_new)
