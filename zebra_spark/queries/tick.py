@@ -595,21 +595,29 @@ def run_tick(
             timings["reseed_triggered"] = drifted
         _mark("drift_gate_s")
 
-        # lexical family: batch rows first (the delta's corpus side is
-        # the post-append signature table)
-        dd.batch_signatures(batch_docs).write.mode("append").parquet(
-            f"{state_dir}/sigs"
-        )
-        dd.batch_toksets(batch_docs).write.mode("append").parquet(
-            f"{state_dir}/toksets"
-        )
-        _mark("batch_append_s")
+        # the three per-row batch appends — signatures + token sets
+        # (the lexical delta's corpus side is the post-append tables)
+        # and the state's raw vector truth (appended before the
+        # semantic family, so the quiet path's scoring source and a
+        # reseed both see ingested ∪ batch; a batch need not be in the
+        # lake, r10) — are independent writes to three different dirs,
+        # so they run CONCURRENTLY (r17 optimization pass, guide §2.6:
+        # each is a batch-sized single-stage job that underfills the
+        # cluster; sequential they cost three scheduling round-trips).
+        # Everything that READS any of them comes after the join below.
+        from concurrent.futures import ThreadPoolExecutor
 
-        # the state's raw vector truth — appended before the semantic
-        # family, so the quiet path's scoring source and a reseed both
-        # see ingested ∪ batch (a batch need not be in the lake; r10)
-        batch_vecs.write.mode("append").parquet(f"{state_dir}/vecs")
-        _mark("vecs_append_s")
+        def _row_append(item):
+            df, path = item
+            df.write.mode("append").parquet(path)
+
+        with ThreadPoolExecutor(max_workers=3) as _ex:
+            list(_ex.map(_row_append, (
+                (dd.batch_signatures(batch_docs), f"{state_dir}/sigs"),
+                (dd.batch_toksets(batch_docs), f"{state_dir}/toksets"),
+                (batch_vecs, f"{state_dir}/vecs"),
+            )))
+        _mark("row_appends_s")
 
         # ONE materialization of the batch's pair delta; the append
         # and the label merge below share it (localCheckpoint)
