@@ -309,3 +309,40 @@ def test_incremental_flags_identical_when_preconditions_hold(spark):
         ).collect()
     }
     assert base == fast
+
+
+def test_two_level_contraction_matches_union_find(spark, monkeypatch):
+    """r17 two-level path: a graph ABOVE the single-task threshold runs
+    the per-partition forest contraction, and when the forest fits the
+    threshold the global merge is the single-task union-find.  Built by
+    duplicating each edge 100x (20k edge rows over 100 nodes) with the
+    threshold pinned between the raw edge count and the forest bound,
+    so exactly the contraction + single-task combination executes —
+    labels must match the driver-side union-find oracle (min-id)."""
+    import zebra_spark.graph as g
+    from zebra_spark.graph import connected_components
+
+    rng = random.Random(23)
+    n = 100
+    base = [(rng.randrange(n), rng.randrange(n)) for _ in range(200)]
+    edges = base * 100  # 20,000 rows; forest <= partitions x nodes
+    monkeypatch.setattr(g, "SMALL_GRAPH_EDGES", 5000)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == _uf_components(n, base)
+    # out-of-node endpoints must still be ignored on this path: an
+    # edge through a foreign node may not bridge two components
+    iso = spark.createDataFrame([(i,) for i in range(4)], "id bigint")
+    bridge = spark.createDataFrame(
+        [(0, 99, ), (99, 1), (2, 3)] * 4000, "src bigint, dst bigint"
+    )
+    monkeypatch.setattr(g, "SMALL_GRAPH_EDGES", 5000)
+    out = {
+        r.id: r.component
+        for r in connected_components(iso, bridge).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 2}

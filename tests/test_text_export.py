@@ -916,3 +916,52 @@ def test_shard_balance_and_needs_rebalance_gate(spark, tmp_path):
     assert not needs_rebalance(spark, str(tmp_path / "nowhere"))
     with _pytest.raises(ValueError, match="ratio"):
         needs_rebalance(spark, out, threshold=1.0)
+
+
+def test_staged_epoch_empty_write_yields_zero(spark, tmp_path):
+    """r17 optimization pass: _write_staged_epoch fuses the emptiness
+    probe and the offsets manifest into the staged write's own job via
+    an Observation.  Spark 4.1 collapses an ALL-EMPTY observed write to
+    an empty scan and Observation.get trips a toPyRow assertion — the
+    helper must survive that (fs-listing fallback), report 0 rows, and
+    write no manifest; a non-empty frame must return its row count and
+    a manifest byte-equal in content to the read-back computation."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries.text import (
+        _OFFSETS_FILE,
+        _read_epoch_offsets,
+        _write_staged_epoch,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, n_chars bigint, shard int,"
+        " pos bigint"
+    )
+    st0 = str(tmp_path / "st0")
+    assert _write_staged_epoch(spark, empty, st0, range(4)) == 0
+    from pathlib import Path
+
+    assert not any(
+        p.name.startswith("shard=") for p in Path(st0).iterdir()
+    )
+    assert not (Path(st0) / _OFFSETS_FILE).exists()
+
+    rows = [(i, f"t{i}", 2, i % 3, 1 + i // 3) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_chars bigint, shard int,"
+        " pos bigint"
+    )
+    st1 = str(tmp_path / "st1")
+    assert _write_staged_epoch(spark, df, st1, range(4)) == 9
+    got = _read_epoch_offsets(spark, st1)
+    want = {
+        r["shard"]: r["off"]
+        for r in spark.read.parquet(st1)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(F.max("pos").alias("off"))
+        .collect()
+    }
+    assert got == want

@@ -180,6 +180,68 @@ def connected_components(
     # comfortably inside one task's memory; above it, pointer doubling.
     if edges_m.count() <= SMALL_GRAPH_EDGES:
         return _cc_single_task(nodes, edges_m, endpoints_within_nodes)
+
+    # Two-level connectivity for larger graphs (r17 optimization pass,
+    # guide §2.3 "aggregate before you shuffle"): ONE distributed pass
+    # runs union-find per partition and emits each partition's spanning
+    # FOREST (node -> local root, at most one row per touched node per
+    # partition, always <= that partition's edge count) — preserving
+    # connectivity classes exactly while collapsing the redundant bulk
+    # of a dense edge set.  The global merge then runs over the forest
+    # union: single-task when it fits (the common case — a near-dup
+    # graph's 6.45M edges over 5k docs contract to <= n_partitions x
+    # |touched nodes| rows), else the iterative doubling below over the
+    # strictly smaller frame.  Guard parity: out-of-node endpoints must
+    # be IGNORED (both existing paths do), so they are filtered BEFORE
+    # contraction — a foreign endpoint may not bridge two components.
+    # The repartition is a deterministic hash of the edge key (task
+    # retries reproduce it); the forest SHAPE depends on the partition
+    # layout but the connectivity classes — and therefore the min-id
+    # labels — do not.
+    import pandas as pd
+
+    big = edges_m
+    if not endpoints_within_nodes:
+        big = big.join(
+            nodes.select(F.col("id").alias("src")), "src", "left_semi"
+        ).join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
+
+    def forest_per_partition(it):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in it:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        seen = set(parent)
+        yield pd.DataFrame(
+            {"src": list(seen), "dst": [find(x) for x in seen]}
+        )
+
+    n_par = spark.sparkContext.defaultParallelism
+    forest = (
+        big.repartition(n_par, F.col("src"), F.col("dst"))
+        .mapInPandas(forest_per_partition, schema="src long, dst long")
+        # one materialization: referenced by the size gate and the
+        # chosen merge path (and twice via the single-task join-back)
+        .localCheckpoint()
+    )
+    if forest.count() <= SMALL_GRAPH_EDGES:
+        # forest endpoints ⊆ the (guarded) edge endpoints ⊆ nodes
+        return _cc_single_task(nodes, forest, endpoints_within_nodes=True)
+    edges_m = forest
     # static through all rounds: one localCheckpoint (no chaining — the
     # blowup above only affects iterated checkpoints of checkpoints)
     # No distinct: min-label propagation is idempotent to duplicate
