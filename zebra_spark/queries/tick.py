@@ -185,35 +185,56 @@ def init_tick_state(
         "n", "mse"
     ).write.mode("overwrite").parquet(f"{state_dir}/driftbase")
 
+    # the empty-table bootstrap writes run CONCURRENTLY where their
+    # dependencies allow (r17 optimization pass, guide §2.6: each is a
+    # tiny single-stage job; sequential they cost seven scheduling
+    # round-trips).  The row tables (sigs/toksets/vecs — the ingested
+    # vectors are the tick's own raw truth, r10 review: batches need
+    # not have landed in the lake) are mutually independent; after
+    # registration, minhash and clusters are independent of everything
+    # else, while the cosine delta's plan READS the registered
+    # cosassign parquet at construction time, so cosassign must be on
+    # disk first — that pair stays a sequential chain inside its slot.
+    from concurrent.futures import ThreadPoolExecutor
+
     no_docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(0)
-    dd.batch_signatures(no_docs).write.mode("overwrite").parquet(
-        f"{state_dir}/sigs"
-    )
-    dd.batch_toksets(no_docs).write.mode("overwrite").parquet(
-        f"{state_dir}/toksets"
-    )
-    # the ingested vectors themselves: the tick's scoring source —
-    # batches need not have landed in the lake (r10 review), so the
-    # state keeps its own raw truth, exactly like streaming's vecs/
-    seed_vecs.select("vec_id", "emb").limit(0).write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/vecs")
+
+    def _w(df, kind: str) -> None:
+        df.write.mode("overwrite").parquet(f"{state_dir}/{kind}")
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(lambda j: j(), (
+            lambda: _w(dd.batch_signatures(no_docs), "sigs"),
+            lambda: _w(dd.batch_toksets(no_docs), "toksets"),
+            lambda: _w(seed_vecs.select("vec_id", "emb").limit(0), "vecs"),
+        )))
     prevs = _register_all(sf_dir, state_dir)
     try:
         no_ids = no_docs.select("doc_id")
-        dd.pair_table_delta(spark, sf_dir, no_ids).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/minhash")
         no_vecs = seed_vecs.select("vec_id", "emb").limit(0)
-        dd.cosine_assign_delta(spark, sf_dir, no_vecs).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/cosassign")
-        dd.cosine_pair_table_delta(
-            spark, sf_dir, new_ids=no_vecs.select("vec_id")
-        ).write.mode("overwrite").parquet(f"{state_dir}/cosine")
-        spark.createDataFrame([], "doc_id bigint, cluster bigint").write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/clusters")
+
+        def _cos_chain() -> None:
+            _w(dd.cosine_assign_delta(spark, sf_dir, no_vecs), "cosassign")
+            _w(
+                dd.cosine_pair_table_delta(
+                    spark, sf_dir, new_ids=no_vecs.select("vec_id")
+                ),
+                "cosine",
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            list(ex.map(lambda j: j(), (
+                lambda: _w(
+                    dd.pair_table_delta(spark, sf_dir, no_ids), "minhash"
+                ),
+                _cos_chain,
+                lambda: _w(
+                    spark.createDataFrame(
+                        [], "doc_id bigint, cluster bigint"
+                    ),
+                    "clusters",
+                ),
+            )))
     finally:
         _restore_all(sf_dir, prevs)
 
