@@ -117,7 +117,19 @@ def _cc_single_task(
             {"id": list(seen), "component": [find(x) for x in seen]}
         )
 
-    labels = edges_m.coalesce(1).mapInPandas(uf, schema="id long, component long")
+    # ONE materialization of the union-find output (r17 optimization
+    # pass): consumers reference the returned frame more than once per
+    # action — incremental_components' two expansion branches,
+    # remove_and_relabel's stable∪relabeled union — and a bare
+    # mapInPandas subtree re-runs the whole UF per reference (no
+    # exchange for Spark to reuse).  The labels frame is one tiny
+    # partition, so the checkpoint is the UF job itself, run exactly
+    # once.
+    labels = (
+        edges_m.coalesce(1)
+        .mapInPandas(uf, schema="id long, component long")
+        .localCheckpoint()
+    )
     return nodes.join(labels, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
