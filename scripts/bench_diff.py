@@ -35,8 +35,18 @@ from pathlib import Path
 
 # untouched, stable code paths measured every round in both the
 # in-suite map and the frozen medians — the same rows the r14 session
-# used as manual drift evidence
-CONTROL_ROWS = ("knn_exact_100", "q_agg_hash")
+# used as manual drift evidence.
+# r17 measurement-bug fix (declared in OPTIMIZATION_r17.md): the
+# original pair was (knn_exact_100, q_agg_hash), but the r17
+# optimization pass made knn_exact_100 itself ~2.4x faster
+# (io.spread_scan on the scoring fan-out), so against a pre-r17
+# reference the "control" conflates real optimization with box speed
+# and the drift factor overcorrects every *_adj scalar by up to the
+# clamp (~1.5x) — including in the driver's own artifact.  A control
+# must be a row no optimization round targets: q_join_inner replaces
+# knn_exact_100 (plain relational join, frozen-subset member, flat
+# 0.45-0.55 s across r11-r17 on both boxes).
+CONTROL_ROWS = ("q_join_inner", "q_agg_hash")
 _CLAMP = (2 / 3, 1.5)
 
 

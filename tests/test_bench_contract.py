@@ -101,10 +101,10 @@ def test_bench_diff_drift_normalization():
 
     base = {
         "queries": {
-            "knn_exact_100": 2.0, "q_agg_hash": 0.4,
+            "q_join_inner": 2.0, "q_agg_hash": 0.4,
             "q_dedup_clusters": 7.0, "q_text_tfidf": 3.0,
         },
-        "frozen_medians": {"knn_exact_100": 2.0, "q_agg_hash": 0.4},
+        "frozen_medians": {"q_join_inner": 2.0, "q_agg_hash": 0.4},
     }
 
     # lockstep drift: EVERYTHING 1.4x, controls included -> factor
@@ -146,7 +146,7 @@ def test_bench_diff_drift_normalization():
     regs3, _ = bd.diff_map(
         base["queries"], crazy["queries"], 30.0, 0.5, 1.5
     )
-    assert "knn_exact_100" not in [r[0] for r in regs3]
+    assert "q_join_inner" not in [r[0] for r in regs3]
     assert "q_agg_hash" not in [r[0] for r in regs3]
 
     # ADVICE r15: the raw (unclamped) control ratio is exposed so the
