@@ -184,14 +184,17 @@ class IVFIndex:
         corpus = corpus if corpus is not None else embeddings_d(spark, sf_dir).select(
             "vec_id", "emb"
         )
-        n = corpus.count()
-        if n == 0:
-            raise ValueError("cannot train IVF over an empty corpus")
         init = (
             corpus.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
             .limit(k)
             .collect()
         )
+        # empty-corpus check from the init collect itself (r17
+        # continuation, guide §1.2 fewer jobs): the previous shape ran
+        # a separate count() job whose only use was this raise — an
+        # empty corpus yields an empty init sample, same signal
+        if not init:
+            raise ValueError("cannot train IVF over an empty corpus")
         centroids = np.array([r.emb for r in init], dtype=np.float64)
         k = len(centroids)
         dim = centroids.shape[1]

@@ -124,6 +124,14 @@ def _swap_write(spark: SparkSession, state_dir: str, kind: str,
 APPEND_ROWS_PER_FILE = int(
     os.environ.get("ZEBRA_APPEND_ROWS_PER_FILE", "8000000")
 )
+# floor on rows per appended file when SPLITTING an append for write
+# parallelism (see _append_sized): a split task never writes fewer
+# rows than this, so the accretion bound survives — at ~5 B/row this
+# keeps every appended file ≥ ~5-10 MB zstd.  Env-overridable with
+# the same caveat as APPEND_ROWS_PER_FILE (wider delta rows -> lower).
+APPEND_MIN_ROWS_PER_FILE = int(
+    os.environ.get("ZEBRA_APPEND_MIN_ROWS_PER_FILE", "1000000")
+)
 
 
 def _append_sized(df: DataFrame, path: str) -> None:
@@ -136,12 +144,28 @@ def _append_sized(df: DataFrame, path: str) -> None:
     shuffle partition (measured: minhash/ grew 17 -> 49 -> 81 files
     over 3 ticks) and every later read of the maintained dir paid
     per-file open cost.  A cached count (the frame is already in the
-    block manager) + coalesce writes ceil(rows / APPEND_ROWS_PER_FILE)
-    files with NO shuffle at all — the rebalance exchange is gone too.
-    coalesce would serialize an unmaterialized lineage, hence the
-    checkpointed-input contract."""
+    block manager) + coalesce writes size-derived files with NO
+    shuffle at all — the rebalance exchange is gone too.  coalesce
+    would serialize an unmaterialized lineage, hence the
+    checkpointed-input contract.
+
+    Write-parallelism floor (r17 continuation, guide §2.6 stragglers /
+    §1.2): the pure ceil(rows / APPEND_ROWS_PER_FILE) count left the
+    whole append in ONE task whenever the delta fit one file — at
+    sf0.1 the tick-3 pair delta (4.25M rows) spent 2.5-3.4 s in a
+    single-task zstd encode while 31 cores idled, and at any scale the
+    append's wall clock was one full-file encode.  When the
+    size-derived count underfills the cluster, the append now splits
+    further — up to defaultParallelism tasks — but never below
+    APPEND_MIN_ROWS_PER_FILE rows per file, so the file-count bound
+    that motivated _append_sized holds (measured after: same delta
+    writes 5 files in ~0.8 s; a 3-tick chain leaves ≤ ~10 files per
+    maintained table, and the r17 read-side A/B already showed tick
+    reads indifferent at far worse counts)."""
     n = df.count()
-    nparts = max(1, -(-n // APPEND_ROWS_PER_FILE))
+    size_parts = max(1, -(-n // APPEND_ROWS_PER_FILE))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nparts = max(size_parts, min(par, -(-n // APPEND_MIN_ROWS_PER_FILE)))
     df.coalesce(nparts).write.mode("append").parquet(path)
 
 
@@ -652,53 +676,84 @@ def run_tick(
         # maintained dir then paid per-file open cost (measured:
         # steady-state tick cost GREW across ticks).  See
         # _append_sized for why the rebalance hint did NOT fix this.
-        _append_sized(ldelta, f"{state_dir}/minhash")
-        _mark("pair_delta_s")
+        #
+        # The two maintained PAIR appends (minhash here, cosine below)
+        # run ASYNC under the rest of the tick (r17 continuation,
+        # guide §2.6 overlap independent jobs): nothing between this
+        # point and the audit reads minhash/ or cosine/ — the semantic
+        # family reads cosseeds/cosassign/vecs, the label merge reads
+        # the checkpointed ldelta and clusters/ — and the appends are
+        # narrow write jobs that underfill the cluster, so they
+        # back-fill the wide stages' idle cores.  Both futures are
+        # joined before update_s closes (and the executor's __exit__
+        # joins them on any exception path, so a failed tick cannot
+        # leave a write racing the caller); their residual wait
+        # accumulates into their own part keys, so the parts still
+        # tile update_s exactly.
+        with ThreadPoolExecutor(max_workers=2) as _appends:
+            lfut = _appends.submit(
+                _append_sized, ldelta, f"{state_dir}/minhash"
+            )
+            _mark("pair_delta_s")
 
-        # semantic family: quiet ticks append assignment + pair deltas
-        # under the frozen seeds; a drifted batch invalidates the
-        # blocking, so the whole family rebuilds over ingested ∪ batch
-        if drifted:
-            _reseed_tick_state(spark, sf_dir, state_dir)
-        else:
-            adf = dd.cosine_assign_delta(
-                spark, sf_dir, batch_vecs
-            ).localCheckpoint()
-            _guard_capped_append(spark, state_dir, adf, batch_vecs)
-            # size-derived appends for both semantic deltas too (same
-            # file-accretion fix as the minhash append above); the
-            # cosine delta is checkpointed so _append_sized's count is
-            # a cached scan, not a recompute
-            _append_sized(adf, f"{state_dir}/cosassign")
-            cdelta = dd.cosine_pair_table_delta(
-                spark,
-                sf_dir,
-                new_ids=batch_vecs.select("vec_id"),
-                embeddings=spark.read.parquet(f"{state_dir}/vecs"),
-            ).localCheckpoint()
-            _append_sized(cdelta, f"{state_dir}/cosine")
-        _mark("semantic_s")
+            # semantic family: quiet ticks append assignment + pair
+            # deltas under the frozen seeds; a drifted batch
+            # invalidates the blocking, so the whole family rebuilds
+            # over ingested ∪ batch
+            cfut = None
+            if drifted:
+                _reseed_tick_state(spark, sf_dir, state_dir)
+            else:
+                adf = dd.cosine_assign_delta(
+                    spark, sf_dir, batch_vecs
+                ).localCheckpoint()
+                _guard_capped_append(spark, state_dir, adf, batch_vecs)
+                # size-derived appends for both semantic deltas too
+                # (same file-accretion fix as the minhash append
+                # above); the cosine delta is checkpointed so
+                # _append_sized's count is a cached scan, not a
+                # recompute.  The assignment append stays synchronous:
+                # the cosine delta below reads the post-append
+                # maintained assignment table.
+                _append_sized(adf, f"{state_dir}/cosassign")
+                cdelta = dd.cosine_pair_table_delta(
+                    spark,
+                    sf_dir,
+                    new_ids=batch_vecs.select("vec_id"),
+                    embeddings=spark.read.parquet(f"{state_dir}/vecs"),
+                ).localCheckpoint()
+                cfut = _appends.submit(
+                    _append_sized, cdelta, f"{state_dir}/cosine"
+                )
+            _mark("semantic_s")
 
-        # cluster labels: star-collapse the persisted labels, merge the
-        # batch's thresholded lexical delta — |V| + |delta| edges.
-        # Endpoints are batch ∪ corpus-so-far ⊆ the node set and batch
-        # ids are disjoint from the maintained labels (the tick's id
-        # contract), so the CC fast path can skip its guard joins
-        # (incremental_components r17 flags).
-        labels = spark.read.parquet(f"{state_dir}/clusters").select(
-            F.col("doc_id").alias("id"), F.col("cluster").alias("component")
-        )
-        merged = incremental_components(
-            labels,
-            dd.threshold_edges(ldelta),
-            batch_docs.select(F.col("doc_id").alias("id")),
-            endpoints_within_nodes=True,
-            nodes_disjoint=True,
-        ).select(
-            F.col("id").alias("doc_id"), F.col("component").alias("cluster")
-        )
-        _swap_write(spark, state_dir, "clusters", merged)
-        _mark("labels_s")
+            # cluster labels: star-collapse the persisted labels, merge
+            # the batch's thresholded lexical delta — |V| + |delta|
+            # edges.  Endpoints are batch ∪ corpus-so-far ⊆ the node
+            # set and batch ids are disjoint from the maintained labels
+            # (the tick's id contract), so the CC fast path can skip
+            # its guard joins (incremental_components r17 flags).
+            labels = spark.read.parquet(f"{state_dir}/clusters").select(
+                F.col("doc_id").alias("id"),
+                F.col("cluster").alias("component"),
+            )
+            merged = incremental_components(
+                labels,
+                dd.threshold_edges(ldelta),
+                batch_docs.select(F.col("doc_id").alias("id")),
+                endpoints_within_nodes=True,
+                nodes_disjoint=True,
+            ).select(
+                F.col("id").alias("doc_id"),
+                F.col("component").alias("cluster"),
+            )
+            _swap_write(spark, state_dir, "clusters", merged)
+            _mark("labels_s")
+            if cfut is not None:
+                cfut.result()
+                _mark("semantic_s")
+            lfut.result()
+            _mark("pair_delta_s")
         if timings is not None:
             timings["update_s"] = round(time.perf_counter() - t0, 3)
             timings["update_parts"] = dict(parts)
