@@ -280,18 +280,32 @@ def ingest_then_audit(
     # minhash write below — read that single materialization; the
     # previous shape checkpointed only the thresholded edges, so the
     # minhash write re-ran the whole band-join delta a second time.
+    #
+    # r17 continuation (guide §2.6 overlap independent jobs): the
+    # label merge is CONSTRUCTED inside the concurrent write block
+    # below — incremental_components runs its contraction + union-find
+    # eagerly (two localCheckpoints), ~2 s that previously serialized
+    # BEFORE the writes while the cosine write (whose delta computes
+    # lazily inside the write job) bounded the block at 3-4.7 s
+    # anyway.  Built as a thunk so the measured-timings path and the
+    # write thread share one construction.
     delta_edges = dd.threshold_edges(ldelta)
-    merged_labels = incremental_components(
-        dd.base_cluster_labels(spark, sf_dir),
-        delta_edges,
-        batch_docs.select(F.col("doc_id").alias("id")),
-        # endpoints are batch ∪ corpus docs ⊆ base labels ∪ batch, and
-        # the base labels are the non-batch (% 10 != 0) slice, so the
-        # node sets are disjoint — both fast-path guards provably
-        # redundant here (see incremental_components docstring)
-        endpoints_within_nodes=True,
-        nodes_disjoint=True,
-    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
+
+    def _merged_labels() -> DataFrame:
+        return incremental_components(
+            dd.base_cluster_labels(spark, sf_dir),
+            delta_edges,
+            batch_docs.select(F.col("doc_id").alias("id")),
+            # endpoints are batch ∪ corpus docs ⊆ base labels ∪ batch,
+            # and the base labels are the non-batch (% 10 != 0) slice,
+            # so the node sets are disjoint — both fast-path guards
+            # provably redundant here (see incremental_components
+            # docstring)
+            endpoints_within_nodes=True,
+            nodes_disjoint=True,
+        ).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+        )
 
     # maintained artifacts = pre-batch base ∪ delta (the fixture's
     # "base" is the non-batch-involving slice of the session tables;
@@ -305,7 +319,7 @@ def ingest_then_audit(
         .unionByName(cdelta),
         "cosassign": dd.cosine_assign_table(spark, sf_dir)
         .filter(F.col("vec_id") % 10 != 0).unionByName(adelta),
-        "clusters": merged_labels,
+        "clusters": _merged_labels,
     }
     if drifted:
         # reseed path: deltas against stale blocking are meaningless,
@@ -326,6 +340,8 @@ def ingest_then_audit(
 
     def _write(item):
         kind, df = item
+        if callable(df):  # lazily-constructed source (the label merge)
+            df = df()
         df.write.mode("overwrite").parquet(f"{work_dir}/{kind}")
 
     with ThreadPoolExecutor(max_workers=len(writes)) as ex:
