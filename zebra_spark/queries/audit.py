@@ -179,6 +179,92 @@ def _summarize(frames: dict[str, DataFrame]) -> DataFrame:
     return out.orderBy("section")
 
 
+def _link_parquet_files(src: str, dst: str) -> None:
+    """Hardlink every DATA file of a parquet dir into `dst` (creating
+    it) — the fixture-only base slice of a maintained table becomes
+    the already-on-disk prefix of the per-call work dir, so the tick
+    pays only its delta APPEND (the production shape run_tick
+    executes) instead of rewriting corpus-sized base ∪ delta parquet
+    per call (r18 optimization pass, VERDICT r17 #1; guide §6).
+    Metadata files (_SUCCESS etc.) are skipped: a later append's
+    committer re-creates them, and truncating a hardlinked _SUCCESS
+    would reach back into the shared base dir (same inode).  Local
+    filesystems only — callers fall back to the union write."""
+    import os
+
+    os.makedirs(dst, exist_ok=True)
+    with os.scandir(src) as it:
+        for entry in it:
+            if entry.name.startswith(("_", ".")) or not entry.is_file():
+                continue
+            os.link(entry.path, os.path.join(dst, entry.name))
+
+
+def ingest_base_state(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached FIXTURE SCAFFOLDING for ingest_then_audit (r18
+    optimization pass, VERDICT r17 #1): the pre-batch "maintained"
+    tables — the non-batch (% 10 != 0) slices of the session pair /
+    cosine-pair / assignment tables, plus the pre-batch cluster labels
+    (base_cluster_labels) — materialized ONCE per dataset per session
+    under the derived-table registry, exactly like pair_table.  In
+    production these files simply EXIST (they are the maintained
+    parquet the previous tick left); the fixture has no pre-existing
+    state, so q_ingest_audit used to rebuild and rewrite them inside
+    every call, pricing one-time scaffolding into the steady-state row
+    (documented since r8; bench.py now prices this build as its own
+    `ingest_base_build` row, the same split cluster_label_build got in
+    r16).  Returns the state path with minhash/ cosine/ cosassign/
+    subdirs."""
+    import atexit
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    from zebra_spark.caching import cache_scope
+    from zebra_spark.queries import dedup as dd
+
+    key = ("ingest_base", str(Path(sf_dir).resolve()))
+    path = dd._DERIVED.get(key)
+    if path is None:
+        with dd._DERIVED_LOCK:
+            path = dd._DERIVED.get(key)
+            if path is None:
+                base = tempfile.mkdtemp(prefix="zebra_derived_")
+                atexit.register(shutil.rmtree, base, ignore_errors=True)
+                path = f"{base}/data"
+                dd._OWNED_PATHS.add(path)
+                new_l = (F.col("doc_a") % 10 == 0) | (
+                    F.col("doc_b") % 10 == 0
+                )
+                new_c = (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+                slices = {
+                    "minhash": dd.pair_table(spark, sf_dir).filter(~new_l),
+                    "cosine": dd.cosine_pair_table(spark, sf_dir).filter(
+                        ~new_c
+                    ),
+                    "cosassign": dd.cosine_assign_table(spark, sf_dir).filter(
+                        F.col("vec_id") % 10 != 0
+                    ),
+                }
+                with cache_scope():
+                    # the pre-batch labels ride this build too: they are
+                    # the same scaffolding (a CC over the non-batch
+                    # slice) and every isolated q_ingest_audit trial
+                    # otherwise re-pays that CC after the registry
+                    # restore
+                    dd.base_cluster_labels(spark, sf_dir)
+                    with ThreadPoolExecutor(max_workers=3) as ex:
+                        list(ex.map(
+                            lambda kv: kv[1].write.mode("overwrite").parquet(
+                                f"{path}/{kv[0]}"
+                            ),
+                            slices.items(),
+                        ))
+                dd._DERIVED[key] = path
+    return path
+
+
 def ingest_then_audit(
     spark: SparkSession, sf_dir: str, work_dir: str,
     timings: dict | None = None,
@@ -236,8 +322,47 @@ def ingest_then_audit(
     # streaming twin routes through ingest_cosine_batch /
     # reseed_cosine_state, which re-freezes seeds over the combined
     # corpus and persists a new baseline — test-pinned lifecycle).
-    # default args take needs_reseed's FUSED path (r17 optimization
-    # pass): persisted-baseline read + batch audit in one collect
+    # r18 (VERDICT r17 #1, guide §2.6 overlap independent jobs): the
+    # lexical delta needs ONE eager materialization (two consumers —
+    # the maintained minhash append and the label merge) that used to
+    # serialize ~2.5 s before the drift gate returned and any write
+    # started; it now computes in a background thread from here, and
+    # only the two branches that consume it wait on the future — the
+    # drift gate and the cosine-family writes overlap it entirely.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=5)
+    t_d = time.perf_counter()
+    ldelta_f = pool.submit(
+        lambda: dd.pair_table_delta(
+            spark, sf_dir, batch_docs
+        ).localCheckpoint()
+    )
+    try:
+        return _ingest_writes_then_audit(
+            spark, sf_dir, work_dir, timings, pool, ldelta_f,
+            batch_docs, batch_vecs, t0, t_d,
+        )
+    finally:
+        pool.shutdown(wait=True)
+
+
+def _ingest_writes_then_audit(
+    spark, sf_dir, work_dir, timings, pool, ldelta_f,
+    batch_docs, batch_vecs, t0, t_d,
+) -> dict[str, DataFrame]:
+    """ingest_then_audit's body from the drift gate on — split out so
+    the lexical-delta worker pool is shut down on EVERY exit path (a
+    failed gate or delta must not leave a background Spark job racing
+    the caller)."""
+    import time
+    from pyspark.sql import functions as F
+
+    from zebra_spark.queries import dedup as dd
+
+    # drift gate: default args take needs_reseed's FUSED path (r17
+    # optimization pass): persisted-baseline read + batch audit in one
+    # collect
     drifted = dd.needs_reseed(spark, sf_dir, batch_vecs)
     if timings is not None:
         timings["reseed_triggered"] = drifted
@@ -245,11 +370,6 @@ def ingest_then_audit(
     # production delta paths (batch-proportional, driver-hash-checked
     # under q_pair_table_delta / q_cosine_table_delta /
     # q_cosine_assign_delta / q_cluster_delta)
-    t_d = time.perf_counter()
-    # the lexical delta is consumed TWICE (thresholded CC edges + the
-    # maintained minhash write), so it is materialized exactly once
-    # here; its wall cost is part of delta_s on the instrumented path
-    ldelta = dd.pair_table_delta(spark, sf_dir, batch_docs).localCheckpoint()
     cdelta = dd.cosine_pair_table_delta(
         spark, sf_dir, new_ids=batch_vecs.select("vec_id")
     )
@@ -258,9 +378,15 @@ def ingest_then_audit(
         # price the batch-proportional delta joins alone (the two
         # single-consumer cosine deltas are materialized here for the
         # split and again inside their writes; the un-instrumented
-        # path computes them once, lazily, inside the write jobs)
+        # path computes them once, lazily, inside the write jobs).
+        # delta_s is the delta phase's WALL from the lexical delta's
+        # background submit to all three materialized — the lexical
+        # delta overlaps the drift gate, so the phase wall is what a
+        # sequential re-measure would call gate + deltas minus the
+        # overlap.
         for d in (cdelta, adelta):
             d.count()
+        ldelta_f.result()
         timings["delta_s"] = round(time.perf_counter() - t_d, 3)
 
     # cluster labels at DELTA cost (VERDICT r8 #3): star-collapse the
@@ -289,12 +415,10 @@ def ingest_then_audit(
     # lazily inside the write job) bounded the block at 3-4.7 s
     # anyway.  Built as a thunk so the measured-timings path and the
     # write thread share one construction.
-    delta_edges = dd.threshold_edges(ldelta)
-
     def _merged_labels() -> DataFrame:
         return incremental_components(
             dd.base_cluster_labels(spark, sf_dir),
-            delta_edges,
+            dd.threshold_edges(ldelta_f.result()),
             batch_docs.select(F.col("doc_id").alias("id")),
             # endpoints are batch ∪ corpus docs ⊆ base labels ∪ batch,
             # and the base labels are the non-batch (% 10 != 0) slice,
@@ -309,18 +433,55 @@ def ingest_then_audit(
 
     # maintained artifacts = pre-batch base ∪ delta (the fixture's
     # "base" is the non-batch-involving slice of the session tables;
-    # in production it is the already-maintained parquet)
+    # in production it is the already-maintained parquet).  r18
+    # (VERDICT r17 #1): on a local filesystem the base slices come
+    # from the session-cached ingest_base_state files — hardlinked
+    # into the work dir, delta APPENDED — so the per-call cost is the
+    # deltas + the |V|-row label rewrite, not a corpus-sized base
+    # rewrite per table (the production append shape run_tick
+    # executes; ingest_base_build prices the scaffolding in bench.py).
+    # Read-side content is identical: base files ∪ delta files hold
+    # exactly the rows the old single union write held (pinned by
+    # test_ingest_then_audit_equals_rebuild).  Non-local work dirs
+    # keep the union write — hardlinks are a local-FS shortcut.
+    from zebra_spark.fsutil import _is_local
+
+    def _align(delta: DataFrame, ref: DataFrame) -> DataFrame:
+        # column order + exact types of the base files, so the parquet
+        # append can never produce a mixed-schema dir (the old
+        # unionByName gave the same guarantee)
+        return delta.select(
+            *[F.col(f.name).cast(f.dataType) for f in ref.schema.fields]
+        )
+
+    base_dir = ingest_base_state(spark, sf_dir) if _is_local(work_dir) \
+        else None
     new_l = (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
     new_c = (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
-    writes = {
-        "minhash": dd.pair_table(spark, sf_dir).filter(~new_l)
-        .unionByName(ldelta),
-        "cosine": dd.cosine_pair_table(spark, sf_dir).filter(~new_c)
-        .unionByName(cdelta),
-        "cosassign": dd.cosine_assign_table(spark, sf_dir)
-        .filter(F.col("vec_id") % 10 != 0).unionByName(adelta),
-        "clusters": _merged_labels,
-    }
+    if base_dir is not None:
+        writes = {
+            "minhash": ("append", lambda: _align(
+                ldelta_f.result(), dd.pair_table(spark, sf_dir)
+            )),
+            "cosine": ("append", _align(
+                cdelta, dd.cosine_pair_table(spark, sf_dir)
+            )),
+            "cosassign": ("append", _align(
+                adelta, dd.cosine_assign_table(spark, sf_dir)
+            )),
+            "clusters": ("full", _merged_labels),
+        }
+    else:
+        writes = {
+            "minhash": ("full", lambda: dd.pair_table(spark, sf_dir)
+                        .filter(~new_l).unionByName(ldelta_f.result())),
+            "cosine": ("full", dd.cosine_pair_table(spark, sf_dir)
+                       .filter(~new_c).unionByName(cdelta)),
+            "cosassign": ("full", dd.cosine_assign_table(spark, sf_dir)
+                          .filter(F.col("vec_id") % 10 != 0)
+                          .unionByName(adelta)),
+            "clusters": ("full", _merged_labels),
+        }
     if drifted:
         # reseed path: deltas against stale blocking are meaningless,
         # so the semantic artifacts ship as the full (session) build
@@ -328,24 +489,28 @@ def ingest_then_audit(
         # shifted corpus is streaming.reseed_cosine_state, pinned by
         # test_drift_gated_ingest_reseeds_once (the fixture's
         # same-distribution batch never takes this branch)
-        writes["cosine"] = dd.cosine_pair_table(spark, sf_dir)
-        writes["cosassign"] = dd.cosine_assign_table(spark, sf_dir)
+        writes["cosine"] = ("full", dd.cosine_pair_table(spark, sf_dir))
+        writes["cosassign"] = ("full", dd.cosine_assign_table(spark, sf_dir))
     # the four maintained-table writes are independent jobs that each
     # underfill the cluster at tick scale — run them CONCURRENTLY
     # (r16, VERDICT r15 #2: sequential writes were ~9.6 s of the tick's
     # 27; the wall cost is now the slowest single write).  Spark
     # sessions schedule concurrent actions safely; the parity sweep
-    # already drives 8 threads through one session.
-    from concurrent.futures import ThreadPoolExecutor
+    # already drives 8 threads through one session.  The writes run on
+    # the SAME pool the lexical delta occupies: the two branches that
+    # need it block on the future, the others start immediately.
 
     def _write(item):
-        kind, df = item
-        if callable(df):  # lazily-constructed source (the label merge)
-            df = df()
-        df.write.mode("overwrite").parquet(f"{work_dir}/{kind}")
+        kind, (mode, df) = item
+        if callable(df):  # lazily-constructed source (label merge /
+            df = df()     # lexical-delta consumers waiting the future)
+        if mode == "append":
+            _link_parquet_files(f"{base_dir}/{kind}", f"{work_dir}/{kind}")
+            df.write.mode("append").parquet(f"{work_dir}/{kind}")
+        else:
+            df.write.mode("overwrite").parquet(f"{work_dir}/{kind}")
 
-    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-        list(ex.map(_write, writes.items()))
+    list(pool.map(_write, writes.items()))
     if timings is not None:
         timings["update_s"] = round(time.perf_counter() - t0, 3)
 
